@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Methodology: one shared SparkSession (a real deployment amortizes session
+startup), one untimed warmup action to JIT/codegen-warm the session, then
+each query timed as plan + full execution with a count-style materialization
+(``df.write.format("noop")`` would skip result production; we use
+``_collect_to_python`` sparingly — a foreach-noop action drains results on
+the executors without driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q09_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "window_topk_per_group",
+    "agg_cube",
+    "events_sessionization",
+    "asof_join_events_orders",
+    "mpp_create_insert_scan",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from duckdb_mpp_spark.queries import REGISTRY, run_spark_query
+    from duckdb_mpp_spark.session import get_spark
+
+    spark = get_spark(app_name="mpp-bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in REGISTRY]
+
+    def materialize(df):
+        # noop sink: full JVM-side execution of the whole plan, zero
+        # driver-side materialization, zero Python row serde.
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: run the flagship once, untimed (JIT, codegen caches, FS cache)
+    materialize(run_spark_query("q01_pricing_summary", spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(run_spark_query(name, spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Copy-on-write UPDATE / DELETE over pruned buckets.
+
+The reference decompiles the bound plan back to per-shard SQL text and runs
+``UPDATE shard_i SET ... WHERE ...`` on every surviving shard in parallel
+(``src/execution/mpp_physical_update.cpp:79-119``, ``mpp_physical_delete.cpp``).
+The Spark-native equivalent: read ONLY the surviving bucket directories,
+apply the mutation as a projection (``CASE WHEN pred THEN new ELSE old``) or
+an anti-filter, and atomically swap the rewritten directories. Unaffected
+buckets are never read or written — that is the same pruning win the
+reference gets, and at 100 TB it is the difference between rewriting the
+table and rewriting k/n of it.
+
+Counts: both ops return the summed matched-row count, matching the
+reference's single BIGINT result (``mpp_physical_update.cpp:105-107``). The
+count pass scans only the pruned buckets with the predicate pushed down —
+equivalent to the per-shard count the reference's remote UPDATE pays.
+
+Semantics matched deliberately:
+- Updating the partition column does NOT re-route rows to new buckets —
+  reference shard-local UPDATE keeps rows on their shard
+  (``test/sql/mpp_update.test:63`` updates the partition column in place).
+- A NULL predicate result neither updates nor deletes the row (SQL 3VL).
+- ``DEFAULT`` in a SET list resolves to the column's declared default or
+  NULL (``ResolveDefaults``, ``src/execution/mpp_physical_insert.cpp:150-181``).
+
+Atomicity: rewrite to a temp dir, then per-bucket directory swap. Single
+writer assumed — the reference's remote DML is not transactional either
+(SURVEY §2.A17).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.table import BUCKET_COL, DistributedTable
+
+_DEFAULT_RE = re.compile(r"^\s*DEFAULT\s*$", re.IGNORECASE)
+
+
+def _resolve_default(table: DistributedTable, colname: str) -> str:
+    return table.meta.defaults.get(colname, "NULL")
+
+
+def _swap_buckets(table: DistributedTable, tmp_path: str, bucket_ids: list[int]) -> None:
+    """Replace each affected real bucket dir with its rewritten version.
+    A bucket with no surviving rows (dir absent in tmp) is removed."""
+    for b in bucket_ids:
+        src = os.path.join(tmp_path, f"{BUCKET_COL}={b}")
+        dst = os.path.join(table.path, f"{BUCKET_COL}={b}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            os.replace(src, dst)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def update(
+    table: DistributedTable,
+    assignments: dict[str, str],
+    where: str | None = None,
+) -> int:
+    """``UPDATE t SET col=expr,... [WHERE pred]`` → matched-row count."""
+    meta = table.meta
+    ids = table.pruned_bucket_ids(where)
+    if not table._has_data() or not ids:
+        return 0
+    df = table.scan(where=None, keep_bucket=True)
+    if len(ids) < meta.buckets:
+        df = df.where(F.col(BUCKET_COL).isin(ids))
+
+    pred = F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
+    matched = df.where(pred).count()
+    if matched == 0:
+        return 0
+
+    out_cols = []
+    for field in meta.schema.fields:
+        if field.name in assignments:
+            text = assignments[field.name]
+            if _DEFAULT_RE.match(text):
+                text = _resolve_default(table, field.name)
+            new_val = F.expr(text).cast(field.dataType)
+            out_cols.append(
+                F.when(pred, new_val).otherwise(F.col(field.name)).alias(field.name)
+            )
+        else:
+            out_cols.append(F.col(field.name))
+    out_cols.append(F.col(BUCKET_COL))
+
+    tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
+    (
+        df.select(*out_cols)
+        .repartition(len(ids), BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(tmp)
+    )
+    _swap_buckets(table, tmp, ids)
+    return matched
+
+
+def delete(table: DistributedTable, where: str | None = None) -> int:
+    """``DELETE FROM t [WHERE pred]`` → deleted-row count."""
+    meta = table.meta
+    ids = table.pruned_bucket_ids(where)
+    if not table._has_data() or not ids:
+        return 0
+
+    if where is None:
+        # delete-all: count then drop every bucket dir — no rewrite needed
+        total = table.scan().count()
+        for b in range(meta.buckets):
+            d = os.path.join(table.path, f"{BUCKET_COL}={b}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return total
+
+    df = table.scan(where=None, keep_bucket=True)
+    if len(ids) < meta.buckets:
+        df = df.where(F.col(BUCKET_COL).isin(ids))
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    matched = df.where(pred).count()
+    if matched == 0:
+        return 0
+
+    tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
+    (
+        df.where(~pred)
+        .repartition(len(ids), BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(tmp)
+    )
+    _swap_buckets(table, tmp, ids)
+    return matched

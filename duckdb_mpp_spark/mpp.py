@@ -1,0 +1,457 @@
+"""MppSession — the SQL front door.
+
+The reference adds a ParserExtension that string-matches
+``CREATE TABLE <std-create> PARTITION BY (<col>) WITH BUCKETS <n>`` and
+re-parses the prefix with the stock parser
+(``src/parser/mpp_parser_extension.cpp:43-96``). We do the same thing one
+level up: a small SQL preprocessor recognizes the reference's DDL/DML
+statements, routes them to the distributed-table layer, and hands everything
+else (the entire SELECT surface) to ``spark.sql`` — i.e. to Catalyst, which
+plays the role the coordinator's embedded DuckDB plays in the reference
+(SURVEY §0).
+
+Statement → result:
+- ``CREATE TABLE ... PARTITION BY (c) WITH BUCKETS n`` → None
+- ``INSERT INTO t VALUES ... | SELECT ...``            → int row count
+- ``UPDATE t SET ... [WHERE ...]``                     → int row count
+- ``DELETE FROM t [WHERE ...]``                        → int row count
+- ``DROP TABLE t``                                     → None (tombstone)
+- ``BEGIN / COMMIT / ROLLBACK``                        → None (DDL atomicity
+  only, matching src/storage/mpp_transaction.cpp — remote DML was never
+  transactional in the reference)
+- ``SELECT / WITH / VALUES``                           → DataFrame
+- ``EXPLAIN SELECT``                                   → str with the
+  reference's ``Shards: k/n`` annotation + Spark physical plan
+
+NotImplemented parity (reference raises the same —
+``src/execution/mpp_plan_insert.cpp:14-19``, ``mpp_plan_update.cpp:14-17``,
+``src/storage/mpp_catalog.cpp:109-112``, ``mpp_schema_entry.cpp:158-160``):
+RETURNING, ON CONFLICT, CREATE TABLE AS, ALTER TABLE.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_mpp_spark import dml as _dml
+from duckdb_mpp_spark.catalog import MppCatalog
+from duckdb_mpp_spark.table import DistributedTable
+
+# ---------------------------------------------------------------------------
+# DDL parsing (string-matcher parity with mpp_parser_extension.cpp:43-96)
+# ---------------------------------------------------------------------------
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
+    r"\((?P<cols>.*)\)\s*"
+    r"PARTITION\s+BY\s*\(\s*(?P<pcol>[\w\"]+)\s*\)\s*"
+    r"WITH\s+BUCKETS\s+(?P<buckets>\d+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\))?\s*"
+    r"(?P<rest>(?:VALUES|SELECT|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w.\"]+)\s+SET\s+(?P<sets>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_TYPE_MAP = {
+    "INT": "int",
+    "INTEGER": "int",
+    "INT4": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "USMALLINT": "int",
+    "UINTEGER": "bigint",
+    "UBIGINT": "long",
+    "BIGINT": "long",
+    "INT8": "long",
+    "HUGEINT": "decimal(38,0)",
+    "TEXT": "string",
+    "VARCHAR": "string",
+    "STRING": "string",
+    "CHAR": "string",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "DATETIME": "timestamp",
+    "BOOLEAN": "boolean",
+    "BOOL": "boolean",
+}
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    out, depth, cur, in_str = [], 0, [], False
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
+_COLDEF_RE = re.compile(
+    r"^(?P<name>\"[^\"]+\"|[\w$]+)\s+(?P<type>[\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEFAULT_CLAUSE_RE = re.compile(
+    r"\bDEFAULT\s+(?P<lit>'(?:[^']|'')*'|[-\w.]+(?:\s*\(\s*\))?)",
+    re.IGNORECASE,
+)
+
+
+def parse_column_defs(cols_text: str) -> tuple[T.StructType, dict[str, str]]:
+    """Parse ``c0 INT, name TEXT DEFAULT 'foo' NOT NULL`` into a Spark schema
+    + per-column default literal map. Constraints (NOT NULL / UNIQUE /
+    PRIMARY KEY) are accepted and recorded as nullability only — Spark does
+    not enforce constraints (SURVEY §1.3 semantic gap, documented)."""
+    fields, defaults = [], {}
+    for coldef in _split_top_level(cols_text):
+        if re.match(r"^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b", coldef, re.I):
+            continue  # table-level constraint: accepted, not enforced
+        m = _COLDEF_RE.match(coldef)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {coldef!r}")
+        name = m.group("name").strip('"')
+        raw_type = m.group("type").strip()
+        base = re.match(r"[A-Za-z]+", raw_type).group(0).upper()
+        if base in _TYPE_MAP:
+            spark_type = _TYPE_MAP[base]
+            if base == "DECIMAL":
+                spark_type = raw_type.lower()
+        elif base == "DECIMAL" or base == "NUMERIC":
+            spark_type = raw_type.lower().replace("numeric", "decimal")
+        else:
+            spark_type = raw_type.lower()
+        dtype = T._parse_datatype_string(spark_type)
+        rest = m.group("rest") or ""
+        nullable = "NOT NULL" not in rest.upper()
+        dm = _DEFAULT_CLAUSE_RE.search(rest)
+        if dm:
+            defaults[name] = dm.group("lit")
+        fields.append(T.StructField(name, dtype, nullable))
+    return T.StructType(fields), defaults
+
+
+# ---------------------------------------------------------------------------
+
+
+class MppSession:
+    """Session wrapper: catalog + SQL routing over one warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = MppCatalog(warehouse)
+        self._txn_depth = 0
+        self._txn_created: list[str] = []
+
+    # -- python API -------------------------------------------------------
+    def create_distributed_table(
+        self,
+        name: str,
+        schema: T.StructType | str,
+        partition_column: str,
+        buckets: int,
+        defaults: dict[str, str] | None = None,
+    ) -> DistributedTable:
+        if isinstance(schema, str):
+            schema, parsed_defaults = parse_column_defs(schema)
+            defaults = {**parsed_defaults, **(defaults or {})}
+        meta = self.catalog.create_table(name, schema, partition_column, buckets, defaults)
+        if self._txn_depth:
+            self._txn_created.append(name)
+        return DistributedTable(self.spark, self.catalog, meta)
+
+    def table(self, name: str) -> DistributedTable:
+        return DistributedTable(self.spark, self.catalog, self.catalog.get(name))
+
+    def insert_df(self, name: str, df: DataFrame) -> int:
+        return self.table(name).insert(df)
+
+    def master_add_node(self, host: str, port: int) -> None:
+        """Compat shim (src/function/master_add_node.cpp) — Spark manages its
+        own executors; the node registry only feeds the metadata views."""
+        self.catalog.add_node(host, port)
+
+    def drop_table(self, name: str) -> None:
+        meta = self.catalog.drop_table(name)
+        self.spark.catalog.dropTempView(name) if self._view_exists(name) else None
+        # Files deliberately left behind: reference DROP does not drop worker
+        # shard tables (src/storage/mpp_schema_entry.cpp:141-156).
+        _ = meta
+
+    # -- transactions (DDL atomicity only, SURVEY §2.A17) -----------------
+    def begin(self) -> None:
+        self._txn_depth = 1
+        self._txn_created = []
+
+    def commit(self) -> None:
+        self._txn_depth = 0
+        self._txn_created = []
+
+    def rollback(self) -> None:
+        for name in self._txn_created:
+            try:
+                meta = self.catalog.get(name)
+                shutil.rmtree(self.catalog.table_path(meta), ignore_errors=True)
+                self.catalog.forget_table(name)
+            except ValueError:
+                pass
+        self._txn_depth = 0
+        self._txn_created = []
+
+    # -- SQL front door ---------------------------------------------------
+    def sql(self, text: str):
+        stripped = text.strip().rstrip(";").strip()
+        upper = stripped.upper()
+
+        if upper in ("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION"):
+            return self.begin()
+        if upper == "COMMIT":
+            return self.commit()
+        if upper in ("ROLLBACK", "ABORT"):
+            return self.rollback()
+
+        if re.search(r"\bRETURNING\b", upper):
+            raise NotImplementedError("RETURNING statement not supported")
+        if re.search(r"\bON\s+CONFLICT\b", upper):
+            raise NotImplementedError("ON CONFLICT clause not supported")
+        if re.match(r"^\s*CREATE\s+TABLE\b.*\bAS\s+(SELECT|TABLE|VALUES)\b", upper, re.DOTALL):
+            raise NotImplementedError("CREATE TABLE AS is not supported")
+        if re.match(r"^\s*ALTER\b", upper):
+            raise NotImplementedError("ALTER is not supported")
+
+        m = _CREATE_RE.match(stripped)
+        if m:
+            schema, defaults = parse_column_defs(m.group("cols"))
+            self.create_distributed_table(
+                _ident(m.group("name")), schema, _ident(m.group("pcol")),
+                int(m.group("buckets")), defaults,
+            )
+            return None
+
+        m = _INSERT_RE.match(stripped)
+        if m and self.catalog.exists(_ident(m.group("name"))):
+            return self._run_insert(m)
+
+        m = _UPDATE_RE.match(stripped)
+        if m and self.catalog.exists(_ident(m.group("name"))):
+            assignments = {}
+            for part in _split_top_level(m.group("sets")):
+                col, _, expr = part.partition("=")
+                assignments[_ident(col.strip())] = expr.strip()
+            return _dml.update(self.table(_ident(m.group("name"))), assignments, m.group("where"))
+
+        m = _DELETE_RE.match(stripped)
+        if m and self.catalog.exists(_ident(m.group("name"))):
+            return _dml.delete(self.table(_ident(m.group("name"))), m.group("where"))
+
+        m = _DROP_RE.match(stripped)
+        if m:
+            name = _ident(m.group("name"))
+            if not self.catalog.exists(name) and "IF EXISTS" in upper:
+                return None
+            return self.drop_table(name)
+
+        if upper.startswith("EXPLAIN"):
+            inner = stripped[len("EXPLAIN"):].strip()
+            return self.explain(inner)
+
+        return self._run_select(stripped)
+
+    # -- internals --------------------------------------------------------
+    def _view_exists(self, name: str) -> bool:
+        try:
+            return any(t.name == name for t in self.spark.catalog.listTables())
+        except Exception:
+            return False
+
+    def _run_insert(self, m: re.Match) -> int:
+        name = _ident(m.group("name"))
+        tbl = self.table(name)
+        cols_clause = m.group("cols")
+        rest = m.group("rest").strip().rstrip(";")
+        schema = tbl.meta.schema
+        target_cols = (
+            [_ident(c.strip()) for c in cols_clause.split(",")]
+            if cols_clause
+            else [f.name for f in schema.fields]
+        )
+        if rest.upper().startswith("VALUES"):
+            values_body = rest[len("VALUES"):].strip()
+            names = ", ".join(target_cols)
+            src = self.spark.sql(f"SELECT * FROM VALUES {values_body} AS __v({names})")
+        else:
+            self._register_views_for_query(rest)
+            src = self.spark.sql(rest)
+            src = src.toDF(*target_cols)
+        # missing columns → declared default or NULL (ResolveDefaults parity,
+        # src/execution/mpp_physical_insert.cpp:150-181)
+        exprs = []
+        for field in schema.fields:
+            if field.name in target_cols:
+                exprs.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            else:
+                default = tbl.meta.defaults.get(field.name, "NULL")
+                exprs.append(F.expr(default).cast(field.dataType).alias(field.name))
+        return tbl.insert(src.select(*exprs))
+
+    def _substitute_system_views(self, query: str) -> str:
+        self.catalog.register_system_views(self.spark)
+        return re.sub(
+            r"\b(?:[\w]+\.)?__mpp_system\.(nodes|tables|shards)\b",
+            r"mpp_\1",
+            query,
+            flags=re.IGNORECASE,
+        )
+
+    def _distributed_tables_in(self, query: str) -> list[str]:
+        found = []
+        for name in self.catalog._tables:
+            if re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE):
+                found.append(name)
+        return found
+
+    def _where_text(self, query: str) -> str | None:
+        m = re.search(
+            r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|\bQUALIFY\b|$)",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        return m.group(1).strip() if m else None
+
+    def _alias_names(self, query: str, part_col: str) -> set[str]:
+        """Select-list aliases of the partition column, so pruning resolves
+        filters through aliases (expression_helper.hpp:16-34 parity)."""
+        aliases = set()
+        for m in re.finditer(
+            rf"\b{re.escape(part_col)}\s+(?:AS\s+)?([A-Za-z_]\w*)\b",
+            query,
+            re.IGNORECASE,
+        ):
+            word = m.group(1)
+            if word.upper() not in (
+                "FROM", "WHERE", "GROUP", "ORDER", "AND", "OR", "AS", "IN",
+                "IS", "NOT", "JOIN", "ON", "LIMIT", "HAVING", "BY", "ASC", "DESC",
+            ):
+                aliases.add(word)
+        return aliases
+
+    def _rewrite_where_aliases(self, query: str) -> str:
+        """DuckDB allows select-list aliases in WHERE (``SELECT id AS c0 ...
+        WHERE c0=1``, test/sql/mpp_filter.test:55); Spark resolves lateral
+        aliases only in the select list. Substitute simple column aliases
+        back into the WHERE text so the inherited surface matches."""
+        m = re.search(r"\bSELECT\b(.*?)\bFROM\b", query, re.IGNORECASE | re.DOTALL)
+        wm = re.search(
+            r"\bWHERE\b(.*?)(\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|$)",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m or not wm:
+            return query
+        mapping = {}
+        for item in _split_top_level(m.group(1)):
+            am = re.match(r"^([A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)$", item, re.IGNORECASE)
+            if am and am.group(2).upper() not in ("FROM",):
+                mapping[am.group(2)] = am.group(1)
+        if not mapping:
+            return query
+        where = wm.group(1)
+        for alias, base in mapping.items():
+            where = re.sub(rf"\b{re.escape(alias)}\b", base, where)
+        return query[: wm.start(1)] + where + query[wm.end(1):]
+
+    def _register_views_for_query(self, query: str) -> list[str]:
+        names = self._distributed_tables_in(query)
+        where = self._where_text(query)
+        for name in names:
+            tbl = self.table(name)
+            aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
+            # The view embeds ONLY the derived __bucket predicate (directory
+            # pruning); the user's WHERE is applied by spark.sql itself.
+            if where and len(names) == 1:
+                df = tbl.scan(where=None, keep_bucket=True) if tbl._has_data() else tbl._empty_df(True)
+                from duckdb_mpp_spark.pruning import bucket_predicate_for_where
+
+                pred = bucket_predicate_for_where(
+                    where, tbl.meta.partition_column, tbl._part_type_ddl,
+                    tbl.meta.buckets, aliases,
+                )
+                if pred and tbl._has_data():
+                    df = df.where(pred)
+                df = df.drop("__bucket")
+            else:
+                df = tbl.scan()
+            df.createOrReplaceTempView(name)
+        return names
+
+    def _run_select(self, query: str) -> DataFrame:
+        query = self._substitute_system_views(query)
+        query = self._rewrite_where_aliases(query)
+        self._register_views_for_query(query)
+        return self.spark.sql(query)
+
+    def explain(self, query: str) -> str:
+        """Reference-style EXPLAIN: Shards: k/n for the (single) distributed
+        table plus the Spark formatted physical plan."""
+        query = self._substitute_system_views(query)
+        query = self._rewrite_where_aliases(query)
+        names = self._register_views_for_query(query)
+        header = []
+        where = self._where_text(query)
+        for name in names:
+            tbl = self.table(name)
+            aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
+            ids = tbl.pruned_bucket_ids(where, aliases)
+            header.append(f"Table: {name}")
+            header.append(f"Shards: {len(ids)}/{tbl.meta.buckets}")
+            if where:
+                header.append(f"Filter: {where}")
+        df = self.spark.sql(query)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        return "\n".join(header) + "\n" + plan
+
+
+def _ident(name: str) -> str:
+    return name.strip().strip('"').split(".")[-1].lower()

@@ -1,0 +1,87 @@
+"""Query registry — the verified query surface of the engine.
+
+Every entry is one operator/capability from SURVEY §2 (or a north-star
+pipeline operator), expressed Spark-first, with an equivalent DuckDB oracle
+SQL for differential correctness (the reference's own capability *is*
+DuckDB, so DuckDB-as-oracle is exactly "matches the reference's results").
+
+Determinism conventions (cross-engine float safety):
+- Aggregated doubles go through exact DECIMAL sums:
+  ``CAST(SUM(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)`` — decimal addition is
+  associative, so Spark's parallel partial aggregation and DuckDB's
+  sequential sum produce bit-identical results; the final double conversion
+  is exact for values < 2^53.
+- Averages are written as exact-sum / count.
+- LIMIT queries carry a unique tiebreak column in ORDER BY.
+- Timestamps compare against full literals; the Spark session runs UTC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_mpp_spark.session import tune_session
+from duckdb_mpp_spark.sources import register_views
+
+
+@dataclass
+class Query:
+    """One verified query.
+
+    ``spark``: shared-dialect SQL text (run via ``spark.sql`` → Catalyst) or
+    a callable ``(spark, sf_dir) -> DataFrame`` for DataFrame-API operators.
+    ``oracle``: DuckDB SQL; defaults to ``spark`` when that is shared text.
+    ``None`` → non-SQL-expressible; driver falls back to rows-only check.
+    """
+
+    spark: str | Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+    def oracle_sql(self) -> str | None:
+        if self.oracle is not None:
+            return self.oracle
+        return self.spark if isinstance(self.spark, str) else None
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, query: Query) -> None:
+    assert name not in REGISTRY, f"duplicate query {name}"
+    REGISTRY[name] = query
+
+
+def run_spark_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = REGISTRY[name]
+    tune_session(spark)
+    register_views(spark, sf_dir)
+    if isinstance(q.spark, str):
+        return spark.sql(q.spark)
+    return q.spark(spark, sf_dir)
+
+
+def spark_callables() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def make(name):
+        return lambda spark, sf_dir: run_spark_query(name, spark, sf_dir)
+
+    return {name: make(name) for name in REGISTRY}
+
+
+def oracle_sqls() -> dict[str, str]:
+    out = {}
+    for name, q in REGISTRY.items():
+        sql = q.oracle_sql()
+        if sql is not None:
+            out[name] = sql
+    return out
+
+
+# Populate the registry (import order = display order).
+from duckdb_mpp_spark.queries import core  # noqa: E402,F401
+from duckdb_mpp_spark.queries import windows_sets  # noqa: E402,F401
+from duckdb_mpp_spark.queries import events  # noqa: E402,F401
+from duckdb_mpp_spark.queries import mpp_layer  # noqa: E402,F401
+from duckdb_mpp_spark.queries import pipeline  # noqa: E402,F401

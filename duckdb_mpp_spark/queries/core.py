@@ -1,0 +1,501 @@
+"""Core analytics surface — the SQL capability the reference inherits from
+its embedded DuckDB (SURVEY §2.B: joins, aggregations, subqueries, scalar
+functions), expressed as shared-dialect SQL so the very same text runs on
+Spark (Catalyst) and on the DuckDB oracle. TPC-H query shapes adapted to the
+driver's synthetic star schema.
+"""
+
+from duckdb_mpp_spark.queries import Query, register
+
+# A1/A2/A3 read path at its simplest: projection + pushed filter + sort.
+register(
+    "filter_pushdown_scan",
+    Query(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+          AND l_quantity < 5 AND l_returnflag <> 'N'
+        ORDER BY l_orderkey, l_linenumber
+        """
+    ),
+)
+
+# TPC-H Q1: the flagship — wide aggregation, the classic scatter-gather case
+# where Spark's partial+final agg replaces the reference's coordinator-side
+# single-node aggregation over gathered shard streams.
+register(
+    "q01_pricing_summary",
+    Query(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ),
+)
+
+# TPC-H Q3: 3-way join + agg + deterministic top-k.
+register(
+    "q03_shipping_priority",
+    Query(
+        """
+        SELECT
+          l_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    ),
+)
+
+# TPC-H Q4: correlated EXISTS (semi join in both planners).
+register(
+    "q04_order_priority",
+    Query(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    ),
+)
+
+# TPC-H Q5: 6-way star join.
+register(
+    "q05_local_supplier_volume",
+    Query(
+        """
+        SELECT
+          n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    ),
+)
+
+# TPC-H Q6: pure filter + scalar aggregate.
+register(
+    "q06_forecast_revenue",
+    Query(
+        """
+        SELECT
+          CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    ),
+)
+
+# TPC-H Q7: self-joined dimension (nation × nation) + derived-table agg.
+register(
+    "q07_volume_shipping",
+    Query(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation,
+                 n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey
+            AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey
+            AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND n1.n_name <> n2.n_name
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) AS shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    ),
+)
+
+# TPC-H Q9 shape (profit by nation × year; supplycost synthesized from
+# retailprice since the fixture has no partsupp).
+register(
+    "q09_product_profit",
+    Query(
+        """
+        SELECT nation, o_year,
+               CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey
+            AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey
+            AND s_nationkey = n_nationkey
+            AND p_name LIKE '%a%'
+        ) AS profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """
+    ),
+)
+
+# TPC-H Q10: returned items, top-20 customers.
+register(
+    "q10_returned_items",
+    Query(
+        """
+        SELECT
+          c_custkey, c_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+          n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    ),
+)
+
+# TPC-H Q12 shape: conditional aggregation over a join.
+register(
+    "q12_priority_shipping",
+    Query(
+        """
+        SELECT
+          CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS ship_month,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY 1
+        """
+    ),
+)
+
+# TPC-H Q13: left outer join + count distribution (two-level aggregation).
+register(
+    "q13_customer_distribution",
+    Query(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey
+        ) AS c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    ),
+)
+
+# TPC-H Q14: promo revenue share (conditional / total).
+register(
+    "q14_promo_effect",
+    Query(
+        """
+        SELECT
+          100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+        """
+    ),
+)
+
+# TPC-H Q15 shape: CTE + scalar-subquery max.
+register(
+    "q15_top_supplier",
+    Query(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    ),
+)
+
+# TPC-H Q16 shape: anti-ish filter + count(distinct).
+register(
+    "q16_parts_suppliers",
+    Query(
+        """
+        SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        GROUP BY p_type, p_size
+        ORDER BY supplier_cnt DESC, p_type, p_size
+        """
+    ),
+)
+
+# TPC-H Q17 shape: correlated scalar subquery against the exact per-part avg.
+register(
+    "q17_small_quantity_revenue",
+    Query(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    ),
+)
+
+# TPC-H Q18: IN over a HAVING subquery (l_quantity is integral → exact).
+register(
+    "q18_large_volume_customer",
+    Query(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+          )
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    ),
+)
+
+# TPC-H Q19: disjunction of conjunctive range predicates across a join.
+register(
+    "q19_discounted_revenue",
+    Query(
+        """
+        SELECT
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE
+          (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+        """
+    ),
+)
+
+# TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti join.
+register(
+    "q22_global_sales_opportunity",
+    Query(
+        """
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM (
+          SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_acctbal > (
+              SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+              FROM customer c2 WHERE c2.c_acctbal > 0.0
+            )
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ) AS custsale
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+        """
+    ),
+)
+
+# Scalar-function gauntlet (string/math/conditional — SURVEY §2.B scalar
+# library). floor/ceil cast to BIGINT (Spark returns LONG, DuckDB DOUBLE);
+# round goes through DECIMAL so both engines round away from zero.
+register(
+    "scalar_function_gauntlet",
+    Query(
+        """
+        SELECT
+          p_partkey,
+          upper(p_name) AS up_name,
+          lower(p_brand) AS lo_brand,
+          substr(p_type, 1, 3) AS type_prefix,
+          length(p_name) AS name_len,
+          concat(p_brand, ':', p_type) AS brand_type,
+          replace(p_brand, 'Brand#', 'B') AS brand_short,
+          trim('  pad  ') AS trimmed,
+          abs(p_size - 25) AS abs_diff,
+          p_size % 7 AS size_mod,
+          CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+          CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+          CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+          coalesce(NULL, p_name) AS coalesced,
+          CASE WHEN p_size > 25 THEN 'big' WHEN p_size > 10 THEN 'mid' ELSE 'small' END AS size_class,
+          CAST(p_size AS DOUBLE) / 2.0 AS half_size
+        FROM part
+        ORDER BY p_partkey
+        """
+    ),
+)
+
+# Date/time function surface (EXTRACT, date_trunc, casts).
+register(
+    "date_function_surface",
+    Query(
+        """
+        SELECT
+          o_orderkey,
+          CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+          CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dy,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          CAST(o_orderdate AS DATE) AS od
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 1000
+        """
+    ),
+)
+
+# IN-subquery (uncorrelated).
+register(
+    "in_subquery",
+    Query(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    ),
+)
+
+# Scalar subquery as a filter threshold.
+register(
+    "scalar_subquery_threshold",
+    Query(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+            FROM orders o2
+          )
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    ),
+)
+
+# Semi/anti joins (EXISTS / NOT EXISTS → LeftSemi / LeftAnti in Catalyst).
+register(
+    "join_semi_anti",
+    Query(
+        """
+        SELECT n_name,
+               CAST(SUM(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+               CAST(SUM(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
+        FROM (
+          SELECT c_custkey, c_nationkey,
+                 EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+          FROM customer
+        ) AS c
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    ),
+)
+
+# Full outer join over two aggregates.
+register(
+    "join_full_outer",
+    Query(
+        """
+        SELECT
+          coalesce(c.nk, s.nk) AS nationkey,
+          c.num_customers,
+          s.num_suppliers
+        FROM (SELECT c_nationkey AS nk, COUNT(*) AS num_customers FROM customer GROUP BY 1) AS c
+        FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS num_suppliers FROM supplier GROUP BY 1) AS s
+          ON c.nk = s.nk
+        ORDER BY nationkey
+        """
+    ),
+)
+
+# Cross join (small dims) + expression join condition.
+register(
+    "join_cross_theta",
+    Query(
+        """
+        SELECT r_name, n_name, CAST(n_nationkey + r_regionkey AS BIGINT) AS key_sum
+        FROM region CROSS JOIN nation
+        WHERE n_nationkey % 5 = r_regionkey
+        ORDER BY r_name, n_name
+        """
+    ),
+)

@@ -1,0 +1,156 @@
+"""Event-stream analytics (batch forms; the streaming runtime versions live
+in ``duckdb_mpp_spark.streaming`` and are verified by stream-vs-batch
+equivalence tests). Windowed time aggregation, sessionization, JSON
+extraction, and an AS-OF join — an operator Spark lacks natively
+(implemented as union + last-ignore-nulls window, one shuffle+sort, fully
+distributed) and DuckDB has natively (the oracle uses ``ASOF JOIN``).
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.sources import load_table
+
+# Tumbling-window aggregation (batch form of the streaming windowed agg).
+register(
+    "events_hourly_agg",
+    Query(
+        """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    ),
+)
+
+# Sessionization: 30-minute inactivity gap via lag + running sum.
+register(
+    "events_sessionization",
+    Query(
+        """
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) AS flagged
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+    ),
+)
+
+# Funnel-ish conditional aggregation over event types.
+register(
+    "events_funnel",
+    Query(
+        """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        FROM events
+        GROUP BY user_id
+        HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        ORDER BY user_id
+        """
+    ),
+)
+
+# JSON property extraction (semi-structured column surface).
+register(
+    "events_json_props",
+    Query(
+        spark="""
+        SELECT CAST(get_json_object(props, '$.k') AS INT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
+        """,
+        oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
+        """,
+    ),
+)
+
+
+def _asof_spark(spark, sf_dir):
+    """AS-OF join, Spark-first: union both sides on a common (key, time)
+    axis, sort within key, and carry the most recent order forward with
+    ``last(..., ignorenulls)``. One shuffle + one sort — survives any scale
+    (contrast: a per-key ``merge_asof`` in pandas would need the whole key
+    group in memory; this streams).
+
+    Orders are pre-deduped to max orderkey per (custkey, date) so ties are
+    deterministic in both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o_side = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e_side = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("event_id"),
+    )
+    unioned = o_side.unionByName(e_side)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind", F.coalesce("o_orderkey", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("last_order", F.last("o_orderkey", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            F.col("last_order").alias("o_orderkey"),
+        )
+    )
+    return matched.orderBy("event_id")
+
+
+register(
+    "asof_join_events_orders",
+    Query(
+        spark=_asof_spark,
+        oracle="""
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        ASOF LEFT JOIN (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate
+        ) o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+        """,
+    ),
+)

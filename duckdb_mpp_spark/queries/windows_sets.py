@@ -1,0 +1,248 @@
+"""Window functions, grouping analytics (CUBE/ROLLUP/GROUPING SETS), set
+operations, distinct aggregates, pivot/unpivot — SURVEY §2.B inherited
+surface. Window frames are fully ordered by a unique key so both engines
+produce identical frames.
+"""
+
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.sources import load_table
+
+# Top-k per group via ROW_NUMBER (the canonical OLAP window pattern).
+register(
+    "window_topk_per_group",
+    Query(
+        """
+        SELECT l_suppkey, l_partkey, rev, rn
+        FROM (
+          SELECT l_suppkey, l_partkey, rev,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY rev DESC, l_partkey) AS rn
+          FROM (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+            FROM lineitem
+            GROUP BY l_suppkey, l_partkey
+          ) AS agg
+        ) AS ranked
+        WHERE rn <= 3
+        ORDER BY l_suppkey, rn
+        """
+    ),
+)
+
+# Running total with an explicit ROWS frame.
+register(
+    "window_running_total",
+    Query(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+        """
+    ),
+)
+
+# LAG/LEAD + rank family over a unique ordering.
+register(
+    "window_lag_rank",
+    Query(
+        spark="""
+        SELECT o_custkey, o_orderkey,
+               datediff(o_orderdate, lag(o_orderdate) OVER w) AS days_since_prev,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+               NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+        """,
+        oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_prev,
+               CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
+               CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+        """,
+    ),
+)
+
+# CUBE with GROUPING() null-disambiguation.
+register(
+    "agg_cube",
+    Query(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    ),
+)
+
+register(
+    "agg_rollup",
+    Query(
+        """
+        SELECT
+          CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+          CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS INT) AS g_yr,
+          CAST(GROUPING(EXTRACT(MONTH FROM o_orderdate)) AS INT) AS g_mo,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP(EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate))
+        ORDER BY g_yr, g_mo, yr, mo
+        """
+    ),
+)
+
+register(
+    "agg_grouping_sets",
+    Query(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """
+    ),
+)
+
+# Multiple DISTINCT aggregates in one SELECT (expand + partial agg in Spark).
+register(
+    "agg_multi_distinct",
+    Query(
+        """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_orderkey) AS distinct_orders,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    ),
+)
+
+# Set operations: INTERSECT / EXCEPT (distinct semantics in both engines).
+register(
+    "setop_intersect",
+    Query(
+        """
+        SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        ORDER BY o_custkey
+        """
+    ),
+)
+
+register(
+    "setop_except",
+    Query(
+        """
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders
+        ORDER BY c_custkey
+        """
+    ),
+)
+
+register(
+    "setop_union",
+    Query(
+        """
+        SELECT src, COUNT(*) AS n FROM (
+          SELECT 'cust' AS src, c_nationkey AS nk FROM customer
+          UNION ALL
+          SELECT 'supp' AS src, s_nationkey AS nk FROM supplier
+        ) AS u
+        GROUP BY src
+        ORDER BY src
+        """
+    ),
+)
+
+register(
+    "setop_union_distinct",
+    Query(
+        """
+        SELECT COUNT(*) AS distinct_nation_keys FROM (
+          SELECT c_nationkey AS nk FROM customer
+          UNION
+          SELECT s_nationkey AS nk FROM supplier
+        ) AS u
+        """
+    ),
+)
+
+
+# Pivot — Spark's native .pivot() DataFrame operator; oracle is the
+# equivalent conditional aggregation.
+def _pivot_spark(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")))
+        .select(
+            "l_returnflag",
+            F.col("O").cast("double").alias("qty_open"),
+            F.col("F").cast("double").alias("qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return out
+
+
+register(
+    "pivot_linestatus",
+    Query(
+        spark=_pivot_spark,
+        oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_open,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    ),
+)
+
+
+# Unpivot — Spark `stack`; oracle UNION ALL.
+register(
+    "unpivot_part_measures",
+    Query(
+        spark="""
+        SELECT p_partkey, measure, value FROM (
+          SELECT p_partkey,
+                 stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (measure, value)
+          FROM part
+        ) AS s
+        ORDER BY p_partkey, measure
+        """,
+        oracle="""
+        SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        ORDER BY p_partkey, measure
+        """,
+    ),
+)

@@ -1,0 +1,85 @@
+"""Parquet source layer for the driver's synthetic TPC-H-ish tables.
+
+Plain ``spark.read.parquet`` — Catalyst gives us column pruning and filter
+pushdown into the scan for free (reference needed 400 LoC of SQL-string
+generation for the same thing, ``src/function/mpp_table_scan.cpp``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — Spark has no native
+    nanosecond timestamp; we read them as raw int64 and truncate to
+    microseconds (identical to DuckDB's ns→us truncation, so oracle
+    comparisons agree)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer division keeps full precision (ns epoch overflows double)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register the fixture tables as temp views for the SQL surface.
+
+    Idempotent per (session, sf_dir): re-registering is cheap (metadata only)
+    but we skip it when the same sf_dir is already registered to keep query
+    helpers O(1).
+    """
+    key = "duckdb_mpp_spark.registered_sf_dir"
+    local = spark.conf.get(key, None) if _conf_readable(spark) else None
+    if local == sf_dir and names is None:
+        return
+    for name in names or TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if names is None:
+        try:
+            spark.conf.set(key, sf_dir)
+        except Exception:
+            pass
+
+
+def _conf_readable(spark: SparkSession) -> bool:
+    try:
+        spark.conf.get("spark.sql.session.timeZone")
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,154 @@
+"""DistributedTable — hash-bucketed parquet table, the Spark-native analog of
+the reference's distributed table (shards = bucket directories).
+
+Layout: ``<warehouse>/<name>_<oid>/__bucket=<i>/part-*.parquet``
+
+- Row routing: ``__bucket = pmod(hash(part_col), buckets)`` — the same single
+  source of truth the reference derives from ``CAST(hash(col) % buckets AS
+  USMALLINT)`` (``src/common/hash.cpp:39-48``). Spark's Murmur3 ``hash()`` ≠
+  DuckDB's hash — internally consistent is all that correctness requires
+  (SURVEY §2.A5); NULL hashes to a concrete bucket in both engines.
+- Scan: plain ``spark.read.parquet`` + Catalyst. Projection/filter pushdown
+  is built-in; bucket pruning is a derived constant-foldable predicate on the
+  ``__bucket`` partition directory column (see ``pruning.py``), which Spark's
+  file-index partition pruning turns into "read only k of n directories" —
+  the reference's scatter-gather scan (``src/function/mpp_table_scan.cpp``)
+  collapses to this.
+- Insert: one shuffle on the bucket id, then a partitioned append — Spark's
+  shuffle replaces the reference's ShuffleManager + gRPC pull loop
+  (``src/execution/mpp_physical_insert.cpp``) wholesale. Row count comes from
+  an ``Observation`` on the write job itself (no second pass over the data).
+
+Scale notes (100 TB): a bucket is a *directory*, not a file — writes can
+produce many files per bucket, so intra-bucket parallelism survives any data
+size; pruning cost is O(#buckets) metadata; inserts are a single hash
+shuffle, identical to what any Spark groupBy pays.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.catalog import MppCatalog, TableMeta
+from duckdb_mpp_spark.pruning import (
+    bucket_predicate_for_where,
+    evaluate_bucket_ids,
+)
+
+BUCKET_COL = "__bucket"
+
+
+class DistributedTable:
+    def __init__(self, spark: SparkSession, catalog: MppCatalog, meta: TableMeta):
+        self.spark = spark
+        self.catalog = catalog
+        self.meta = meta
+        self.path = catalog.table_path(meta)
+
+    # -- helpers ----------------------------------------------------------
+    @property
+    def _part_type_ddl(self) -> str:
+        return self.meta.schema[self.meta.partition_column].dataType.simpleString()
+
+    def _has_data(self) -> bool:
+        for _, _, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _empty_df(self, with_bucket: bool = False) -> DataFrame:
+        df = self.spark.createDataFrame([], self.meta.schema)
+        if with_bucket:
+            df = df.withColumn(BUCKET_COL, F.lit(None).cast("int"))
+        return df
+
+    def route(self, df: DataFrame) -> DataFrame:
+        """Append the bucket-id column (the reference's hash-partitioning
+        expression, src/common/hash.cpp:39-48, re-expressed in Catalyst)."""
+        n = self.meta.buckets
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.hash(F.col(self.meta.partition_column)), F.lit(n)).cast("int"),
+        )
+
+    # -- write path -------------------------------------------------------
+    def insert(self, df: DataFrame) -> int:
+        """Bucket-routed append; returns inserted row count (the reference's
+        single BIGINT result row, src/execution/mpp_physical_insert.cpp:215-221).
+        """
+        cols = [f.name for f in self.meta.schema.fields]
+        aligned = df.select(
+            *[
+                F.col(c).cast(self.meta.schema[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+        routed = self.route(aligned)
+        # One shuffle so each bucket directory is written by few tasks (no
+        # small-file explosion when every input task holds every bucket).
+        routed = routed.repartition(self.meta.buckets, BUCKET_COL)
+        obs = Observation()
+        routed = routed.observe(obs, F.count(F.lit(1)).alias("cnt"))
+        (
+            routed.write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
+        return int(obs.get["cnt"])
+
+    # -- read path --------------------------------------------------------
+    def scan(
+        self,
+        where: str | None = None,
+        columns: list[str] | None = None,
+        aliases: set[str] | None = None,
+        keep_bucket: bool = False,
+    ) -> DataFrame:
+        """Bucket-pruned scan. ``where`` is applied in full by Catalyst; the
+        derived ``__bucket`` predicate only narrows which directories the
+        file index lists (pruning is an optimization, never a filter)."""
+        if not self._has_data():
+            df = self._empty_df(with_bucket=keep_bucket)
+            if where:
+                df = df.where(where)
+            return df.select(*(columns or [f.name for f in self.meta.schema.fields]))
+        df = self.spark.read.parquet(self.path)
+        bucket_pred = bucket_predicate_for_where(
+            where, self.meta.partition_column, self._part_type_ddl,
+            self.meta.buckets, aliases,
+        )
+        if bucket_pred:
+            df = df.where(bucket_pred)
+        if where:
+            df = df.where(where)
+        out_cols = columns or [f.name for f in self.meta.schema.fields]
+        if keep_bucket:
+            out_cols = out_cols + [BUCKET_COL]
+        return df.select(*out_cols)
+
+    def pruned_bucket_ids(self, where: str | None, aliases: set[str] | None = None) -> list[int]:
+        bucket_pred = bucket_predicate_for_where(
+            where, self.meta.partition_column, self._part_type_ddl,
+            self.meta.buckets, aliases,
+        )
+        return evaluate_bucket_ids(self.spark, bucket_pred, self.meta.buckets)
+
+    def explain(self, where: str | None = None, aliases: set[str] | None = None) -> str:
+        """Reference-style explain: the custom scan annotations ``Table``,
+        ``Shards: k/n``, ``Filter`` (src/function/mpp_table_scan.cpp:373-380,
+        asserted by test/sql/mpp_filter.test:60-87) followed by the real
+        Spark physical plan."""
+        ids = self.pruned_bucket_ids(where, aliases)
+        lines = [
+            f"Table: {self.meta.name}",
+            f"Shards: {len(ids)}/{self.meta.buckets}",
+        ]
+        if where:
+            lines.append(f"Filter: {where}")
+        plan = self.scan(where=where, aliases=aliases)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        return "\n".join(lines) + "\n" + plan

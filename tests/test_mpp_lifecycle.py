@@ -1,0 +1,124 @@
+"""Port of the reference's test/sql/mpp.test (full lifecycle).
+
+Each block below cites the reference line range it reproduces. ATTACH /
+USE / DETACH plumbing becomes session + warehouse setup; node endpoints are
+registry entries only (Spark manages its own executors).
+"""
+
+import pytest
+
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def session(mpp):
+    # ATTACH ... (TYPE MPP, ENDPOINT ...) auto-registers the local node
+    # (src/storage/mpp_nodes.cpp:36-40); a second node joins via
+    # master_add_node (test/sql/mpp.test:31).
+    mpp.master_add_node("127.0.0.1", 23456)
+    return mpp
+
+
+def test_nodes_registry(session):
+    # test/sql/mpp.test:33-36
+    got = rows(session.sql("SELECT * FROM __mpp_system.nodes ORDER BY port"))
+    assert got == [("localhost", 0), ("127.0.0.1", 23456)]
+
+
+def test_add_duplicate_node_fails(session):
+    with pytest.raises(ValueError):
+        session.master_add_node("127.0.0.1", 23456)
+
+
+def test_remove_node_unimplemented(session):
+    # src/storage/mpp_nodes.cpp:83-85
+    with pytest.raises(NotImplementedError):
+        session.catalog.remove_node("127.0.0.1", 23456)
+
+
+def test_lifecycle(session):
+    # CREATE (test/sql/mpp.test:39) + metadata rows (:42-52)
+    session.sql("CREATE TABLE t1(c0 INT, c1 DOUBLE) PARTITION BY (c0) WITH BUCKETS 4")
+    t = rows(session.sql("SELECT * FROM __mpp_system.tables"))
+    assert len(t) == 1
+    oid, pidx, buckets, deleted = t[0]
+    assert (pidx, buckets, deleted) == (0, 4, False)
+
+    shard_counts = rows(
+        session.sql(
+            "SELECT node, count(shard_id) AS n FROM __mpp_system.shards "
+            "GROUP BY node ORDER BY node"
+        )
+    )
+    # 4 shards round-robin over 2 nodes (test/sql/mpp.test:47-52)
+    assert sorted(n for _, n in shard_counts) == [2, 2]
+    assert sum(n for _, n in shard_counts) == 4
+
+    # INSERT (:54-58) — counts are the reference's BIGINT result row
+    assert session.sql("INSERT INTO t1 VALUES(1, 0.1),(2, 0.2),(3, 0.3), (4, 0.4)") == 4
+    assert session.sql("INSERT INTO t1 VALUES(5, 0.5),(6, 0.6),(7, 0.7), (8, 0.8)") == 4
+
+    # full scan (:60-74)
+    got = rows(session.sql("SELECT c0, c1 FROM t1 ORDER BY c0"))
+    assert got == [(i, i / 10) for i in range(1, 9)]
+
+    # filters on the partition column (:76-112)
+    assert rows(session.sql("SELECT c0, c1 FROM t1 WHERE c0=3")) == [(3, 0.3)]
+    got = rows(session.sql("SELECT c0, c1 FROM t1 WHERE c0 != 3 ORDER BY c0"))
+    assert got == [(i, i / 10) for i in [1, 2, 4, 5, 6, 7, 8]]
+    got = rows(session.sql("SELECT c0, c1 FROM t1 WHERE c0=3 OR c0=7 ORDER BY c0"))
+    assert got == [(3, 0.3), (7, 0.7)]
+    got = rows(session.sql("SELECT c0, c1 FROM t1 WHERE c0 IN (1, 3, 5, 7, 9, 11) ORDER BY c0"))
+    assert got == [(1, 0.1), (3, 0.3), (5, 0.5), (7, 0.7)]
+    got = rows(session.sql("SELECT c0, c1 FROM t1 WHERE c0 NOT IN (1, 3, 5, 7, 9, 11) ORDER BY c0"))
+    assert got == [(2, 0.2), (4, 0.4), (6, 0.6), (8, 0.8)]
+
+    # NULL partition value hashes to a concrete bucket (:114-129)
+    assert session.sql("INSERT INTO t1 VALUES(NULL, 1.1)") == 1
+    assert rows(session.sql("SELECT c0, c1 FROM t1 WHERE c0 IS NULL")) == [(None, 1.1)]
+    got = rows(session.sql("SELECT c0, c1 FROM t1 WHERE c0 IS NOT NULL ORDER BY c0"))
+    assert got == [(i, i / 10) for i in range(1, 9)]
+
+    # filter on non-partition column (:131-139)
+    assert session.sql("INSERT INTO t1 VALUES(100, 100), (101, 100), (102, 100)") == 3
+    got = rows(session.sql("SELECT c0, c1 FROM t1 WHERE c1=100.0 ORDER BY c0"))
+    assert got == [(100, 100.0), (101, 100.0), (102, 100.0)]
+
+    # NULLs in non-partition column (:141-149)
+    assert session.sql("INSERT INTO t1 VALUES(200, NULL), (201, NULL), (202, NULL)") == 3
+    got = rows(session.sql("SELECT c0, c1 FROM t1 WHERE c1 IS NULL ORDER BY c0"))
+    assert got == [(200, None), (201, None), (202, None)]
+
+    # aliases + expression filters (:151-157)
+    got = rows(
+        session.sql(
+            "SELECT c0 as x, c1 as y FROM t1 WHERE x % 2 = 0 and y > 0.4 ORDER BY x"
+        )
+    )
+    assert got == [(6, 0.6), (8, 0.8), (100, 100.0), (102, 100.0)]
+
+    # DROP + tombstone (:159-171)
+    session.sql("DROP TABLE t1")
+    t = rows(session.sql("SELECT * FROM __mpp_system.tables"))
+    assert t == [(oid, 0, 4, True)]
+
+
+def test_create_validations(session):
+    with pytest.raises(ValueError, match="does not exist"):
+        session.sql("CREATE TABLE bad(c0 INT) PARTITION BY (nope) WITH BUCKETS 4")
+    session.sql("CREATE TABLE dup(c0 INT) PARTITION BY (c0) WITH BUCKETS 4")
+    with pytest.raises(ValueError, match="already exists"):
+        session.sql("CREATE TABLE dup(c0 INT) PARTITION BY (c0) WITH BUCKETS 4")
+
+
+def test_not_implemented_parity(session):
+    """Errors the reference also raises (SURVEY §2 'NotImplemented' list)."""
+    session.sql("CREATE TABLE p(c0 INT) PARTITION BY (c0) WITH BUCKETS 2")
+    with pytest.raises(NotImplementedError):
+        session.sql("INSERT INTO p VALUES (1) RETURNING c0")
+    with pytest.raises(NotImplementedError):
+        session.sql("INSERT INTO p VALUES (1) ON CONFLICT DO NOTHING")
+    with pytest.raises(NotImplementedError):
+        session.sql("CREATE TABLE q AS SELECT 1")
+    with pytest.raises(NotImplementedError):
+        session.sql("ALTER TABLE p ADD COLUMN c1 INT")
