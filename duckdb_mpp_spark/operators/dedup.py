@@ -1,1 +1,374 @@
-"""Placeholder — populated in the pipeline-operators milestone."""
+"""Deduplication operators: exact (hash-groupBy), MinHash + LSH banding,
+SimHash, and n-gram Jaccard verification — the standard large-corpus dedup
+stack, built Spark-first:
+
+- shingling / minhashing are pure expressions (whole-stage codegen);
+- the only shuffles are the groupBy on (doc, seed) for signature mins and
+  the band-bucket self-join — exactly the shuffles the algorithm requires;
+- the LSH band join is an equi-join on (band, band_key), so Catalyst
+  shuffle-hash/sort-merge partitions candidates by bucket: no all-pairs
+  comparison ever materializes. At 100 TB the band join's fan-out is
+  bounded by bucket sizes, the textbook LSH property.
+
+Cross-engine determinism: the hash family is ``md5(seed || ':' || shingle)``
+compared as lowercase hex strings — identical in Spark and DuckDB, so
+signatures, candidate pairs, and Jaccard scores hash-match the oracle
+exactly (Spark's ``hash()`` is Murmur3 and would NOT match DuckDB;
+md5 is the portable choice, SURVEY §2.A5 hash-identity note).
+
+Defaults: 3-word shingles, k=12 minhashes, 4 bands × 3 rows.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.operators.text import tokens
+from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.sources import load_table
+
+K_MINHASH = 12
+ROWS_PER_BAND = 3
+N_BANDS = K_MINHASH // ROWS_PER_BAND
+SHINGLE_WORDS = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per input with its duplicate-group
+    size and whether it is the kept representative (min id)."""
+    h = F.md5(F.col(text_col))
+    groups = (
+        df.select(h.alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.count("*").alias("group_size"), F.min(id_col).alias("keeper"))
+    )
+    return (
+        df.withColumn("h", h)
+        .join(groups, "h")
+        .select(
+            id_col,
+            "group_size",
+            (F.col(id_col) == F.col("keeper")).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Word k-gram shingles, exploded to (id, shingle)."""
+    ws = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_WORDS - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(ws, i, SHINGLE_WORDS), " "),
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("sh"))
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """LSH band signatures: (id, band, band_key). band_key is the
+    concatenation of ``ROWS_PER_BAND`` consecutive minhashes."""
+    sh = shingles(df, id_col, text_col)
+    seeded = sh.select(
+        id_col, "sh", F.explode(F.sequence(F.lit(0), F.lit(K_MINHASH - 1))).alias("seed")
+    )
+    mh = seeded.groupBy(id_col, "seed").agg(
+        F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))).alias("mh")
+    )
+    return (
+        mh.groupBy(id_col, (F.col("seed") / ROWS_PER_BAND).cast("int").alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing at least one band bucket."""
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_key")
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("band_key")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
+    Set semantics: distinct shingles per doc; integer intersection/union
+    counts so the division is engine-identical."""
+    dsh = sh.distinct()
+    sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        dsh.select(F.col(id_col).alias("doc_a"), "sh")
+        .join(dsh.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
+        .join(pairs, ["doc_a", "doc_b"])  # restrict to candidates only
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash (32-bit, md5-hex-digit arithmetic — portable to the oracle)
+# ---------------------------------------------------------------------------
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over whitespace tokens (with multiplicity).
+
+    bit_j(token) = bit (j mod 4) of hex digit (j div 4) of md5(token);
+    fingerprint bit j is set when sum over tokens of (2*bit - 1) > 0.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    bits = toks.select(
+        id_col,
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+    )
+    hexdigit = F.expr("instr('0123456789abcdef', substring(md5(tok), CAST(j / 4 AS INT) + 1, 1)) - 1")
+    p = F.expr("element_at(array(1, 2, 4, 8), (j % 4) + 1)")
+    bit = (F.floor(hexdigit / p) % 2).cast("int")
+    contrib = bits.select(id_col, "j", (bit * 2 - 1).alias("c"))
+    return (
+        contrib.groupBy(id_col, "j")
+        .agg(F.sum("c").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(round(pow(2, j), 0) AS BIGINT)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded by the top-16 bits
+    (the scale path: candidate pairs must share a 16-bit prefix, so the join
+    is an equi-join on the band, never an all-pairs cross)."""
+    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    a = a.withColumn("prefix", F.expr("CAST(sim_a / 65536 AS BIGINT)"))
+    b = b.withColumn("prefix", F.expr("CAST(sim_b / 65536 AS BIGINT)"))
+    return (
+        a.join(b, "prefix")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT)) AS INT)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gate queries + oracles
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = "list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')"
+
+_DUCK_SHINGLES = f"""
+  words AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),
+  shingles AS (
+    SELECT doc_id, array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' ') AS sh
+    FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - {SHINGLE_WORDS - 1}, 1) + 1)) AS i) t
+  )"""
+
+_DUCK_BANDS = f"""
+  WITH {_DUCK_SHINGLES},
+  mh AS (
+    SELECT doc_id, s.i AS seed, min(md5(CAST(s.i AS VARCHAR) || ':' || sh)) AS mh
+    FROM shingles, (SELECT unnest(range({K_MINHASH})) AS i) s
+    GROUP BY doc_id, s.i
+  ),
+  bands AS (
+    SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band,
+           string_agg(mh, ',' ORDER BY seed) AS band_key
+    FROM mh GROUP BY doc_id, 2
+  )"""
+
+
+def _register():
+    def exact_fn(spark, sf_dir):
+        return exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+    register(
+        "dedup_exact",
+        Query(
+            spark=exact_fn,
+            oracle="""
+            SELECT d.doc_id, g.group_size, d.doc_id = g.keeper AS kept
+            FROM documents d
+            JOIN (SELECT md5(text) AS h, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+                  FROM documents GROUP BY 1) g
+              ON md5(d.text) = g.h
+            ORDER BY d.doc_id
+            """,
+        ),
+    )
+
+    def bands_fn(spark, sf_dir):
+        return minhash_bands(load_table(spark, sf_dir, "documents")).orderBy("doc_id", "band")
+
+    register(
+        "dedup_minhash_signatures",
+        Query(
+            spark=bands_fn,
+            oracle=_DUCK_BANDS + "\nSELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band",
+        ),
+    )
+
+    def pairs_fn(spark, sf_dir):
+        bands = minhash_bands(load_table(spark, sf_dir, "documents"))
+        return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
+
+    register(
+        "dedup_minhash_lsh_pairs",
+        Query(
+            spark=pairs_fn,
+            oracle=_DUCK_BANDS
+            + """
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+            """,
+        ),
+    )
+
+    def jaccard_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingles(docs)
+        pairs = lsh_candidate_pairs(minhash_bands(docs))
+        return (
+            jaccard_verify(sh, pairs)
+            .where(F.col("jaccard") >= 0.5)
+            .orderBy("doc_a", "doc_b")
+        )
+
+    register(
+        "dedup_ngram_jaccard",
+        Query(
+            spark=jaccard_fn,
+            oracle=_DUCK_BANDS
+            + """,
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+              FROM pairs p
+              JOIN dsh a ON a.doc_id = p.doc_a
+              JOIN dsh b ON b.doc_id = p.doc_b AND a.sh = b.sh
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+            ORDER BY doc_a, doc_b
+            """,
+        ),
+    )
+
+    def simhash_fn(spark, sf_dir):
+        return simhash32(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+    register(
+        "dedup_simhash",
+        Query(
+            spark=simhash_fn,
+            oracle=f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+            ),
+            bits AS (
+              SELECT doc_id, t.tok, j.j,
+                     CAST(floor((strpos('0123456789abcdef',
+                                        substring(md5(t.tok), CAST(j.j // 4 AS INT) + 1, 1)) - 1)
+                                / ([1, 2, 4, 8][(j.j % 4) + 1])) AS INT) % 2 AS bit
+              FROM toks t, (SELECT unnest(range(32)) AS j) j
+            ),
+            sums AS (
+              SELECT doc_id, j, SUM(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN CAST(round(pow(2, j), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY doc_id ORDER BY doc_id
+            """,
+        ),
+    )
+
+    def simhash_pairs_fn(spark, sf_dir):
+        sim = simhash32(load_table(spark, sf_dir, "documents"))
+        return simhash_neighbor_pairs(sim).orderBy("doc_a", "doc_b")
+
+    register(
+        "dedup_simhash_pairs",
+        Query(
+            spark=simhash_pairs_fn,
+            oracle=f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+            ),
+            bits AS (
+              SELECT doc_id, t.tok, j.j,
+                     CAST(floor((strpos('0123456789abcdef',
+                                        substring(md5(t.tok), CAST(j.j // 4 AS INT) + 1, 1)) - 1)
+                                / ([1, 2, 4, 8][(j.j % 4) + 1])) AS INT) % 2 AS bit
+              FROM toks t, (SELECT unnest(range(32)) AS j) j
+            ),
+            sums AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+            sim AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0 THEN CAST(round(pow(2, j), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+              FROM sums GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sim a JOIN sim b
+              ON CAST(a.simhash // 65536 AS BIGINT) = CAST(b.simhash // 65536 AS BIGINT)
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+            ORDER BY doc_a, doc_b
+            """,
+        ),
+    )
+
+
+_register()

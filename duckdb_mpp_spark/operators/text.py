@@ -1,1 +1,249 @@
-"""Placeholder — populated in the pipeline-operators milestone."""
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID (stopword-ratio heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (min-hash over
+character shingles).
+
+Beyond the reference's surface (it has no text ops) — designed as
+first-class engine operators per the north-star brief. Everything is
+expression-level (whole-stage codegen, no UDFs, no shuffles except the final
+aggregates), so each operator is a single scan at any scale.
+
+Cross-engine determinism: token counts and ratios are integer arithmetic +
+one IEEE double division; fingerprints are md5 hex strings (identical
+lowercase hex in Spark and DuckDB) — results hash-match the DuckDB oracle
+exactly.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.sources import load_table
+
+# marker-word lists per language (checked in this order for ties)
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "von", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "une", "dans"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties dropped (split on the literal
+    space — the corpus is single-spaced; regex-free keeps both engines
+    byte-identical)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), " "), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column | str, lang: str) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS[lang])))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def language_id(col: Column | str) -> Column:
+    """argmax over per-language stopword ratios; deterministic preference
+    order (alphabetical) on ties; 'und' when no marker word hits."""
+    ratios = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+    expr = F.lit("und")
+    # build CASE from last preference to first so earlier langs win ties
+    for lang in reversed(sorted(STOPWORDS)):
+        r = ratios[lang]
+        cond = (r > 0) & F.expr("true")
+        for other in sorted(STOPWORDS):
+            if other != lang:
+                cond = cond & (r >= ratios[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / case features + composite score."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_toks = F.size(toks)
+    sum_tok_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    upper = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    stop = stopword_ratio(text_col, "en")
+    out = df.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars_calc"),
+        n_toks.alias("n_tokens"),
+        (sum_tok_len.cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")).alias(
+            "avg_token_len"
+        ),
+        (punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (upper.cast("double") / n_chars.cast("double")).alias("upper_ratio"),
+        stop.alias("stopword_ratio"),
+    )
+    score = (
+        0.4 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0)))
+        + 0.1 * (1.0 - F.least(F.col("upper_ratio") * 10.0, F.lit(1.0)))
+    )
+    return out.withColumn("quality_score", score)
+
+
+def char_fingerprint(col: Column | str, k: int = 5) -> Column:
+    """Document fingerprint: min md5 over character k-gram shingles — the
+    array-expression form of a rolling-hash fingerprint (no explode, no
+    shuffle; one expression per row)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(c.substr(i, F.lit(k))))
+    return F.array_min(grams)
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# gate queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _dedent(s: str) -> str:
+    return s
+
+
+def _duck_tokens(expr: str = "text") -> str:
+    return f"list_filter(string_split(lower(trim({expr})), ' '), x -> x <> '')"
+
+
+def _duck_stop_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(ws, x -> x IN ({lst})))"
+
+
+def _register_token_stats():
+    def spark_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            bpe_token_estimate("text").cast("bigint").alias("bpe_tokens"),
+            F.length("text").cast("int").alias("len_chars"),
+        ).orderBy("doc_id")
+
+    oracle = f"""
+        SELECT doc_id,
+               CAST(len({_duck_tokens()}) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+               CAST(length(text) AS INT) AS len_chars
+        FROM documents ORDER BY doc_id
+        """
+    register("text_token_stats", Query(spark=spark_fn, oracle=oracle))
+
+
+def _register_quality():
+    def spark_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return quality_features(docs).orderBy("doc_id")
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    oracle = f"""
+        WITH toks AS (
+          SELECT doc_id, text, {_duck_tokens()} AS ws FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars_calc,
+               CAST(len(ws) AS INT) AS n_tokens,
+               CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                 / greatest(len(ws), 1) AS avg_token_len,
+               CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                 / length(text) AS upper_ratio,
+               CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
+                 / greatest(len(ws), 1) AS stopword_ratio,
+               0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
+                           / greatest(len(ws), 1) * 5.0, 1.0)
+             + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
+             + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
+               AS quality_score
+        FROM toks ORDER BY doc_id
+        """
+    register("text_quality_score", Query(spark=spark_fn, oracle=oracle))
+
+
+def _register_langid():
+    def spark_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        per_doc = docs.select("doc_id", language_id("text").alias("predicted_lang"))
+        return per_doc.groupBy("predicted_lang").agg(
+            F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+        ).orderBy("predicted_lang")
+
+    ratio_exprs = ",\n               ".join(
+        f"CAST({_duck_stop_hits(lang)} AS DOUBLE) / greatest(len(ws), 1) AS r_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    langs = sorted(STOPWORDS)
+    case = "CASE "
+    for lang in langs:
+        others = " AND ".join(f"r_{lang} >= r_{o}" for o in langs if o != lang)
+        case += f"WHEN r_{lang} > 0 AND {others} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    oracle = f"""
+        WITH toks AS (SELECT doc_id, {_duck_tokens()} AS ws FROM documents),
+        ratios AS (
+          SELECT doc_id,
+               {ratio_exprs}
+          FROM toks
+        )
+        SELECT {case} AS predicted_lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM ratios GROUP BY 1 ORDER BY 1
+        """
+    register("text_language_id", Query(spark=spark_fn, oracle=oracle))
+
+
+def _register_fingerprint():
+    def spark_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        fp = docs.select("doc_id", char_fingerprint("text").alias("fingerprint"))
+        groups = fp.groupBy("fingerprint").agg(
+            F.count("*").alias("group_size"), F.min("doc_id").alias("keeper")
+        )
+        return (
+            fp.join(groups, "fingerprint")
+            .select("doc_id", "fingerprint", "group_size", "keeper")
+            .orderBy("doc_id")
+        )
+
+    oracle = """
+        WITH fp AS (
+          SELECT doc_id,
+                 list_aggregate(
+                   list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                  i -> md5(substring(text, i, 5))), 'min') AS fingerprint
+          FROM documents
+        ),
+        groups AS (
+          SELECT fingerprint, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+          FROM fp GROUP BY 1
+        )
+        SELECT doc_id, fp.fingerprint, group_size, keeper
+        FROM fp JOIN groups ON fp.fingerprint = groups.fingerprint
+        ORDER BY doc_id
+        """
+    register("text_fingerprint", Query(spark=spark_fn, oracle=oracle))
+
+
+_register_token_stats()
+_register_quality()
+_register_langid()
+_register_fingerprint()

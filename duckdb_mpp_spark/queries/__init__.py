@@ -85,3 +85,4 @@ from duckdb_mpp_spark.queries import windows_sets  # noqa: E402,F401
 from duckdb_mpp_spark.queries import events  # noqa: E402,F401
 from duckdb_mpp_spark.queries import mpp_layer  # noqa: E402,F401
 from duckdb_mpp_spark.queries import pipeline  # noqa: E402,F401
+from duckdb_mpp_spark.queries import streaming_queries  # noqa: E402,F401

@@ -1,0 +1,127 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (SURVEY §2.B: "Streaming / watermarks / UDFs:
+None") — this is north-star extension work, built on the idiomatic stack:
+``readStream`` file source → watermark → windowed/session aggregation →
+sink. Batch/stream parity is the correctness contract: every streaming
+aggregation here has a batch twin, and tests assert they produce identical
+results over the same files (the Dataset-is-a-table model makes that a real
+invariant, not a coincidence).
+
+Scale notes: file-source streaming shards input files across executors per
+micro-batch; watermark state lives in the state store partitioned by group
+key — the same hash-partitioning story as any agg shuffle. ``availableNow``
+processes a backlog with bounded batches (the catch-up pattern for 100 TB
+replays).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_mpp_spark.sources import load_table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns int64 in the fixture parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (file source). The ns-int64
+    timestamp is converted exactly like the batch reader (truncate to µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped; state is evicted — bounded memory forever)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation over the full backlog synchronously
+    (availableNow) into a memory sink; returns the result as a DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: the windowed agg computed BY THE STREAMING RUNTIME
+    (readStream → watermark → window → memory sink), returned as a bounded
+    result. Oracle: plain date_trunc aggregation — stream/batch parity."""
+    agg = windowed_counts(stream_events(spark, sf_dir))
+    return run_stream_to_memory(agg).select(
+        F.col("hour_start").cast("timestamp"), "event_type", "n_events", "total_value"
+    )
+
+
+def batch_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming_hourly_agg`` (same plan shape, bounded)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )

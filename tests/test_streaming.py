@@ -1,0 +1,70 @@
+"""Structured Streaming: stream/batch parity + session windows + late-data
+watermark semantics."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark import streaming as S
+
+SF_DIR = os.environ.get("MPP_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_batch_parity_windowed(spark):
+    got = S.streaming_hourly_agg(spark, SF_DIR)
+    want = S.batch_hourly_agg(spark, SF_DIR)
+    cols = ["hour_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_session_windows_match_batch_sessionization(spark):
+    sess = S.run_stream_to_memory(S.session_windows(S.stream_events(spark, SF_DIR)))
+    stream_counts = (
+        sess.groupBy("user_id").agg(F.count("*").alias("n_sessions")).collect()
+    )
+    stream_map = {r.user_id: r.n_sessions for r in stream_counts}
+
+    # batch twin: lag-gap sessionization (same 30-min gap rule)
+    from duckdb_mpp_spark.queries import run_spark_query
+
+    batch = run_spark_query("events_sessionization", spark, SF_DIR).collect()
+    batch_map = {r.user_id: r.n_sessions for r in batch}
+    assert stream_map == batch_map
+
+
+def test_watermark_drops_late_data(spark):
+    """Feed two files: current data, then an event older than the watermark
+    horizon — the late row must not appear in appended results."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="late_")
+    try:
+        base = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+            "event_id long, ts_s string",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        base.write.mode("overwrite").parquet(os.path.join(d, "batch1"))
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .parquet(os.path.join(d, "batch1"))
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        out = S.run_stream_to_memory(agg, mode="append")
+        # append mode emits only windows the watermark has closed: with max
+        # event 12:00 and 30min delay, the 10:00 window is final, 12:00 not.
+        got = {(str(r.ws), r.n) for r in out.collect()}
+        assert ("2024-01-01 10:00:00", 1) in got
+        assert all(not ws.startswith("2024-01-01 12") for ws, _ in got)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
