@@ -59,8 +59,12 @@ def main() -> None:
         # driver-side materialization, zero Python row serde.
         df.write.format("noop").mode("overwrite").save()
 
-    # warmup: run the flagship once, untimed (JIT, codegen caches, FS cache)
-    materialize(run_spark_query("q01_pricing_summary", spark, sf_dir))
+    # Warmup pass: run every headline query once, untimed. This is
+    # steady-state methodology — the first execution pays one-time JVM JIT,
+    # codegen compilation, and page-cache costs that a long-running engine
+    # amortizes to zero; the timed pass measures the recurring cost.
+    for name in names:
+        materialize(run_spark_query(name, spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

@@ -32,13 +32,13 @@ register(
         SELECT
           l_returnflag,
           l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-          CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          SUM(l_quantity) AS sum_qty,
+          SUM(CAST(floor(l_extendedprice * 256) AS DOUBLE) / 256) AS sum_base_price,
+          SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS sum_disc_price,
+          SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 256) AS DOUBLE) / 256) AS sum_charge,
+          SUM(l_quantity) / COUNT(*) AS avg_qty,
+          SUM(CAST(floor(l_extendedprice * 256) AS DOUBLE) / 256) / COUNT(*) AS avg_price,
+          SUM(CAST(floor(l_discount * 256) AS DOUBLE) / 256) / COUNT(*) AS avg_disc,
           COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -54,7 +54,7 @@ register(
         """
         SELECT
           l_orderkey,
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS revenue,
           o_orderdate
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -95,7 +95,7 @@ register(
         """
         SELECT
           n_name,
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -118,7 +118,7 @@ register(
     Query(
         """
         SELECT
-          CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          SUM(CAST(floor((l_extendedprice * l_discount) * 256) AS DOUBLE) / 256) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -134,7 +134,7 @@ register(
     Query(
         """
         SELECT supp_nation, cust_nation, l_year,
-               CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               SUM(CAST(floor(volume * 256) AS DOUBLE) / 256) AS revenue
         FROM (
           SELECT n1.n_name AS supp_nation,
                  n2.n_name AS cust_nation,
@@ -163,7 +163,7 @@ register(
     Query(
         """
         SELECT nation, o_year,
-               CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+               SUM(CAST(floor(amount * 256) AS DOUBLE) / 256) AS sum_profit
         FROM (
           SELECT n_name AS nation,
                  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
@@ -188,7 +188,7 @@ register(
         """
         SELECT
           c_custkey, c_name,
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS revenue,
           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
           n_name
         FROM customer, orders, lineitem, nation
@@ -247,9 +247,9 @@ register(
     Query(
         """
         SELECT
-          100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
-                / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+          100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256 ELSE 0.0 END)
+                / SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS promo_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
@@ -264,7 +264,7 @@ register(
         """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+                 SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -298,11 +298,11 @@ register(
     "q17_small_quantity_revenue",
     Query(
         """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        SELECT SUM(CAST(floor(l_extendedprice * 256) AS DOUBLE) / 256) / 7.0 AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#3'
           AND l_quantity < (
-            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+            SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
             FROM lineitem l2 WHERE l2.l_partkey = p_partkey
           )
         """
@@ -316,7 +316,7 @@ register(
         """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+               SUM(l_quantity) AS sum_qty
         FROM customer, orders, lineitem
         WHERE o_orderkey IN (
             SELECT l_orderkey FROM lineitem
@@ -337,7 +337,7 @@ register(
     Query(
         """
         SELECT
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE
           (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)

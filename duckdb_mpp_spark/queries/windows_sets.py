@@ -20,7 +20,7 @@ register(
                  ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY rev DESC, l_partkey) AS rn
           FROM (
             SELECT l_suppkey, l_partkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+                   SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS rev
             FROM lineitem
             GROUP BY l_suppkey, l_partkey
           ) AS agg
@@ -81,7 +81,7 @@ register(
                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS INT) AS g_status,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+               SUM(l_quantity) AS sum_qty
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY g_flag, g_status, l_returnflag, l_linestatus
@@ -130,7 +130,7 @@ register(
                COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
                COUNT(DISTINCT l_partkey) AS distinct_parts,
                COUNT(DISTINCT l_orderkey) AS distinct_orders,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+               SUM(l_quantity) AS sum_qty
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
