@@ -499,3 +499,142 @@ register(
         """
     ),
 )
+
+# TPC-H Q2 shape: multi-join + correlated scalar-subquery MIN (the fixture
+# has no partsupp, so "supply cost" is unit price l_extendedprice/l_quantity
+# observed in lineitem; same correlated-min-per-part-within-region shape).
+register(
+    "q02_min_cost_supplier",
+    Query(
+        """
+        SELECT DISTINCT
+          CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+          p_partkey, p_type, s_suppkey
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND p_size = 15
+          AND l_extendedprice / l_quantity = (
+            SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    ),
+)
+
+# TPC-H Q8: national market share — conditional/total ratio of two exact
+# (quantized) sums inside one aggregation over an 8-relation join.
+register(
+    "q08_market_share",
+    Query(
+        """
+        SELECT o_year,
+          SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END)
+            / SUM(volume) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256 AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+            AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            AND p_type = 'ECONOMY'
+        ) AS all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    ),
+)
+
+# TPC-H Q11 shape: GROUP BY + HAVING against a scalar subquery computing a
+# fraction of the global aggregate (no partsupp → per-part lineitem value
+# restricted to a two-nation supplier group).
+register(
+    "q11_important_stock",
+    Query(
+        """
+        SELECT l_partkey AS ps_partkey,
+               SUM(CAST(floor(l_extendedprice * 256) AS DOUBLE) / 256) AS value
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name IN ('NATION_7', 'NATION_2')
+        GROUP BY l_partkey
+        HAVING SUM(CAST(floor(l_extendedprice * 256) AS DOUBLE) / 256) > (
+          SELECT SUM(CAST(floor(l2.l_extendedprice * 256) AS DOUBLE) / 256) * 0.001
+          FROM lineitem l2, supplier s2, nation n2
+          WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_name IN ('NATION_7', 'NATION_2')
+        )
+        ORDER BY value DESC, ps_partkey
+        """
+    ),
+)
+
+# TPC-H Q20 shape: IN over a derived aggregate with a correlated
+# half-of-total threshold subquery (supplier shipped >50% of a part's 1997
+# volume; partsupp availqty replaced by shipped-quantity share).
+register(
+    "q20_potential_promotion",
+    Query(
+        """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey
+          AND s_suppkey IN (
+            SELECT sp.l_suppkey FROM (
+              SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty97
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+            ) AS sp
+            JOIN part ON sp.l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND sp.qty97 > 0.5 * (
+                SELECT SUM(l3.l_quantity) FROM lineitem l3
+                WHERE l3.l_partkey = sp.l_partkey
+                  AND l3.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l3.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              )
+          )
+        ORDER BY s_suppkey
+        """
+    ),
+)
+
+# TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on lineitem (multi-supplier
+# orders where exactly this supplier's line was returned; returnflag stands
+# in for the fixture's missing receipt/commit dates).
+register(
+    "q21_suppliers_kept_waiting",
+    Query(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+          AND s_nationkey = n_nationkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
+    ),
+)
