@@ -638,3 +638,80 @@ register(
         """
     ),
 )
+
+# String/regex function surface (SURVEY §2.B scalar library). Spark and
+# DuckDB diverge on split/array helpers, so the oracle text differs there
+# (array_join/size vs array_to_string/len); everything else is shared.
+_STRING_SURFACE_COMMON = """
+SELECT p_partkey,
+  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+  position(' ' IN p_name) AS space_pos,
+  {joined} AS words_joined,
+  {nwords} AS n_words,
+  lpad(CAST(p_partkey AS STRING), 8, '0') AS padded_key,
+  reverse(p_brand) AS brand_rev,
+  repeat(substr(p_type, 1, 2), 2) AS type2,
+  CASE WHEN p_name ILIKE '%WIDGET%' THEN 1 ELSE 0 END AS is_widget,
+  translate(p_brand, '#', '-') AS brand_tr,
+  left(p_type, 3) AS type_l3,
+  right(p_name, 4) AS name_r4,
+  contains(p_name, 'bolt') AS has_bolt,
+  {startswith} AS is_st,
+  {endswith} AS ends_gear
+FROM part
+ORDER BY p_partkey
+LIMIT 500
+"""
+register(
+    "string_regex_surface",
+    Query(
+        spark=_STRING_SURFACE_COMMON.format(
+            joined="array_join(split(p_name, ' '), '|')",
+            nwords="size(split(p_name, ' '))",
+            startswith="startswith(p_type, 'ST')",
+            endswith="endswith(p_name, 'gear')",
+        ),
+        oracle=_STRING_SURFACE_COMMON.format(
+            joined="array_to_string(string_split(p_name, ' '), '|')",
+            nwords="len(string_split(p_name, ' '))",
+            startswith="starts_with(p_type, 'ST')",
+            endswith="ends_with(p_name, 'gear')",
+        ),
+    ),
+)
+
+# Array/struct surface over the embeddings table (array<float> column).
+# Spark arrays are 0-indexed, DuckDB lists 1-indexed; element-wise sums are
+# sequential in array order on both engines (aggregate vs list_sum after an
+# exact float→double widening per element).
+register(
+    "array_struct_surface",
+    Query(
+        spark="""
+        SELECT vec_id, label,
+          size(embedding) AS dim,
+          CAST(embedding[0] AS DOUBLE) AS e_first,
+          CAST(embedding[size(embedding) - 1] AS DOUBLE) AS e_last,
+          aggregate(embedding, CAST(0.0 AS DOUBLE),
+                    (acc, x) -> acc + CAST(x AS DOUBLE)) AS e_sum,
+          array_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero,
+          named_struct('id', vec_id, 'lab', label).lab AS lab_via_struct
+        FROM embeddings
+        ORDER BY vec_id
+        LIMIT 500
+        """,
+        oracle="""
+        SELECT vec_id, label,
+          len(embedding) AS dim,
+          CAST(embedding[1] AS DOUBLE) AS e_first,
+          CAST(embedding[len(embedding)] AS DOUBLE) AS e_last,
+          list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e_sum,
+          list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero,
+          struct_pack(id := vec_id, lab := label).lab AS lab_via_struct
+        FROM embeddings
+        ORDER BY vec_id
+        LIMIT 500
+        """,
+    ),
+)

@@ -19,3 +19,63 @@ register(
         """,
     ),
 )
+
+from duckdb_mpp_spark.streaming import (  # noqa: E402
+    streaming_dedup_distinct,
+    streaming_session_windows,
+    streaming_static_join_agg,
+)
+
+register(
+    "streaming_session_windows",
+    Query(
+        spark=streaming_session_windows,
+        oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS sid
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+        """,
+    ),
+)
+
+register(
+    "streaming_dedup_distinct",
+    Query(
+        spark=streaming_dedup_distinct,
+        oracle="""
+        SELECT event_type, COUNT(*) AS n_pairs
+        FROM (SELECT DISTINCT user_id, event_type FROM events) AS d
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    ),
+)
+
+register(
+    "streaming_static_join_agg",
+    Query(
+        spark=streaming_static_join_agg,
+        oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+    ),
+)

@@ -246,3 +246,80 @@ register(
         """,
     ),
 )
+
+
+# Window-function frame surface: ntile / percent_rank / cume_dist /
+# first_value / last_value / nth_value over explicit ROWS and RANGE frames
+# (SURVEY §2.B window functions — DuckDB surface the reference inherits).
+# Built over orders (o_orderkey is unique → total order, so every
+# order-dependent frame is deterministic); percent_rank/cume_dist are exact
+# rationals k/n and the frame sums use quantized inputs → exact.
+register(
+    "window_frame_surface",
+    Query(
+        """
+        SELECT
+          o_orderkey, o_orderstatus,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume,
+          first_value(o_orderkey) OVER w AS first_key,
+          last_value(o_orderkey) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          ) AS last_key,
+          nth_value(o_orderkey, 2) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          ) AS second_key,
+          SUM(CAST(floor(o_totalprice * 256) AS DOUBLE) / 256) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey
+            RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+          ) AS price_range_sum,
+          SUM(CAST(floor(o_totalprice * 256) AS DOUBLE) / 256) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+          ) AS price_prev3
+        FROM orders
+        WHERE o_orderkey < 3000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        ORDER BY o_orderstatus, o_orderkey
+        """
+    ),
+)
+
+# Statistical aggregates computed from exact quantized power sums — variance,
+# stddev, covariance, and correlation as explicit sum/sumsq/cross-sum
+# formulas. Every input is a multiple of 1/256 (squares/products: 1/65536),
+# so the distributed partial sums are exact and order-independent; the final
+# scalar arithmetic is the same IEEE expression tree on both engines.
+register(
+    "agg_variance_corr",
+    Query(
+        """
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               (sd2 - sd * sd / n) / (n - 1) AS var_disc,
+               sqrt((sd2 - sd * sd / n) / (n - 1)) AS stddev_disc,
+               (sdt - sd * st / n) / (n - 1) AS covar_disc_tax,
+               ((sdt - sd * st / n) / (n - 1))
+                 / (sqrt((sd2 - sd * sd / n) / (n - 1))
+                    * sqrt((st2 - st * st / n) / (n - 1))) AS corr_disc_tax
+        FROM (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(d) AS sd, SUM(d * d) AS sd2,
+                 SUM(t) AS st, SUM(t * t) AS st2,
+                 SUM(d * t) AS sdt
+          FROM (
+            SELECT l_returnflag,
+                   CAST(floor(l_discount * 256) AS DOUBLE) / 256 AS d,
+                   CAST(floor(l_tax * 256) AS DOUBLE) / 256 AS t
+            FROM lineitem
+          ) AS q
+          GROUP BY l_returnflag
+        ) AS m
+        ORDER BY l_returnflag
+        """
+    ),
+)

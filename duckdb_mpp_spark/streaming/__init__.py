@@ -125,3 +125,45 @@ def batch_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_tv").cast("double").alias("total_value"),
         )
     )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-min gap) computed by the streaming
+    runtime. Oracle: gaps-and-islands SQL (new session when the gap from the
+    previous event is >= 30 min — session windows are end-exclusive)."""
+    agg = session_windows(stream_events(spark, sf_dir))
+    return (
+        run_stream_to_memory(agg)
+        .select("user_id", F.col("session_start").cast("timestamp"), "n_events")
+    )
+
+
+def streaming_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` keyed on
+    (user_id, event_type) with state bounded by the event-time watermark,
+    then a per-type count. Batch twin: COUNT over SELECT DISTINCT."""
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+    return run_stream_to_memory(agg).select("event_type", "n_pairs")
+
+
+def streaming_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the bounded
+    customer dimension (broadcast per micro-batch), aggregated by segment."""
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = stream_events(spark, sf_dir).join(
+        customers, F.col("user_id") == F.col("c_custkey"), "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+    )
+    return run_stream_to_memory(agg).select(
+        "c_mktsegment", "n_events", F.col("_tv").cast("double").alias("total_value")
+    )
