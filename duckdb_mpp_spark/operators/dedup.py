@@ -372,3 +372,102 @@ def _register():
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# connected components → cluster assignment (pairs → dedup decisions)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each round: every node takes min(own label, neighbors' labels) — one
+    equi-join + one groupBy shuffle per round, converging in O(diameter)
+    rounds (near-dup graphs are unions of tiny cliques → 2-3 rounds).
+    ``localCheckpoint`` truncates the lineage so the plan stays flat across
+    iterations. At 100 TB the same loop holds (labels/edges stay partitioned
+    by key across rounds); for adversarial diameters switch the step to the
+    large-star/small-star contraction [Kiveris et al., "Connected Components
+    in MapReduce and Beyond"], which converges in O(log^2 n).
+
+    Returns (node, label) with label = min node id of the component.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("new_label") != F.col("node")).alias("n").join(
+            labels.alias("o"), F.col("n.node") == F.col("o.node")
+        ).where(F.col("n.new_label") != F.col("o.label")).count()
+        labels = new_labels.withColumnRenamed("new_label", "label")
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_assign(spark, sf_dir: str) -> DataFrame:
+    """Full dedup decision pipeline: LSH candidate pairs → connected
+    components → (doc_id, cluster_id, cluster_size, is_canonical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    labels = connected_components(pairs, docs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_cluster_assign",
+    Query(
+        spark=cluster_assign,
+        oracle=_DUCK_BANDS.replace("WITH", "WITH RECURSIVE", 1)
+        + """,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lab FROM documents
+          UNION
+          SELECT e.dst AS node, r.lab
+          FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        cluster AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cluster GROUP BY 1)
+        SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+               c.node = c.cluster_id AS is_canonical
+        FROM cluster c JOIN sizes s USING (cluster_id)
+        ORDER BY doc_id
+        """,
+    ),
+)
