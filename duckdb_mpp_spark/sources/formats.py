@@ -1,0 +1,68 @@
+"""File-format sources/sinks beyond parquet: CSV, JSON-lines, ORC, and
+hive-partitioned parquet.
+
+The reference's base catalog keeps DuckDB's file readers available next to
+MPP tables (SURVEY §2.B scans; `/root/reference/src/mpp_service.cpp:30-33`
+delegates arbitrary SQL, including read_csv/read_parquet, to the local
+engine). Here the equivalent is the Spark DataSource API, which adds what
+the reference lacks: distributed splits, schema enforcement, predicate
+pushdown (parquet/orc), and partition pruning for hive layouts.
+
+Scale notes:
+- CSV/JSON are line-splittable → parallel reads at any size, but carry no
+  statistics and no pushdown: land raw text once, convert to
+  parquet/bucketed tables for anything queried twice.
+- ``partitionBy`` directory layouts turn equality/range filters on the
+  partition column into directory pruning (visible as ``PartitionFilters``
+  in the scan node) — the same class of win as the engine's bucket pruning,
+  but for low-cardinality columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Formats with a writer AND a reader in every stock Spark distribution.
+FORMATS = ("parquet", "csv", "json", "orc")
+
+_CSV_OPTS = {
+    # explicit, lossless defaults: header for self-description, ISO
+    # timestamps with microseconds so round-trips are exact
+    "header": "true",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "nullValue": "\\N",
+}
+
+
+def write_df(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None, **options) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    opts = dict(_CSV_OPTS) if fmt == "csv" else {}
+    opts.update(options)
+    w = df.write.mode("overwrite").format(fmt).options(**opts)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_df(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``. For schemaless text formats (csv/json) pass
+    ``schema`` — inference costs an extra full pass over 100 TB and can
+    drift between runs; production reads are always schema-pinned."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    opts = dict(_CSV_OPTS) if fmt == "csv" else {}
+    opts.update(options)
+    r = spark.read.format(fmt).options(**opts)
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        r = r.option("inferSchema", "true")
+    return r.load(path)
