@@ -72,24 +72,33 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """LSH band signatures: (id, band, band_key). band_key is the
-    concatenation of ``ROWS_PER_BAND`` consecutive minhashes."""
+    concatenation of ``ROWS_PER_BAND`` consecutive minhashes.
+
+    All K minhashes are computed as parallel ``min`` aggregates in ONE
+    groupBy — the k-way hash evaluation happens map-side and the shuffle
+    carries only per-doc partial minima (K small strings per doc), not
+    K× the shingle stream. At 100 TB this is the difference between
+    shuffling ~K·corpus and shuffling ~K·#docs."""
     sh = shingles(df, id_col, text_col)
-    seeded = sh.select(
-        id_col, "sh", F.explode(F.sequence(F.lit(0), F.lit(K_MINHASH - 1))).alias("seed")
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(K_MINHASH)
+    ]
+    mh = sh.groupBy(id_col).agg(*mins)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    mh = seeded.groupBy(id_col, "seed").agg(
-        F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))).alias("mh")
-    )
-    return (
-        mh.groupBy(id_col, (F.col("seed") / ROWS_PER_BAND).cast("int").alias("band"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    return mh.select(id_col, F.explode(band_structs).alias("x")).select(
+        id_col, F.col("x.band").alias("band"), F.col("x.band_key").alias("band_key")
     )
 
 
@@ -398,6 +407,7 @@ def connected_components(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -412,12 +422,14 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.where(F.col("new_label") != F.col("node")).alias("n").join(
-            labels.alias("o"), F.col("n.node") == F.col("o.node")
-        ).where(F.col("n.new_label") != F.col("o.label")).count()
+        # labels only ever decrease → the label sum is strictly monotone and
+        # stationary exactly at the fixpoint; one cheap agg replaces a
+        # change-detection join.
+        new_sum = new_labels.agg(F.sum("new_label")).collect()[0][0]
         labels = new_labels.withColumnRenamed("new_label", "label")
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -46,6 +46,95 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def blocked_pair_scores(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine scores via blocked matrix products (the exact-path
+    kernel behind near-dup detection).
+
+    Distributed-GEMM layout: vectors are hashed into ``n_blocks`` blocks;
+    each unordered block pair (i <= j) becomes one Arrow batch processed by
+    a vectorized pandas kernel. A row is replicated to the ~n_blocks block
+    pairs it participates in (the standard sqrt-replication of 2D matmul
+    partitioning), so shuffle volume is n_blocks × corpus — at 100 TB you
+    size n_blocks so one block pair (~2·n/n_blocks vectors) fits an
+    executor's memory, and parallelism is n_blocks·(n_blocks+1)/2 tasks.
+    (Exact all-pairs is inherently O(n²) compute at any layout — the scale
+    escape hatch is the IVF/LSH candidate restriction, below.)
+
+    Numerics match the Catalyst/oracle definition bit-for-bit: products are
+    computed in float32, widened to double, then accumulated sequentially in
+    index order (the k-loop), identically to ``CAST(x*y AS DOUBLE)`` summed
+    left-to-right.
+
+    Returns (va, vb, cos_raw) with va < vb, unrounded.
+    """
+    import numpy as np  # deferred: keep module import light
+    import pandas as pd
+
+    B = n_blocks
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(id_col), F.lit(B)).alias("blk"),
+    )
+    a_side = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        F.lit(0).alias("side"),
+        "vid",
+        "vec",
+    )
+    b_side = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("side"),
+        "vid",
+        "vec",
+    )
+    rep = a_side.unionByName(b_side)
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Each unordered cross-block pair meets in exactly one group — the
+        # one keyed (min block, max block), with the min-block vector on the
+        # A side — so pair order is normalized to (min id, max id) here.
+        # Same-block groups (bi == bj) hold the full n×n grid; the strict
+        # id inequality keeps one copy and drops the diagonal.
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        same_block = not pdf.empty and pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        if a.empty or b.empty:
+            return pd.DataFrame({"va": [], "vb": [], "cos_raw": []})
+        ids_a = a["vid"].to_numpy()
+        ids_b = b["vid"].to_numpy()
+        ma = np.stack(a["vec"].to_numpy()).astype(np.float32)
+        mb = np.stack(b["vec"].to_numpy()).astype(np.float32)
+        dim = ma.shape[1]
+        acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+        na = np.zeros(len(ids_a), dtype=np.float64)
+        nb = np.zeros(len(ids_b), dtype=np.float64)
+        for k in range(dim):  # sequential accumulation = SQL SUM order
+            acc += (ma[:, k][:, None] * mb[None, :, k]).astype(np.float64)
+            na += (ma[:, k] * ma[:, k]).astype(np.float64)
+            nb += (mb[:, k] * mb[:, k]).astype(np.float64)
+        cos = acc / np.outer(np.sqrt(na), np.sqrt(nb))
+        if same_block:
+            keep = ids_a[:, None] < ids_b[None, :]
+        else:
+            keep = ids_a[:, None] != ids_b[None, :]
+        ia, ib = np.nonzero(keep)
+        va = np.minimum(ids_a[ia], ids_b[ib])
+        vb = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"va": va, "vb": vb, "cos_raw": cos[ia, ib]})
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        _score, schema="va long, vb long, cos_raw double"
+    )
+
+
 def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -167,10 +256,7 @@ def _register():
 
     def neardup_fn(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
-        a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-        b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-        pairs = a.crossJoin(b).where(F.col("va") < F.col("vb"))
-        scored = pairs.select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("cos_raw"))
+        scored = blocked_pair_scores(emb)
         return (
             scored.where(F.col("cos_raw") > 0.35)
             .select("va", "vb", F.round("cos_raw", 4).alias("score"))
