@@ -1,0 +1,95 @@
+"""Property-based safety test for bucket pruning (hypothesis).
+
+The invariant the reference also guarantees (SURVEY §2.A4: "anything else
+keeps all shards"): for ANY predicate — inside or outside the pruning
+mini-grammar — a pruned scan returns exactly the rows a full-table filter
+returns. Pruning may only ever *skip* buckets the predicate cannot touch;
+it must never change results.
+
+Strategy: generate predicates over the partition column (equality, IN,
+IS [NOT] NULL, ranges, arithmetic the grammar intentionally rejects, and
+random AND/OR/NOT nestings), run each against a 8-bucket table, and compare
+with the same predicate applied to the raw (unbucketed) DataFrame.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from duckdb_mpp_spark.mpp import MppSession
+
+VALUES = [(-2, "apple"), (-1, "banana"), (None, "pear"), (0, None),
+          (1, "watermelon"), (2, "grape"), (7, "fig"), (13, "lime")]
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    wh = tempfile.mkdtemp(prefix="mpp_prop_")
+    mpp = MppSession(spark, wh)
+    mpp.sql("CREATE TABLE p(c0 INT, c1 TEXT) PARTITION BY (c0) WITH BUCKETS 8")
+    vals = ", ".join(
+        f"({ 'NULL' if v is None else v }, { 'NULL' if s is None else repr(s) })"
+        for v, s in VALUES
+    )
+    mpp.sql(f"INSERT INTO p VALUES {vals}")
+    raw = spark.createDataFrame(VALUES, "c0 int, c1 string")
+    raw.createOrReplaceTempView("p_raw")
+    yield mpp, spark
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+_int = st.integers(min_value=-3, max_value=14)
+
+_atom = st.one_of(
+    _int.map(lambda k: f"c0 = {k}"),
+    st.lists(_int, min_size=1, max_size=4).map(
+        lambda ks: f"c0 IN ({', '.join(map(str, ks))})"
+    ),
+    st.just("c0 IS NULL"),
+    st.just("c0 IS NOT NULL"),
+    _int.map(lambda k: f"c0 < {k}"),
+    _int.map(lambda k: f"c0 >= {k}"),
+    st.tuples(_int, _int).map(lambda t: f"c0 BETWEEN {min(t)} AND {max(t)}"),
+    _int.map(lambda k: f"c0 = {k} + 1"),          # arithmetic → must not prune
+    _int.map(lambda k: f"abs(c0) = {abs(k)}"),    # function → must not prune
+    st.sampled_from(["c1 = 'apple'", "c1 = 'zzz'", "c1 IS NULL"]),
+)
+
+
+def _combine(children):
+    preds, op = children
+    joined = f" {op} ".join(f"({p})" for p in preds)
+    return joined
+
+
+_pred = st.recursive(
+    _atom,
+    lambda inner: st.one_of(
+        st.tuples(st.lists(inner, min_size=2, max_size=3), st.sampled_from(["AND", "OR"])).map(_combine),
+        inner.map(lambda p: f"NOT ({p})"),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pred=_pred)
+def test_pruned_scan_equals_full_filter(table, pred):
+    mpp, spark = table
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    got = sorted(
+        (tuple(r) for r in mpp.sql(f"SELECT c0, c1 FROM p WHERE {pred}").collect()),
+        key=key,
+    )
+    want = sorted(
+        (tuple(r) for r in spark.sql(f"SELECT c0, c1 FROM p_raw WHERE {pred}").collect()),
+        key=key,
+    )
+    assert got == want, f"predicate {pred!r}: {got} != {want}"

@@ -68,3 +68,37 @@ def test_watermark_drops_late_data(spark):
         assert all(not ws.startswith("2024-01-01 12") for ws, _ in got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_into_distributed_table(spark, tmp_path):
+    """Streaming sink into the bucketed distributed-table layer via
+    foreachBatch: each micro-batch goes through the same bucket-routed
+    insert as batch DML, so the result is a normal distributed table —
+    pruned scans and counts included. (The reference has no streaming at
+    all; this shows its table layer composing with Spark's runtime.)"""
+    from duckdb_mpp_spark.mpp import MppSession
+
+    mpp = MppSession(spark, str(tmp_path / "wh"))
+    events = S.stream_events(spark, SF_DIR)
+    tbl = mpp.create_distributed_table(
+        "events_sink", events.schema, "user_id", 8
+    )
+    inserted = []
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(lambda batch, _id: inserted.append(tbl.insert(batch)))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from duckdb_mpp_spark.sources import load_table
+
+    batch_events = load_table(spark, SF_DIR, "events")
+    assert sum(inserted) == batch_events.count()
+    assert tbl.scan().count() == batch_events.count()
+    one_user = batch_events.select("user_id").first()[0]
+    got = tbl.scan(where=f"user_id = {one_user}").count()
+    want = batch_events.where(F.col("user_id") == one_user).count()
+    assert got == want
+    assert "Shards: 1/8" in tbl.explain(where=f"user_id = {one_user}")
