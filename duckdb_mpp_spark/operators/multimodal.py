@@ -84,6 +84,62 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 16
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_checksum int"
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over binary payloads (the video-pipeline shape): each
+    payload is treated as a sequence of fixed-size frames; every
+    ``FRAME_STRIDE``-th frame is emitted as its own row. Demonstrates the
+    1→N ``mapInPandas`` contract (input rows expand to variable-length
+    outputs, batch by batch — no driver involvement, no full-video
+    materialization; a real ffmpeg sampler streams exactly like this)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f in range(0, (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_STRIDE):
+                    chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    lens.append(len(chunk))
+                    sums.append(sum(chunk) % 997)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_checksum": sums}
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub with real plumbing: output payload is deterministically
+    resampled to exactly ``width*height`` bytes (byte-repeat/truncate stands
+    in for pixel interpolation; swap the inner lambda for PIL's
+    ``Image.resize`` in a real deployment). Schema contract: payload stays
+    ``binary``, meta gains the new dimensions."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda b: (b * (target // max(len(b), 1) + 1))[:target] if b else bytes(target)
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": resized})
+
+    out = df.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id bigint, payload binary"
+    )
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit(width).alias("width"), F.lit(height).alias("height")).alias("meta"),
+    )
+
+
 def _register():
     def features_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -110,6 +166,32 @@ def _register():
                    CAST(64 + checksum % 64 AS INT) AS width,
                    CAST(64 + (checksum // 64) % 64 AS INT) AS height
             FROM bytes ORDER BY doc_id
+            """,
+        ),
+    )
+
+    def frames_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_idx")
+
+    register(
+        "multimodal_frame_sample",
+        Query(
+            spark=frames_fn,
+            oracle=f"""
+            WITH frames AS (
+              SELECT d.doc_id, f.f AS frame_idx,
+                     substring(d.text, f.f * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+              FROM documents d, generate_series(0, 100000) f(f)
+              WHERE f.f * {FRAME_BYTES} < length(d.text) AND f.f % {FRAME_STRIDE} = 0
+            )
+            SELECT fr.doc_id, CAST(fr.frame_idx AS INT) AS frame_idx,
+                   CAST(length(fr.chunk) AS INT) AS frame_len,
+                   CAST(SUM(ord(substring(fr.chunk, i.i, 1))) % 997 AS INT) AS frame_checksum
+            FROM frames fr, generate_series(1, {FRAME_BYTES}) i(i)
+            WHERE i.i <= length(fr.chunk)
+            GROUP BY fr.doc_id, fr.frame_idx, fr.chunk
+            ORDER BY doc_id, frame_idx
             """,
         ),
     )

@@ -79,3 +79,19 @@ register(
         """,
     ),
 )
+
+from duckdb_mpp_spark.streaming import user_running_totals  # noqa: E402
+
+register(
+    "streaming_stateful_running_totals",
+    Query(
+        spark=user_running_totals,
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 256) AS BIGINT)) AS DOUBLE) / 256 AS total_value_q
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+    ),
+)

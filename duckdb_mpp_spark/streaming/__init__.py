@@ -167,3 +167,58 @@ def streaming_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg).select(
         "c_mktsegment", "n_events", F.col("_tv").cast("double").alias("total_value")
     )
+
+
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + running quantized value sum, state kept
+    by the state store across micro-batches (update output mode).
+
+    The totals are accumulated as integers (floor(value·256)) so the
+    result is exact and batch-order-independent — the same quantization
+    contract as the batch engine. After draining the backlog, the latest
+    update per user equals the batch GROUP BY (the oracle).
+
+    Scale: state is hash-partitioned by user_id in the state store exactly
+    like any agg shuffle; per-group pandas batches never materialize more
+    than one group's micro-batch slice.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += int(np_floor_sum(pdf["value"]))
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_q": [tot]}
+        )
+
+    def np_floor_sum(values):
+        import numpy as np
+
+        return np.floor(values.to_numpy(dtype="float64") * 256).astype("int64").sum()
+
+    events = stream_events(spark, sf_dir)
+    out = events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_q long",
+        stateStructType="n long, tot long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = run_stream_to_memory(out, mode="update")
+    # update mode emits one row per (user, micro-batch); n_events is strictly
+    # increasing per user, so the max struct is the final state.
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_q")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            (F.col("s.total_q").cast("double") / 256).alias("total_value_q"),
+        )
+    )
+    return final
