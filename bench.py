@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 HEADLINE = [
+    # TPC-H-shape analytics
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
@@ -34,9 +35,18 @@ HEADLINE = [
     "q18_large_volume_customer",
     "window_topk_per_group",
     "agg_cube",
+    # events / time-series
     "events_sessionization",
     "asof_join_events_orders",
+    # distributed-table layer (create + bucketed insert + pruned scan)
     "mpp_create_insert_scan",
+    # LLM-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "embedding_neardup_pairs",
+    "text_quality_score",
+    # streaming runtime
+    "streaming_hourly_agg",
 ]
 
 
