@@ -254,6 +254,74 @@ def _register():
         ),
     )
 
+    def lsh_bucketed_fn(spark, sf_dir):
+        """Scale-path ANN: candidates restricted to a sign-prefix LSH bucket
+        (random-hyperplane LSH with coordinate planes — the first 4
+        components' sign bits). The search join is an equi-join on the
+        bucket id, so at 100 TB each query probes ~corpus/16, and the join
+        partitions by bucket with zero skew for zero-mean embeddings.
+        Sign bits of floats are exact → deterministic, oracle-identical."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        bucket = sum(
+            (F.when(F.element_at("embedding", j + 1) >= 0, 1 << j).otherwise(0))
+            for j in range(4)
+        )
+        withb = emb.withColumn("bucket", bucket.cast("int"))
+        queries = withb.where("vec_id % 50 = 0").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+        )
+        corpus = withb.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
+        )
+        pairs = F.broadcast(queries).join(corpus, "bucket").where(F.col("qid") != F.col("cid"))
+        scored = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+        w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("qid", "cid", "rank", F.round("cos_raw", 4).alias("score"))
+            .orderBy("qid", "rank")
+        )
+
+    register(
+        "ann_lsh_bucketed",
+        Query(
+            spark=lsh_bucketed_fn,
+            oracle=f"""
+            WITH {_DUCK_NORMS},
+            b AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+            dots AS (
+              SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     SUM(CAST(q.embedding[t.i] * c.embedding[t.i] AS DOUBLE)) AS dp
+              FROM q, b c, generate_series(1, {DIM}) t(i)
+              WHERE c.bucket = q.bucket AND c.vec_id <> q.vec_id
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT qid, cid, dp / (nq.nrm * nc.nrm) AS cos_raw
+              FROM dots JOIN norms nq ON nq.vec_id = qid
+                        JOIN norms nc ON nc.vec_id = cid
+            ),
+            ranked AS (
+              SELECT qid, cid,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS INT) AS rank,
+                     round(cos_raw, 4) AS score
+              FROM scored
+            )
+            SELECT qid, cid, rank, score FROM ranked WHERE rank <= 5
+            ORDER BY qid, rank
+            """,
+        ),
+    )
+
     def neardup_fn(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         scored = blocked_pair_scores(emb)
