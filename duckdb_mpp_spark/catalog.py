@@ -200,6 +200,9 @@ class MppCatalog:
         return os.path.join(self.warehouse, f"{meta.name}_{meta.oid}")
 
     # -- system views (reference __mpp_system schema) ---------------------
+    def nodes(self) -> list[tuple[str, int]]:
+        return list(self._nodes)
+
     def nodes_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self._nodes, NODES_SCHEMA)
 

@@ -211,6 +211,19 @@ class MppSession:
         own executors; the node registry only feeds the metadata views."""
         self.catalog.add_node(host, port)
 
+    def remote_query(self, addr: str, sql: str):
+        """Compat shim for ``remote_query(addr, sql)``
+        (src/function/remote_query.cpp:20-53). The reference streams the
+        statement to a peer DuckDB over gRPC; under Spark there are no
+        user-visible peer nodes — every query is already cluster-executed —
+        so this validates the address against the node registry and runs the
+        statement locally (semantically identical: same catalog, same data).
+        """
+        known = {f"{h}:{p}" for h, p in self.catalog.nodes()}
+        if known and addr not in known:
+            raise ValueError(f"unknown node {addr!r}; registered: {sorted(known)}")
+        return self.sql(sql)
+
     def drop_table(self, name: str) -> None:
         meta = self.catalog.drop_table(name)
         self.spark.catalog.dropTempView(name) if self._view_exists(name) else None
@@ -258,6 +271,19 @@ class MppSession:
             raise NotImplementedError("CREATE TABLE AS is not supported")
         if re.match(r"^\s*ALTER\b", upper):
             raise NotImplementedError("ALTER is not supported")
+        # reference NotImplemented matrix (src/storage/mpp_schema_entry.cpp:
+        # 72-128, src/storage/mpp_catalog.cpp:130-132): indexes, views,
+        # sequences, custom types, and schema drops on MPP schemas
+        if re.match(r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", upper):
+            raise NotImplementedError("CreateIndex is not supported")
+        if re.match(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?VIEW\b", upper):
+            raise NotImplementedError("CreateView is not supported")
+        if re.match(r"^\s*CREATE\s+(TEMP(ORARY)?\s+)?SEQUENCE\b", upper):
+            raise NotImplementedError("CreateSequence is not supported")
+        if re.match(r"^\s*CREATE\s+TYPE\b", upper):
+            raise NotImplementedError("CreateType is not supported")
+        if re.match(r"^\s*DROP\s+SCHEMA\b", upper):
+            raise NotImplementedError("DropSchema is not supported")
 
         m = _CREATE_RE.match(stripped)
         if m:

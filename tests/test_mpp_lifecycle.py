@@ -122,3 +122,34 @@ def test_not_implemented_parity(session):
         session.sql("CREATE TABLE q AS SELECT 1")
     with pytest.raises(NotImplementedError):
         session.sql("ALTER TABLE p ADD COLUMN c1 INT")
+
+
+def test_not_implemented_schema_objects(mpp):
+    """Reference NotImplemented matrix for schema objects
+    (src/storage/mpp_schema_entry.cpp:72-128, mpp_catalog.cpp:130-132)."""
+    import pytest
+
+    mpp.sql("CREATE TABLE ni(c0 INT) PARTITION BY (c0) WITH BUCKETS 2")
+    for stmt in [
+        "CREATE INDEX idx ON ni(c0)",
+        "CREATE VIEW v AS SELECT * FROM ni",
+        "CREATE SEQUENCE seq",
+        "CREATE TYPE mood AS ENUM ('a')",
+        "DROP SCHEMA s1",
+    ]:
+        with pytest.raises(NotImplementedError):
+            mpp.sql(stmt)
+
+
+def test_remote_query_shim(mpp):
+    """remote_query(addr, sql) compat (src/function/remote_query.cpp:20-53):
+    validates the node address, runs the statement on the shared engine."""
+    import pytest
+
+    mpp.sql("CREATE TABLE rq(c0 INT, c1 TEXT) PARTITION BY (c0) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO rq VALUES (1, 'x'), (2, 'y')")
+    mpp.master_add_node("localhost", 50051)
+    df = mpp.remote_query("localhost:50051", "SELECT c0, c1 FROM rq WHERE c0 = 1")
+    assert [tuple(r) for r in df.collect()] == [(1, "x")]
+    with pytest.raises(ValueError):
+        mpp.remote_query("10.0.0.9:50051", "SELECT 1")
