@@ -355,3 +355,88 @@ def _register():
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# k-means coarse quantizer (real IVF training, iterative DataFrame ops)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Lloyd's k-means over the embedding column, pure DataFrame ops.
+
+    Per iteration: broadcast the k centroids, assign each vector to its
+    nearest (squared-L2 argmin via one exploded join + min-struct), then
+    recompute means per cluster — one broadcast join + one groupBy shuffle
+    per iteration, the canonical Spark iteration shape (same as the CC
+    loop in dedup). Centroid components are rounded to 6 decimals after
+    each update so results are run-to-run stable despite float partial-sum
+    ordering. Init is deterministic: the k lowest vec_ids.
+
+    At 100 TB: the corpus never moves — only k×dim centroids broadcast each
+    round; assignment is embarrassingly parallel; the mean shuffle carries
+    k×dim doubles per partition (map-side combined).
+    """
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.monotonically_increasing_id().alias("_i"),
+            F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("centroid"),
+        )
+        .select(F.row_number().over(Window.orderBy("_i")).alias("cluster_id"), "centroid")
+    )
+    centroids = init.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _assign(emb, centroids)
+        centroids = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+            .select("cluster_id", F.transform("s", lambda t: t["c"]).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast centroids, squared-L2 via
+    zip_with, argmin via min(struct(dist, cluster_id))."""
+    d2 = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "embedding", "cluster_id", d2.alias("d2")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+        .select("vec_id", F.col("b.cluster_id").alias("cluster_id"), F.col("b.d2").alias("d2"))
+    )
+    return best.join(emb, "vec_id")
+
+
+def _register_kmeans():
+    def ivf_kmeans_fn(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = kmeans_fit(emb, k=8, iters=3)
+        assigned = _assign(emb, centroids)
+        return (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.cast("double", F.sum(F.round("d2", 6).cast("decimal(18,6)"))).alias("inertia"),
+            )
+            .orderBy("cluster_id")
+        )
+
+    # iterative float means are not SQL-oracle-expressible bit-exactly;
+    # the driver records the (weaker) rows-only check, and
+    # tests/test_kmeans.py asserts the algebraic invariants instead.
+    register("ann_ivf_kmeans", Query(spark=ivf_kmeans_fn, oracle=None))
+
+
+_register_kmeans()
