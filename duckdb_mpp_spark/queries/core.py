@@ -715,3 +715,94 @@ register(
         """,
     ),
 )
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): generated month spine LEFT JOINed
+# to order aggregates — the calendar-completion idiom (months with no orders
+# surface as zero rows instead of gaps).
+register(
+    "recursive_cte_month_spine",
+    Query(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS TIMESTAMP)
+          FROM months WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+        )
+        SELECT m.m AS month_start,
+               coalesce(o.n, 0) AS n_orders,
+               coalesce(o.total, 0.0) AS total
+        FROM months m
+        LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          FROM orders GROUP BY 1
+        ) o ON o.mo = m.m
+        ORDER BY month_start
+        """
+    ),
+)
+
+# LATERAL correlated subquery with per-row ORDER BY + LIMIT (top-n per key
+# without a window function).
+register(
+    "lateral_topk_per_region",
+    Query(
+        """
+        SELECT r_name, t.n_name, t.n_customers
+        FROM region,
+        LATERAL (
+          SELECT n_name, COUNT(c_custkey) AS n_customers
+          FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r_regionkey
+          GROUP BY n_name
+          ORDER BY n_customers DESC, n_name
+          LIMIT 2
+        ) t
+        ORDER BY r_name, n_customers DESC, n_name
+        """
+    ),
+)
+
+# NULL semantics surface: three-valued logic, IS DISTINCT FROM, NULL
+# propagation through arithmetic/concat, coalesce/nullif, and NULL grouping.
+register(
+    "null_semantics",
+    Query(
+        """
+        SELECT
+          c1_is_null,
+          COUNT(*) AS n,
+          CAST(SUM(CASE WHEN c0 IS DISTINCT FROM 1 THEN 1 ELSE 0 END) AS BIGINT) AS distinct_from_one,
+          CAST(SUM(CASE WHEN c0 + NULL IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_arith,
+          CAST(SUM(CASE WHEN nullif(c0, 0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nullif_zero,
+          CAST(MIN(coalesce(c0, -999)) AS INT) AS min_coalesced
+        FROM (
+          SELECT l_linenumber % 3 AS c0,
+                 CASE WHEN l_quantity > 25 THEN NULL ELSE l_returnflag END AS c1,
+                 CASE WHEN l_quantity > 25 THEN NULL ELSE l_returnflag END IS NULL AS c1_is_null
+          FROM lineitem
+        ) AS t
+        GROUP BY c1_is_null
+        ORDER BY c1_is_null
+        """
+    ),
+)
+
+# GROUPING() markers over ROLLUP — distinguishes "NULL because grouped out"
+# from data NULLs.
+register(
+    "agg_rollup_grouping_fn",
+    Query(
+        """
+        SELECT
+          CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+          CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+          l_returnflag, l_linestatus,
+          SUM(l_quantity) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    ),
+)
