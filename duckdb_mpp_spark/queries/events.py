@@ -154,3 +154,64 @@ register(
         """,
     ),
 )
+
+
+def _range_join_spark(spark, sf_dir):
+    """Keyless interval join via bin explosion (operators/range_join.py):
+    events counted inside the top-5 revenue months' promo windows. The
+    windows deliberately do not align to the 7-day bins, so the residual
+    predicate does real work."""
+    from duckdb_mpp_spark.operators.range_join import interval_bin_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    promo = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("win_start"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("win_start"))
+        .limit(5)
+        .select(
+            "win_start",
+            (F.col("win_start") + F.expr("INTERVAL '1' MONTH")).alias("win_end"),
+        )
+    )
+    joined = interval_bin_join(events, promo, "ts", "win_start", "win_end")
+    return (
+        joined.groupBy("win_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+        )
+        .select(
+            F.col("win_start").cast("timestamp").alias("win_start"),
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+        .orderBy("win_start")
+    )
+
+
+register(
+    "range_join_binned",
+    Query(
+        spark=_range_join_spark,
+        oracle="""
+        WITH promo AS (
+          SELECT win_start, win_start + INTERVAL '1' MONTH AS win_end
+          FROM (
+            SELECT date_trunc('month', o_orderdate) AS win_start,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+            FROM orders GROUP BY 1
+            ORDER BY rev DESC, win_start LIMIT 5
+          ) t
+        )
+        SELECT p.win_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events e JOIN promo p
+          ON p.win_start <= e.ts AND e.ts < p.win_end
+        GROUP BY p.win_start
+        ORDER BY p.win_start
+        """,
+    ),
+)
