@@ -1,0 +1,63 @@
+"""Skew-handling utilities: salted aggregation and salted join.
+
+AQE's skew-join splitting (on in this engine's sessions) handles most skew
+at runtime by splitting oversized shuffle partitions. These explicit
+operators cover the two cases AQE cannot:
+
+- **Salted two-phase aggregation**: a groupBy where one key holds a huge
+  share of rows bottlenecks the single reducer that owns it even after AQE
+  splits the partition (the final merge for that key is still one task).
+  Salting splits the key into ``n_salts`` sub-keys for the partial phase,
+  then merges the partials — the heavy key's work spreads over n_salts
+  reducers, and the final merge handles n_salts rows, not the raw stream.
+- **Salted broadcast-free join**: a shuffle join where some left keys are
+  hot. The left side salts each row into one of ``n_salts`` sub-keys; the
+  (smaller) right side replicates each row to all sub-keys. Works at any
+  right-side size that tolerates n_salts× replication — the standard recipe
+  when the hot side is too big to broadcast.
+
+Only associative+commutative aggregates may be salted (sum/count/min/max);
+the helpers take the partial and final expressions explicitly so the
+algebra is visible at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``partial_aggs`` run per (keys, salt); ``final_aggs`` merge the partials
+    per keys. E.g. partial ``F.count('*').alias('c')`` merges with
+    ``F.sum('c').alias('n')``; partial sum merges with sum of sums.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    partial = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with hot left keys: left rows pick a random-but-stable salt,
+    right rows replicate to every salt, the join runs on (key, salt)."""
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")

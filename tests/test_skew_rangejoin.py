@@ -1,0 +1,86 @@
+"""Salted-skew operators and binned range join: equivalence against the
+unsalted/unbinned formulations, including a hypothesis sweep over the
+interval-join boundary cases (end-exclusive, bin-misaligned)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.operators.range_join import interval_bin_join
+from duckdb_mpp_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 0 holds ~90% of rows — the classic hot-key shape
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise((F.col("id") % 100).cast("long")).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    return df.cache()
+
+
+def test_salted_agg_equals_plain(spark, skewed):
+    plain = {
+        (r.k): (r.n, r.s)
+        for r in skewed.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            [F.count("*").alias("pc"), F.sum("v").alias("ps")],
+            [F.sum("pc").alias("n"), F.sum("ps").alias("s")],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame([(k, f"name_{k}") for k in range(100)], "k long, name string")
+    plain = sorted((r.k, r.v, r.name) for r in skewed.join(dim, "k").collect())
+    salted = sorted((r.k, r.v, r.name) for r in salted_join(skewed, dim, "k").collect())
+    assert plain == salted
+
+
+EPOCH = dt.datetime(2000, 1, 1)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    points=st.lists(st.integers(0, 500_000), min_size=1, max_size=30),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 500_000), st.integers(1, 100_000)), min_size=1, max_size=8
+    ),
+    bin_seconds=st.sampled_from([3600, 86400, 7 * 86400]),
+)
+def test_interval_bin_join_matches_naive(spark, points, intervals, bin_seconds):
+    pts = spark.createDataFrame(
+        [(i, EPOCH + dt.timedelta(seconds=s)) for i, s in enumerate(points)], "pid int, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, EPOCH + dt.timedelta(seconds=a), EPOCH + dt.timedelta(seconds=a + w))
+            for j, (a, w) in enumerate(intervals)
+        ],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_bin_join(pts, ivs, "ts", "s", "e", bin_seconds=bin_seconds).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, sec in enumerate(points)
+        for j, (a, w) in enumerate(intervals)
+        if a <= sec < a + w
+    )
+    assert got == want
