@@ -1,0 +1,170 @@
+"""End-to-end corpus curation — the flagship training-data pipeline query,
+composing the individual operators into one DataFrame program:
+
+    language filter (n-gram/stopword heuristic)
+      → quality filter (length/punct/stopword composite score)
+      → exact dedup (md5 groupBy, keep min doc_id)
+      → near-dup clustering (MinHash LSH → connected components,
+        keep cluster canonical)
+      → per-source corpus stats (docs kept, token totals, mean quality)
+
+Every stage is the same code the standalone gate queries use — this query
+proves they compose. The DuckDB oracle replays the identical pipeline as
+one WITH RECURSIVE chain, so the final stats hash-match exactly (quality
+means go through 2⁻²⁰ quantization; token totals are integer sums).
+
+Scale: stages 1-3 are single-scan expressions + one groupBy; stage 4 is the
+LSH band join + O(diameter) CC rounds; stage 5 a final small agg. Nothing
+materializes the corpus more than the band join requires.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.operators.dedup import (
+    K_MINHASH,
+    ROWS_PER_BAND,
+    SHINGLE_WORDS,
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_bands,
+)
+from duckdb_mpp_spark.operators.text import (
+    PUNCT_CLASS,
+    STOPWORDS,
+    _duck_stop_hits,
+    _duck_tokens,
+    language_id,
+    quality_features,
+    token_count,
+)
+from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.sources import load_table
+
+QUALITY_MIN = 0.5
+Q_SCALE = 1 << 20  # quality-mean quantization
+
+
+def curate(spark, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.select("doc_id", "text", "source", language_id("text").alias("plang"))
+        .join(quality_features(docs).select("doc_id", "quality_score"), "doc_id")
+    )
+    kept0 = scored.where((F.col("plang") == "en") & (F.col("quality_score") >= QUALITY_MIN))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept1 = (
+        kept0.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn", "plang")
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(kept1))
+    labels = connected_components(pairs, kept1)
+    canon = kept1.join(
+        labels.where(F.col("node") == F.col("label")).select(F.col("node").alias("doc_id")),
+        "doc_id",
+    )
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("bigint")).alias("total_tokens"),
+            (
+                F.sum(F.floor(F.col("quality_score") * Q_SCALE).cast("bigint")).cast("double")
+                / Q_SCALE
+                / F.count("*")
+            ).alias("mean_quality_q"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lang_case() -> str:
+    """The oracle's language-ID CASE — same tie-break algorithm as
+    ``language_id`` (alphabetically earlier language wins ties)."""
+    langs = sorted(STOPWORDS)
+    case = "CASE "
+    for lang in langs:
+        others = " AND ".join(f"r_{lang} >= r_{o}" for o in langs if o != lang)
+        case += f"WHEN r_{lang} > 0 AND {others} THEN '{lang}' "
+    return case + "ELSE 'und' END"
+
+
+def _oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    ratio_exprs = ",\n             ".join(
+        f"CAST({_duck_stop_hits(lang)} AS DOUBLE) / greatest(len(ws), 1) AS r_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    score = f"""0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
+                         / greatest(len(ws), 1) * 5.0, 1.0)
+           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
+           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))"""
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, text, source, {_duck_tokens()} AS ws FROM documents
+    ),
+    ratios AS (
+      SELECT doc_id, text, source, ws,
+             {ratio_exprs}
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, text, source, ws,
+             {_lang_case()} AS plang,
+             {score} AS q
+      FROM ratios
+    ),
+    kept0 AS (
+      SELECT * FROM scored WHERE plang = 'en' AND q >= {QUALITY_MIN}
+    ),
+    kept1 AS (
+      SELECT doc_id, text, source, ws, q FROM (
+        SELECT k.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept0 k
+      ) t WHERE rn = 1
+    ),
+    shingles AS (
+      SELECT doc_id, array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' ') AS sh
+      FROM kept1, LATERAL (
+        SELECT unnest(range(1, greatest(len(ws) - {SHINGLE_WORDS - 1}, 1) + 1)) AS i
+      ) t
+    ),
+    mh AS (
+      SELECT doc_id, s.i AS seed, min(md5(CAST(s.i AS VARCHAR) || ':' || sh)) AS mh
+      FROM shingles, (SELECT unnest(range({K_MINHASH})) AS i) s
+      GROUP BY doc_id, s.i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band,
+             string_agg(mh, ',' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lab FROM kept1
+      UNION
+      SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cluster AS (SELECT node, MIN(lab) AS cl FROM reach GROUP BY node),
+    canon AS (
+      SELECT k.* FROM kept1 k JOIN cluster c ON c.node = k.doc_id AND c.cl = k.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(floor(q * {Q_SCALE}) AS BIGINT)) AS DOUBLE) / {Q_SCALE} / COUNT(*) AS mean_quality_q
+    FROM canon
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+register("pipeline_corpus_curation", Query(spark=curate, oracle=_oracle()))

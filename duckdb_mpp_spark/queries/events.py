@@ -215,3 +215,31 @@ register(
         """,
     ),
 )
+
+# Per-user z-score outlier detection from exact quantized power sums (the
+# anomaly-detection shape: two scans, one small join, no window state).
+register(
+    "events_zscore_outliers",
+    Query(
+        """
+        WITH q AS (
+          SELECT user_id, CAST(floor(value * 256) AS DOUBLE) / 256 AS v
+          FROM events
+        ),
+        st AS (
+          SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s, SUM(v * v) AS s2
+          FROM q GROUP BY user_id
+        ),
+        z AS (
+          SELECT q.user_id, (v - s / n) / sqrt((s2 - s * s / n) / (n - 1)) AS z
+          FROM q JOIN st ON q.user_id = st.user_id
+          WHERE n >= 2 AND (s2 - s * s / n) > 0
+        )
+        SELECT user_id,
+               COUNT(*) AS n_scored,
+               CAST(SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM z GROUP BY user_id
+        ORDER BY user_id
+        """
+    ),
+)

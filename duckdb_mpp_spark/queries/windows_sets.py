@@ -323,3 +323,33 @@ register(
         """
     ),
 )
+
+
+# Exact median without engine-specific percentile functions: order statistics
+# via ROW_NUMBER; the middle one-or-two quantized values average exactly the
+# same in both engines. (percentile_cont/approx_percentile interpolate
+# differently across engines — this formulation is the portable exact one.)
+register(
+    "agg_exact_median",
+    Query(
+        """
+        SELECT o_orderstatus,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               AVG(CASE WHEN rn >= floor((n + 1) / 2.0)
+                         AND rn <= floor(n / 2.0) + 1 THEN v END) AS median_price
+        FROM (
+          SELECT o_orderstatus, v,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY v, tie) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM (
+            SELECT o_orderstatus,
+                   CAST(floor(o_totalprice * 256) AS DOUBLE) / 256 AS v,
+                   o_orderkey AS tie
+            FROM orders
+          ) AS q
+        ) AS ranked
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    ),
+)
