@@ -54,7 +54,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    from duckdb_mpp_spark.queries import REGISTRY, run_spark_query
+    from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded, run_spark_query
+
+    _ensure_loaded()
     from duckdb_mpp_spark.session import get_spark
 
     spark = get_spark(app_name="mpp-bench")

@@ -54,7 +54,28 @@ def register(name: str, query: Query) -> None:
     REGISTRY[name] = query
 
 
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Populate the registry on first use rather than at import time, so
+    operator modules can be imported directly (in any order) without
+    re-entering their own partially-initialized modules through the
+    registration chain."""
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from duckdb_mpp_spark.queries import core  # noqa: F401
+    from duckdb_mpp_spark.queries import windows_sets  # noqa: F401
+    from duckdb_mpp_spark.queries import events  # noqa: F401
+    from duckdb_mpp_spark.queries import mpp_layer  # noqa: F401
+    from duckdb_mpp_spark.queries import pipeline  # noqa: F401
+    from duckdb_mpp_spark.queries import streaming_queries  # noqa: F401
+
+
 def run_spark_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_loaded()
     q = REGISTRY[name]
     tune_session(spark)
     register_views(spark, sf_dir)
@@ -64,6 +85,8 @@ def run_spark_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def spark_callables() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+
     def make(name):
         return lambda spark, sf_dir: run_spark_query(name, spark, sf_dir)
 
@@ -71,6 +94,7 @@ def spark_callables() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sqls() -> dict[str, str]:
+    _ensure_loaded()
     out = {}
     for name, q in REGISTRY.items():
         sql = q.oracle_sql()
@@ -79,10 +103,3 @@ def oracle_sqls() -> dict[str, str]:
     return out
 
 
-# Populate the registry (import order = display order).
-from duckdb_mpp_spark.queries import core  # noqa: E402,F401
-from duckdb_mpp_spark.queries import windows_sets  # noqa: E402,F401
-from duckdb_mpp_spark.queries import events  # noqa: E402,F401
-from duckdb_mpp_spark.queries import mpp_layer  # noqa: E402,F401
-from duckdb_mpp_spark.queries import pipeline  # noqa: E402,F401
-from duckdb_mpp_spark.queries import streaming_queries  # noqa: E402,F401

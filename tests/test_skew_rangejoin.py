@@ -84,3 +84,22 @@ def test_interval_bin_join_matches_naive(spark, points, intervals, bin_seconds):
         if a <= sec < a + w
     )
     assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """A 25-node path graph has diameter 24 — worst case for min-label
+    propagation; the loop must iterate past trivial convergence and
+    label every node with the chain head."""
+    from duckdb_mpp_spark.operators.dedup import connected_components
+
+    n = 25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(100,), (101,), (999,)], "doc_id long"
+    )
+    labels = {r.node: r.label for r in connected_components(pairs, nodes).collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[100] == labels[101] == 100
+    assert labels[999] == 999
