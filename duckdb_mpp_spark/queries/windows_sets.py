@@ -353,3 +353,34 @@ register(
         """
     ),
 )
+
+
+# Bag-semantics set ops (ALL variants keep duplicates — Spark exceptAll /
+# intersectAll, same SQL in DuckDB).
+register(
+    "setop_except_all",
+    Query(
+        """
+        SELECT nk, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nk FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nk FROM supplier
+        ) AS d
+        GROUP BY nk ORDER BY nk
+        """
+    ),
+)
+
+register(
+    "setop_intersect_all",
+    Query(
+        """
+        SELECT nk, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nk FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey AS nk FROM supplier
+        ) AS d
+        GROUP BY nk ORDER BY nk
+        """
+    ),
+)

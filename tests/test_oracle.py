@@ -73,3 +73,18 @@ def test_rows_only_queries_run(spark):
             df = run_spark_query(name, spark, SF_DIR)
             assert df.columns, name
             assert df.count() >= 0, name
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """approx_count_distinct is sketch-based (HLL) so it has no cross-engine
+    oracle; assert the documented error bound against the exact count."""
+    from duckdb_mpp_spark.sources import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    from pyspark.sql import functions as F
+
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.count_distinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
