@@ -153,3 +153,19 @@ def test_remote_query_shim(mpp):
     assert [tuple(r) for r in df.collect()] == [(1, "x")]
     with pytest.raises(ValueError):
         mpp.remote_query("10.0.0.9:50051", "SELECT 1")
+
+
+def test_insert_column_list_applies_defaults(mpp):
+    """INSERT with an explicit column list fills missing columns from
+    declared defaults (ResolveDefaults parity,
+    src/execution/mpp_physical_insert.cpp:150-181) or NULL."""
+    mpp.sql(
+        "CREATE TABLE ci(id INT, name TEXT DEFAULT 'anon', score DOUBLE) "
+        "PARTITION BY (id) WITH BUCKETS 4"
+    )
+    assert mpp.sql("INSERT INTO ci(id) VALUES (1), (2)") == 2
+    assert mpp.sql("INSERT INTO ci(id, score) VALUES (3, 1.5)") == 1
+    rows = sorted(
+        tuple(r) for r in mpp.sql("SELECT id, name, score FROM ci").collect()
+    )
+    assert rows == [(1, "anon", None), (2, "anon", None), (3, "anon", 1.5)]
