@@ -95,3 +95,24 @@ register(
         """,
     ),
 )
+
+from duckdb_mpp_spark.streaming import streaming_stream_stream_join  # noqa: E402
+
+register(
+    "streaming_stream_stream_join",
+    Query(
+        spark=streaming_stream_stream_join,
+        oracle="""
+        SELECT c.user_id,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(floor(p.value * 256) AS BIGINT)) AS DOUBLE) / 256
+                 AS purchase_value_q
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1' HOUR
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+        """,
+    ),
+)

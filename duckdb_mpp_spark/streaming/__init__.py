@@ -222,3 +222,57 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides: each 'click'
+    joined to the same user's 'purchase' events within the following hour.
+    Both sides buffer state bounded by watermark + the time-range condition
+    (Spark derives the state-eviction bound from the join condition — the
+    canonical watermarked interval-join pattern).
+
+    Scale: join state is hash-partitioned by user_id; eviction keeps it
+    O(events inside the watermark window), independent of stream length.
+    """
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL '1' HOUR")),
+        "inner",
+    )
+    agg = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.floor(F.col("value") * 256).cast("long").alias("vq"),
+    )
+    out = run_stream_to_memory(agg, mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.sum("vq").cast("double") / 256).alias("purchase_value_q"),
+        )
+        .orderBy("user_id")
+    )

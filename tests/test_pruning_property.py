@@ -93,3 +93,60 @@ def test_pruned_scan_equals_full_filter(table, pred):
         key=key,
     )
     assert got == want, f"predicate {pred!r}: {got} != {want}"
+
+
+_set_expr = st.sampled_from(
+    ["c1 = upper(c1)", "c1 = 'zap'", "c1 = NULL", "c0 = c0 + 100", "c0 = 0"]
+)
+_op = st.tuples(st.sampled_from(["UPDATE", "DELETE"]), _atom, _set_expr)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=2))
+def test_cow_dml_matches_plain_semantics(spark, tmp_path_factory, ops):
+    """COW UPDATE/DELETE over pruned buckets must leave exactly the state a
+    plain (unbucketed) SQL rewrite produces — for any predicate, including
+    ones the pruner can't parse and updates touching the partition column."""
+    import shutil as _sh
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="mpp_dmlprop_")
+    mpp = MppSession(spark, wh)
+    mpp.sql("CREATE TABLE d(c0 INT, c1 TEXT) PARTITION BY (c0) WITH BUCKETS 8")
+    vals = ", ".join(
+        f"({'NULL' if v is None else v}, {'NULL' if s is None else repr(s)})"
+        for v, s in VALUES
+    )
+    mpp.sql(f"INSERT INTO d VALUES {vals}")
+    expected = spark.createDataFrame(VALUES, "c0 int, c1 string")
+
+    try:
+        for kind, pred, setx in ops:
+            expected.createOrReplaceTempView("d_expected")
+            if kind == "UPDATE":
+                mpp.sql(f"UPDATE d SET {setx} WHERE {pred}")
+                col, _, expr = setx.partition("=")
+                col, expr = col.strip(), expr.strip()
+                other = "c1" if col == "c0" else "c0"
+                expected = spark.sql(
+                    f"SELECT CASE WHEN coalesce({pred}, false) THEN CAST(({expr}) AS "
+                    f"{'INT' if col == 'c0' else 'STRING'}) ELSE {col} END AS {col}, {other} "
+                    "FROM d_expected"
+                ).select("c0", "c1")
+            else:
+                mpp.sql(f"DELETE FROM d WHERE {pred}")
+                expected = spark.sql(
+                    f"SELECT * FROM d_expected WHERE NOT coalesce({pred}, false)"
+                )
+            expected = expected.localCheckpoint(eager=True)
+
+        key = lambda t: tuple((x is None, str(x)) for x in t)
+        got = sorted((tuple(r) for r in mpp.sql("SELECT c0, c1 FROM d").collect()), key=key)
+        want = sorted((tuple(r) for r in expected.collect()), key=key)
+        assert got == want, f"ops {ops}: {got} != {want}"
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
