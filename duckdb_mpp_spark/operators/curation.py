@@ -168,3 +168,53 @@ def _oracle() -> str:
 
 
 register("pipeline_corpus_curation", Query(spark=curate, oracle=_oracle()))
+
+
+def train_test_split(spark, sf_dir: str):
+    """Deterministic hash-based corpus split (the reproducible alternative
+    to random sampling for train/eval partitioning): a document's split is
+    a pure function of its id — stable across runs, engines, cluster
+    layouts, and re-partitioning, which row-order-dependent `sample()` is
+    not. Fraction control = threshold on the first 4 hex digits of
+    md5(id) (16-bit uniform)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.when(h16 < int(0.8 * 65536), "train")
+        .when(h16 < int(0.9 * 65536), "valid")
+        .otherwise("test")
+        .alias("split"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        tagged.groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("split", "source")
+    )
+
+
+register(
+    "pipeline_train_test_split",
+    Query(
+        spark=train_test_split,
+        oracle=f"""
+        WITH tagged AS (
+          SELECT doc_id, source,
+                 CASE WHEN h < {int(0.8 * 65536)} THEN 'train'
+                      WHEN h < {int(0.9 * 65536)} THEN 'valid'
+                      ELSE 'test' END AS split,
+                 CAST(len({_duck_tokens()}) AS BIGINT) AS n_tokens
+          FROM (
+            SELECT doc_id, source, text,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS h
+            FROM documents
+          ) t
+        )
+        SELECT split, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        FROM tagged GROUP BY split, source
+        ORDER BY split, source
+        """,
+    ),
+)
