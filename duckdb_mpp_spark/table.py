@@ -152,3 +152,74 @@ class DistributedTable:
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         return "\n".join(lines) + "\n" + plan
+
+
+    # -- operational maintenance ------------------------------------------
+    def bucket_stats(self) -> DataFrame:
+        """Per-bucket file/row statistics — the operational view for skew
+        and small-file monitoring (the reference exposes shard placement in
+        ``__mpp_system.shards`` but no sizes; at 100 TB you watch this to
+        decide when to ``compact()`` and whether the partition column is
+        skewed)."""
+        import os as _os
+
+        rows = []
+        for b in range(self.meta.buckets):
+            d = _os.path.join(self.path, f"{BUCKET_COL}={b}")
+            files = (
+                [f for f in _os.listdir(d) if f.endswith(".parquet")]
+                if _os.path.isdir(d)
+                else []
+            )
+            size = sum(_os.path.getsize(_os.path.join(d, f)) for f in files)
+            rows.append((b, len(files), size))
+        meta_df = self.spark.createDataFrame(
+            rows, "bucket int, n_files int, total_bytes long"
+        )
+        if not self._has_data():
+            return meta_df.withColumn("n_rows", F.lit(0).cast("long"))
+        counts = (
+            self.spark.read.parquet(self.path)
+            .groupBy(F.col(BUCKET_COL).cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        return (
+            meta_df.join(counts, "bucket", "left")
+            .select("bucket", "n_files", "total_bytes", F.coalesce("n_rows", F.lit(0)).alias("n_rows"))
+            .orderBy("bucket")
+        )
+
+    def compact(self, target_files_per_bucket: int = 1) -> int:
+        """Rewrite every non-empty bucket directory down to
+        ``target_files_per_bucket`` files (appends accumulate one file set
+        per insert — the COW small-file problem). Same temp-dir + atomic
+        swap as DML; returns the number of buckets rewritten. At 100 TB run
+        per-bucket (or per-bucket-range) compactions incrementally; the
+        bucket directory is the natural unit of isolation."""
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        if not self._has_data():
+            return 0
+        df = self.spark.read.parquet(self.path)
+        tmp = self.path + f".compact-{_uuid.uuid4().hex[:8]}"
+        n_parts = max(self.meta.buckets * target_files_per_bucket, 1)
+        (
+            df.repartition(n_parts, BUCKET_COL)
+            .sortWithinPartitions(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        rewritten = 0
+        for b in range(self.meta.buckets):
+            src = _os.path.join(tmp, f"{BUCKET_COL}={b}")
+            dst = _os.path.join(self.path, f"{BUCKET_COL}={b}")
+            if _os.path.exists(src):
+                if _os.path.exists(dst):
+                    _shutil.rmtree(dst)
+                _os.replace(src, dst)
+                rewritten += 1
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return rewritten

@@ -169,3 +169,25 @@ def test_insert_column_list_applies_defaults(mpp):
         tuple(r) for r in mpp.sql("SELECT id, name, score FROM ci").collect()
     )
     assert rows == [(1, "anon", None), (2, "anon", None), (3, "anon", 1.5)]
+
+
+def test_compact_and_bucket_stats(mpp):
+    """Repeated inserts accumulate file sets; compact() rewrites buckets to
+    few files without changing contents; bucket_stats() reports the layout."""
+    mpp.sql("CREATE TABLE cp(c0 INT, c1 TEXT) PARTITION BY (c0) WITH BUCKETS 4")
+    for batch in range(3):
+        mpp.sql(f"INSERT INTO cp VALUES ({batch * 10}, 'a'), ({batch * 10 + 1}, 'b')")
+    tbl = mpp.table("cp")
+    before = {r.bucket: r for r in tbl.bucket_stats().collect()}
+    assert sum(r.n_rows for r in before.values()) == 6
+    assert any(r.n_files > 1 for r in before.values())
+    data_before = sorted(tuple(r) for r in tbl.scan().collect())
+
+    rewritten = tbl.compact()
+    assert rewritten >= 1
+    after = {r.bucket: r for r in tbl.bucket_stats().collect()}
+    assert sum(r.n_rows for r in after.values()) == 6
+    assert all(r.n_files <= 1 for r in after.values() if r.n_rows >= 0)
+    assert sorted(tuple(r) for r in tbl.scan().collect()) == data_before
+    # pruning still intact after compaction
+    assert "Shards: 1/4" in tbl.explain(where="c0 = 1")
