@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
     from duckdb_mpp_spark.queries import mpp_layer  # noqa: F401
     from duckdb_mpp_spark.queries import pipeline  # noqa: F401
     from duckdb_mpp_spark.queries import streaming_queries  # noqa: F401
+    from duckdb_mpp_spark.queries import surface_extra  # noqa: F401
 
 
 def run_spark_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
