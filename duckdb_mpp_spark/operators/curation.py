@@ -25,6 +25,7 @@ from duckdb_mpp_spark.operators.dedup import (
     K_MINHASH,
     ROWS_PER_BAND,
     SHINGLE_WORDS,
+    _spread,
     connected_components,
     lsh_candidate_pairs,
     minhash_bands,
@@ -46,7 +47,9 @@ Q_SCALE = 1 << 20  # quality-mean quantization
 
 
 def curate(spark, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
+    # scan-rooted → the parallelism guard is free here and every downstream
+    # stage (scoring, dedup, LSH) inherits the spread partitioning
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     scored = (
         docs.select("doc_id", "text", "source", language_id("text").alias("plang"))
         .join(quality_features(docs).select("doc_id", "quality_score"), "doc_id")
@@ -129,14 +132,20 @@ def _oracle() -> str:
         SELECT unnest(range(1, greatest(len(ws) - {SHINGLE_WORDS - 1}, 1) + 1)) AS i
       ) t
     ),
+    hsh AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(sh), 1, 14))::BIGINT AS h1,
+             ('0x' || substring(md5(sh), 15, 14))::BIGINT AS h2
+      FROM shingles
+    ),
     mh AS (
-      SELECT doc_id, s.i AS seed, min(md5(CAST(s.i AS VARCHAR) || ':' || sh)) AS mh
-      FROM shingles, (SELECT unnest(range({K_MINHASH})) AS i) s
+      SELECT doc_id, s.i AS seed, min(h1 + s.i * h2) AS mh
+      FROM hsh, (SELECT unnest(range({K_MINHASH})) AS i) s
       GROUP BY doc_id, s.i
     ),
     bands AS (
       SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band,
-             string_agg(mh, ',' ORDER BY seed) AS band_key
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
       FROM mh GROUP BY doc_id, 2
     ),
     pairs AS (

@@ -10,11 +10,17 @@ stack, built Spark-first:
   comparison ever materializes. At 100 TB the band join's fan-out is
   bounded by bucket sizes, the textbook LSH property.
 
-Cross-engine determinism: the hash family is ``md5(seed || ':' || shingle)``
-compared as lowercase hex strings — identical in Spark and DuckDB, so
-signatures, candidate pairs, and Jaccard scores hash-match the oracle
-exactly (Spark's ``hash()`` is Murmur3 and would NOT match DuckDB;
-md5 is the portable choice, SURVEY §2.A5 hash-identity note).
+Cross-engine determinism: the hash family is double hashing over ONE md5
+per shingle — ``h1``/``h2`` are the first/second 14 hex digits of
+``md5(shingle)`` as 56-bit ints, and minhash *i* minimizes ``h1 + i*h2``
+(Kirsch–Mitzenmacher construction). Integer arithmetic is identical in
+Spark and DuckDB, so signatures, candidate pairs, and Jaccard scores
+hash-match the oracle exactly (Spark's ``hash()`` is Murmur3 and would NOT
+match DuckDB; md5 is the portable choice, SURVEY §2.A5 hash-identity note).
+One md5 instead of K per shingle makes the map side ~K× cheaper — at 100 TB
+the shingle hash scan dominates dedup cost, so this is the difference
+between 1× and 12× corpus-hash throughput. No overflow: ``h1 + 11*h2 <
+12·2^56 < 2^63``.
 
 Defaults: 3-word shingles, k=12 minhashes, 4 bands × 3 rows.
 """
@@ -60,6 +66,27 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Guarantee map-side parallelism for CPU-heavy expression stages.
+
+    A small corpus file arrives as one scan partition, which would serialize
+    the shingle/hash map work onto a single core; repartition on the id only
+    when the scan under-parallelizes (#partitions < cores). At 100 TB the
+    input already has thousands of partitions and this is a no-op — no extra
+    shuffle on the big path.
+
+    Call this ONLY on scan-rooted inputs: under AQE, reading
+    ``df.rdd.getNumPartitions()`` on a plan that contains shuffles executes
+    those shuffle stages just to finalize partitioning — on a plain file
+    scan it is free. Frames that already passed through a shuffle are at
+    ``spark.sql.shuffle.partitions`` and don't need spreading."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Word k-gram shingles, exploded to (id, shingle)."""
     ws = tokens(text_col)
@@ -80,11 +107,16 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     K× the shingle stream. At 100 TB this is the difference between
     shuffling ~K·corpus and shuffling ~K·#docs."""
     sh = shingles(df, id_col, text_col)
+    hx = F.md5(F.col("sh"))
+    h = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(hx, 15, 14), 16, 10).cast("bigint").alias("h2"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
-        for s in range(K_MINHASH)
+        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
     ]
-    mh = sh.groupBy(id_col).agg(*mins)
+    mh = h.groupBy(id_col).agg(*mins)
     band_structs = F.array(
         *[
             F.struct(
@@ -103,7 +135,14 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs sharing at least one band bucket."""
+    """Distinct candidate pairs sharing at least one band bucket.
+
+    The band table is materialized (``localCheckpoint``) before the
+    self-join: signatures are tiny (N_BANDS short rows per doc — ~10⁻³ of
+    corpus bytes) while their lineage is the full shingle→hash pipeline, so
+    without materialization both join sides would recompute the corpus scan.
+    Same move a 100 TB run wants: write signatures once, join twice."""
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_key")
     )
@@ -185,7 +224,12 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded by the top-16 bits
     (the scale path: candidate pairs must share a 16-bit prefix, so the join
-    is an equi-join on the band, never an all-pairs cross)."""
+    is an equi-join on the band, never an all-pairs cross).
+
+    Fingerprints are materialized before the self-join (same reasoning as
+    ``lsh_candidate_pairs``: one 8-byte row per doc vs recomputing the
+    token-bit pipeline for both join sides)."""
+    sim = sim.localCheckpoint(eager=False)
     a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
     a = a.withColumn("prefix", F.expr("CAST(sim_a / 65536 AS BIGINT)"))
@@ -214,14 +258,20 @@ _DUCK_SHINGLES = f"""
 
 _DUCK_BANDS = f"""
   WITH {_DUCK_SHINGLES},
+  hsh AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(sh), 1, 14))::BIGINT AS h1,
+           ('0x' || substring(md5(sh), 15, 14))::BIGINT AS h2
+    FROM shingles
+  ),
   mh AS (
-    SELECT doc_id, s.i AS seed, min(md5(CAST(s.i AS VARCHAR) || ':' || sh)) AS mh
-    FROM shingles, (SELECT unnest(range({K_MINHASH})) AS i) s
+    SELECT doc_id, s.i AS seed, min(h1 + s.i * h2) AS mh
+    FROM hsh, (SELECT unnest(range({K_MINHASH})) AS i) s
     GROUP BY doc_id, s.i
   ),
   bands AS (
     SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band,
-           string_agg(mh, ',' ORDER BY seed) AS band_key
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
     FROM mh GROUP BY doc_id, 2
   )"""
 
@@ -246,7 +296,7 @@ def _register():
     )
 
     def bands_fn(spark, sf_dir):
-        return minhash_bands(load_table(spark, sf_dir, "documents")).orderBy("doc_id", "band")
+        return minhash_bands(_spread(load_table(spark, sf_dir, "documents"), "doc_id")).orderBy("doc_id", "band")
 
     register(
         "dedup_minhash_signatures",
@@ -257,7 +307,7 @@ def _register():
     )
 
     def pairs_fn(spark, sf_dir):
-        bands = minhash_bands(load_table(spark, sf_dir, "documents"))
+        bands = minhash_bands(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
         return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
 
     register(
@@ -275,7 +325,7 @@ def _register():
     )
 
     def jaccard_fn(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
         sh = shingles(docs)
         pairs = lsh_candidate_pairs(minhash_bands(docs))
         return (
@@ -316,7 +366,7 @@ def _register():
     )
 
     def simhash_fn(spark, sf_dir):
-        return simhash32(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+        return simhash32(_spread(load_table(spark, sf_dir, "documents"), "doc_id")).orderBy("doc_id")
 
     register(
         "dedup_simhash",
@@ -344,7 +394,7 @@ def _register():
     )
 
     def simhash_pairs_fn(spark, sf_dir):
-        sim = simhash32(load_table(spark, sf_dir, "documents"))
+        sim = simhash32(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
         return simhash_neighbor_pairs(sim).orderBy("doc_a", "doc_b")
 
     register(
@@ -436,7 +486,7 @@ def connected_components(
 def cluster_assign(spark, sf_dir: str) -> DataFrame:
     """Full dedup decision pipeline: LSH candidate pairs → connected
     components → (doc_id, cluster_id, cluster_size, is_canonical)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = lsh_candidate_pairs(minhash_bands(docs))
     labels = connected_components(pairs, docs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
