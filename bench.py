@@ -35,9 +35,11 @@ HEADLINE = [
     "q18_large_volume_customer",
     "window_topk_per_group",
     "agg_cube",
+    "agg_percentiles_exact",
     # events / time-series
     "events_sessionization",
     "asof_join_events_orders",
+    "events_cohort_retention",
     # distributed-table layer (create + bucketed insert + pruned scan)
     "mpp_create_insert_scan",
     # LLM-pipeline operators
@@ -45,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "embedding_neardup_pairs",
     "text_quality_score",
+    "text_top_tokens",
     # streaming runtime
     "streaming_hourly_agg",
 ]

@@ -243,3 +243,48 @@ register(
         """
     ),
 )
+
+
+# Cohort retention: users grouped by first-activity week, counted in each
+# subsequent week they return. Two grouped passes over events (first-touch
+# per user, then distinct user-weeks) joined on user_id — at scale both
+# shuffles key on user_id, so AQE reuses the exchange; the result is tiny
+# (#cohorts × #weeks). Day difference is engine-split only in name:
+# Spark datediff(end, start) ≡ DuckDB date_diff('day', start, end).
+register(
+    "events_cohort_retention",
+    Query(
+        spark="""
+            WITH firsts AS (
+              SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id
+            ),
+            activity AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+              FROM events
+            )
+            SELECT f.cohort_week,
+                   CAST(floor(datediff(a.act_week, f.cohort_week) / 7) AS INT) AS weeks_since,
+                   COUNT(*) AS n_users
+            FROM firsts f JOIN activity a USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        oracle="""
+            WITH firsts AS (
+              SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id
+            ),
+            activity AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+              FROM events
+            )
+            SELECT f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week, a.act_week) / 7) AS INT) AS weeks_since,
+                   COUNT(*) AS n_users
+            FROM firsts f JOIN activity a USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+    ),
+)
