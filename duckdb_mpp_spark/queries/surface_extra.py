@@ -229,3 +229,37 @@ register(
         """,
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# shared-dialect SQL conveniences: GROUP BY ALL, LIMIT/OFFSET pagination
+# (both supported verbatim by Spark 4 and DuckDB)
+# ---------------------------------------------------------------------------
+register(
+    "agg_group_by_all",
+    Query(
+        spark="""
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY ALL
+            ORDER BY o_orderpriority, o_orderstatus
+        """
+    ),
+)
+
+# Pagination is a TopK under the hood: ORDER BY + LIMIT/OFFSET plans as
+# TakeOrderedAndProject(limit + offset) — no global sort materialization.
+# Unique o_orderkey in ORDER BY makes the page deterministic cross-engine.
+register(
+    "limit_offset_pagination",
+    Query(
+        spark="""
+            SELECT o_orderkey, o_custkey, o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 25 OFFSET 50
+        """
+    ),
+)
