@@ -163,7 +163,9 @@ def jaccard_verify(
     """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
     Set semantics: distinct shingles per doc; integer intersection/union
     counts so the division is engine-identical."""
-    dsh = sh.distinct()
+    # distinct shingles feed three consumers (two join sides + sizes):
+    # materialize once instead of recomputing the shingle pipeline thrice
+    dsh = sh.distinct().localCheckpoint(eager=False)
     sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         dsh.select(F.col(id_col).alias("doc_a"), "sh")
@@ -456,6 +458,10 @@ def connected_components(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # materialize the edge list once: its lineage is the whole LSH pipeline,
+    # and every iteration joins against it — without this the corpus-scan →
+    # shingle → band join recomputes O(diameter) times
+    edges = edges.localCheckpoint(eager=False)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
     for _ in range(max_iter):
@@ -471,7 +477,9 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it — one job per round instead of two
+        new_labels = new_labels.localCheckpoint(eager=False)
         # labels only ever decrease → the label sum is strictly monotone and
         # stationary exactly at the fixpoint; one cheap agg replaces a
         # change-detection join.
