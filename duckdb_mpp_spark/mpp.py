@@ -58,16 +58,65 @@ _INSERT_RE = re.compile(
     r"(?P<rest>(?:VALUES|SELECT|WITH|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# SET/WHERE tails are captured raw and split with the quote-aware scanner
+# (_find_keyword_top_level) — a regex ' WHERE ' split would match inside
+# string literals (``SET note = 'x WHERE y'``) and inside subqueries.
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>[\w.\"]+)\s+SET\s+(?P<sets>.*?)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+(?P<name>[\w.\"]+)\s+SET\s+(?P<rest>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)(?P<rest>\s+.*?)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _find_keyword_top_level(text: str, word: str, start: int = 0) -> int:
+    """Index of the first standalone ``word`` (case-insensitive) at paren
+    depth 0, outside single-quoted literals ('' escapes) and double-quoted
+    identifiers; -1 if absent."""
+    depth, i, n, wl, wu = 0, start, len(text), len(word), word.upper()
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+        elif ch == '"':
+            j = text.find('"', i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "(":
+            depth += 1
+            i += 1
+        elif ch == ")":
+            depth -= 1
+            i += 1
+        elif depth == 0 and text[i : i + wl].upper() == wu:
+            before = text[i - 1] if i > 0 else " "
+            after = text[i + wl] if i + wl < n else " "
+            if not (before.isalnum() or before in "_$.") and not (
+                after.isalnum() or after in "_$"
+            ):
+                return i
+            i += 1
+        else:
+            i += 1
+    return -1
+
+
+def _split_where_tail(rest: str) -> tuple[str, str | None]:
+    """Split ``<head> WHERE <pred>`` at the top-level WHERE (quote-aware);
+    returns (head, predicate-or-None)."""
+    idx = _find_keyword_top_level(rest, "WHERE")
+    if idx < 0:
+        return rest.strip(), None
+    return rest[:idx].strip(), rest[idx + len("WHERE"):].strip() or None
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -140,9 +189,11 @@ _DEFAULT_CLAUSE_RE = re.compile(
 
 def parse_column_defs(cols_text: str) -> tuple[T.StructType, dict[str, str]]:
     """Parse ``c0 INT, name TEXT DEFAULT 'foo' NOT NULL`` into a Spark schema
-    + per-column default literal map. Constraints (NOT NULL / UNIQUE /
-    PRIMARY KEY) are accepted and recorded as nullability only — Spark does
-    not enforce constraints (SURVEY §1.3 semantic gap, documented)."""
+    + per-column default literal map. NOT NULL is recorded as nullability and
+    enforced on the insert path (``DistributedTable.insert`` raise_error —
+    parity with the reference carrying constraints into shard DDL,
+    create_distributed_table.cpp:107). UNIQUE / PRIMARY KEY are accepted but
+    not enforced (SURVEY §1.3 semantic gap, documented)."""
     fields, defaults = [], {}
     for coldef in _split_top_level(cols_text):
         if re.match(r"^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b", coldef, re.I):
@@ -300,15 +351,19 @@ class MppSession:
 
         m = _UPDATE_RE.match(stripped)
         if m and self.catalog.exists(_ident(m.group("name"))):
+            sets_text, where = _split_where_tail(m.group("rest"))
             assignments = {}
-            for part in _split_top_level(m.group("sets")):
+            for part in _split_top_level(sets_text):
                 col, _, expr = part.partition("=")
                 assignments[_ident(col.strip())] = expr.strip()
-            return _dml.update(self.table(_ident(m.group("name"))), assignments, m.group("where"))
+            return _dml.update(self.table(_ident(m.group("name"))), assignments, where)
 
         m = _DELETE_RE.match(stripped)
         if m and self.catalog.exists(_ident(m.group("name"))):
-            return _dml.delete(self.table(_ident(m.group("name"))), m.group("where"))
+            head, where = _split_where_tail(m.group("rest") or "")
+            if head:  # DELETE ... USING etc. — not the supported shape
+                raise NotImplementedError(f"unsupported DELETE clause: {head!r}")
+            return _dml.delete(self.table(_ident(m.group("name"))), where)
 
         m = _DROP_RE.match(stripped)
         if m:
@@ -317,6 +372,20 @@ class MppSession:
                 return None
             return self.drop_table(name)
 
+        # SHOW TABLES lists the MPP catalog's live distributed tables
+        # (test/sql/mpp.test:41-44 asserts t1 appears after CREATE and the
+        # list is empty after DROP — tombstones excluded). Falling through to
+        # spark.sql would list temp views instead, which is wrong here.
+        if upper == "SHOW TABLES":
+            names = sorted(self.catalog._tables)
+            return self.spark.createDataFrame(
+                [(n,) for n in names], T.StructType([T.StructField("name", T.StringType(), False)])
+            )
+
+        dm = re.match(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?P<name>[\w.\"]+)\s*$", stripped, re.IGNORECASE)
+        if dm and self.catalog.exists(_ident(dm.group("name"))):
+            return self._describe(_ident(dm.group("name")))
+
         if upper.startswith("EXPLAIN"):
             inner = stripped[len("EXPLAIN"):].strip()
             return self.explain(inner)
@@ -324,6 +393,42 @@ class MppSession:
         return self._run_select(stripped)
 
     # -- internals --------------------------------------------------------
+    _DESCRIBE_TYPE = {
+        "int": "INTEGER", "smallint": "SMALLINT", "tinyint": "TINYINT",
+        "bigint": "BIGINT", "string": "VARCHAR", "double": "DOUBLE",
+        "float": "FLOAT", "date": "DATE", "timestamp": "TIMESTAMP",
+        "boolean": "BOOLEAN",
+    }
+
+    def _describe(self, name: str) -> DataFrame:
+        """DESCRIBE <distributed table> — DuckDB-shaped output
+        (column_name, column_type, null, key, default, extra)."""
+        meta = self.catalog.get(name)
+        rows = []
+        for f in meta.schema.fields:
+            s = f.dataType.simpleString()
+            rows.append(
+                (
+                    f.name,
+                    self._DESCRIBE_TYPE.get(s, s.upper()),
+                    "YES" if f.nullable else "NO",
+                    None,
+                    meta.defaults.get(f.name),
+                    None,
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("column_name", T.StringType(), False),
+                T.StructField("column_type", T.StringType(), False),
+                T.StructField("null", T.StringType(), False),
+                T.StructField("key", T.StringType(), True),
+                T.StructField("default", T.StringType(), True),
+                T.StructField("extra", T.StringType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def _view_exists(self, name: str) -> bool:
         try:
             return any(t.name == name for t in self.spark.catalog.listTables())
@@ -376,13 +481,24 @@ class MppSession:
                 found.append(name)
         return found
 
+    def _where_span(self, query: str) -> tuple[int, int] | None:
+        """(start, end) of the top-level WHERE predicate text, located with
+        the quote/paren-aware scanner (a blind regex would match WHERE inside
+        string literals or CTE bodies)."""
+        idx = _find_keyword_top_level(query, "WHERE")
+        if idx < 0:
+            return None
+        start = idx + len("WHERE")
+        end = len(query)
+        for kw in ("GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY", "WINDOW"):
+            k = _find_keyword_top_level(query, kw, start)
+            if 0 <= k < end:
+                end = k
+        return start, end
+
     def _where_text(self, query: str) -> str | None:
-        m = re.search(
-            r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|\bQUALIFY\b|$)",
-            query,
-            re.IGNORECASE | re.DOTALL,
-        )
-        return m.group(1).strip() if m else None
+        span = self._where_span(query)
+        return query[span[0]:span[1]].strip() if span else None
 
     def _alias_names(self, query: str, part_col: str) -> set[str]:
         """Select-list aliases of the partition column, so pruning resolves
@@ -401,30 +517,69 @@ class MppSession:
                 aliases.add(word)
         return aliases
 
+    _NON_ALIAS_KEYWORDS = frozenset(
+        "FROM WHERE GROUP ORDER AND OR AS IN IS NOT JOIN ON LIMIT HAVING BY "
+        "ASC DESC LEFT RIGHT INNER OUTER FULL CROSS SEMI ANTI USING UNION "
+        "INTERSECT EXCEPT SET NATURAL LATERAL QUALIFY WINDOW".split()
+    )
+
+    def _table_qualifiers(self, query: str, name: str) -> set[str]:
+        """Relation names that denote distributed table ``name`` in ``query``:
+        the table name itself plus any ``FROM name [AS] alias`` aliases —
+        the qualifier whitelist for pruning (a filter qualified by any other
+        relation must never prune this table)."""
+        quals = {name.lower()}
+        for m in re.finditer(
+            rf"\b{re.escape(name)}\s+(?:AS\s+)?([A-Za-z_]\w*)\b", query, re.IGNORECASE
+        ):
+            word = m.group(1)
+            if word.upper() not in self._NON_ALIAS_KEYWORDS:
+                quals.add(word.lower())
+        return quals
+
     def _rewrite_where_aliases(self, query: str) -> str:
         """DuckDB allows select-list aliases in WHERE (``SELECT id AS c0 ...
         WHERE c0=1``, test/sql/mpp_filter.test:55); Spark resolves lateral
         aliases only in the select list. Substitute simple column aliases
         back into the WHERE text so the inherited surface matches."""
-        m = re.search(r"\bSELECT\b(.*?)\bFROM\b", query, re.IGNORECASE | re.DOTALL)
-        wm = re.search(
-            r"\bWHERE\b(.*?)(\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|$)",
-            query,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not m or not wm:
+        sel = _find_keyword_top_level(query, "SELECT")
+        frm = _find_keyword_top_level(query, "FROM", sel + 6 if sel >= 0 else 0)
+        span = self._where_span(query)
+        if sel < 0 or frm < 0 or span is None:
             return query
         mapping = {}
-        for item in _split_top_level(m.group(1)):
+        for item in _split_top_level(query[sel + 6 : frm]):
             am = re.match(r"^([A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)$", item, re.IGNORECASE)
-            if am and am.group(2).upper() not in ("FROM",):
-                mapping[am.group(2)] = am.group(1)
+            if am and am.group(2).upper() not in ("FROM",) and am.group(1) != am.group(2):
+                mapping[am.group(2).lower()] = am.group(1)
         if not mapping:
             return query
-        where = wm.group(1)
-        for alias, base in mapping.items():
-            where = re.sub(rf"\b{re.escape(alias)}\b", base, where)
-        return query[: wm.start(1)] + where + query[wm.end(1):]
+        # Aliases that shadow a real column of a referenced distributed table
+        # resolve to the base column in both DuckDB and Spark — don't rewrite.
+        shadowed = set()
+        for tname in self._distributed_tables_in(query):
+            for f in self.catalog.get(tname).schema.fields:
+                shadowed.add(f.name.lower())
+        # Tokenize the WHERE text (same lexer as pruning) and substitute only
+        # bare word tokens: string literals and qualified (dotted) refs pass
+        # through untouched, so ``WHERE name = 'c0'`` and ``t.c0`` are safe.
+        from duckdb_mpp_spark.pruning import _tokenize
+
+        toks = _tokenize(query[span[0]:span[1]].strip())
+        if toks is None:
+            return query
+        out, changed = [], False
+        for kind, val in toks:
+            if kind == "word" and "." not in val:
+                base = mapping.get(val.lower())
+                if base is not None and val.lower() not in shadowed:
+                    out.append(base)
+                    changed = True
+                    continue
+            out.append(val)
+        if not changed:
+            return query
+        return query[: span[0]] + " " + " ".join(out) + " " + query[span[1]:]
 
     def _register_views_for_query(self, query: str) -> list[str]:
         names = self._distributed_tables_in(query)
@@ -441,6 +596,7 @@ class MppSession:
                 pred = bucket_predicate_for_where(
                     where, tbl.meta.partition_column, tbl._part_type_ddl,
                     tbl.meta.buckets, aliases,
+                    qualifiers=self._table_qualifiers(query, name),
                 )
                 if pred and tbl._has_data():
                     df = df.where(pred)
@@ -467,7 +623,9 @@ class MppSession:
         for name in names:
             tbl = self.table(name)
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
-            ids = tbl.pruned_bucket_ids(where, aliases)
+            ids = tbl.pruned_bucket_ids(
+                where, aliases, qualifiers=self._table_qualifiers(query, name)
+            )
             header.append(f"Table: {name}")
             header.append(f"Shards: {len(ids)}/{tbl.meta.buckets}")
             if where:

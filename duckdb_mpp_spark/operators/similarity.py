@@ -428,7 +428,7 @@ def _register_kmeans():
             assigned.groupBy("cluster_id")
             .agg(
                 F.count("*").alias("n_members"),
-                F.cast("double", F.sum(F.round("d2", 6).cast("decimal(18,6)"))).alias("inertia"),
+                F.sum(F.round("d2", 6).cast("decimal(18,6)")).cast("double").alias("inertia"),
             )
             .orderBy("cluster_id")
         )

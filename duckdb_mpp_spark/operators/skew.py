@@ -27,6 +27,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt: xxhash64 over every column.
+
+    Deliberately NOT ``monotonically_increasing_id()``/``rand()`` — those are
+    nondeterministic under task retry and speculative execution, so a retried
+    map task would re-salt rows differently from the shuffle files reducers
+    already fetched, silently double/under-counting. Hashing row content is
+    retry-stable: the same input row always lands on the same sub-key.
+    Identical duplicate rows share a salt, which only costs balance (bounded
+    by the duplicate multiplicity), never correctness.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
@@ -40,7 +54,7 @@ def salted_agg(
     per keys. E.g. partial ``F.count('*').alias('c')`` merges with
     ``F.sum('c').alias('n')``; partial sum merges with sum of sums.
     """
-    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    salted = df.withColumn("__salt", _salt_col(df, n_salts))
     partial = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
     return partial.groupBy(*key_cols).agg(*final_aggs)
 
@@ -52,11 +66,22 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with hot left keys: left rows pick a random-but-stable salt,
-    right rows replicate to every salt, the join runs on (key, salt)."""
-    l_salted = left.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
-    )
+    """Equi-join with hot left keys: left rows pick a content-derived stable
+    salt, right rows replicate to every salt, the join runs on (key, salt).
+
+    Only left-preserving join types are legal: the right side is replicated
+    ``n_salts``×, so right/full outer (and right semi/anti) would emit each
+    unmatched right row once per salt — duplicated wrong results.
+    """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} (right rows are replicated {n_salts}x, so right/full "
+            "outer would duplicate unmatched right rows)"
+        )
+    l_salted = left.withColumn("__salt", _salt_col(left, n_salts))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -259,7 +259,12 @@ class _Parser:
 
 
 def _base_col(name: str) -> str:
-    return name.split(".")[-1].strip('"').lower()
+    """Normalize a column ref, KEEPING any table qualifier: ``T."C0"`` →
+    ``t.c0``. Qualified refs are matched against the distributed table's
+    name/aliases in ``bucket_predicate`` — stripping the qualifier here would
+    let a filter on a *different* relation's same-named column prune the
+    distributed table (result-changing, see ADVICE r01)."""
+    return ".".join(p.strip('"').lower() for p in name.split("."))
 
 
 def parse_predicate(text: str):
@@ -288,15 +293,37 @@ def _hash_expr(lit: str, ptype_ddl: str, buckets: int) -> str:
 
 
 def bucket_predicate(
-    ast, part_col: str, ptype_ddl: str, buckets: int, aliases: set[str] | None = None
+    ast,
+    part_col: str,
+    ptype_ddl: str,
+    buckets: int,
+    aliases: set[str] | None = None,
+    qualifiers: set[str] | None = None,
 ) -> str | None:
     """SQL predicate over ``__bucket`` implied by ``ast``, or None.
 
     ``aliases``: alternative names that refer to the partition column
     (the reference resolves the partition column through projection aliases,
     ``src/include/common/expression_helper.hpp:16-34``).
+    ``qualifiers``: relation names/aliases that denote the distributed table
+    itself. A qualified ref (``e.c0``) only matches when its qualifier is in
+    this set — the reference prunes on *bound* expressions and can never
+    attribute another relation's column to the partition column; with no
+    qualifier knowledge we must treat every qualified ref as foreign (no
+    pruning) to stay correctness-neutral.
     """
     names = {part_col.lower()} | {a.lower() for a in (aliases or set())}
+    quals = {q.lower() for q in (qualifiers or set())}
+
+    def col_matches(col: str | None) -> bool:
+        if col is None:
+            return False
+        parts = col.split(".")
+        if parts[-1] not in names:
+            return False
+        if len(parts) == 1:
+            return True
+        return parts[-2] in quals
 
     def rec(node) -> str | None:
         if isinstance(node, BoolOp):
@@ -309,7 +336,7 @@ def bucket_predicate(
                 return None
             return f"({' OR '.join(parts)})"
         if isinstance(node, Atom):
-            if node.col not in names:
+            if not col_matches(node.col):
                 return None
             if node.kind == "eq":
                 return f"__bucket = {_hash_expr(node.literals[0], ptype_ddl, buckets)}"
@@ -329,13 +356,14 @@ def bucket_predicate_for_where(
     ptype_ddl: str,
     buckets: int,
     aliases: set[str] | None = None,
+    qualifiers: set[str] | None = None,
 ) -> str | None:
     if not where:
         return None
     ast = parse_predicate(where)
     if ast is None:
         return None
-    return bucket_predicate(ast, part_col, ptype_ddl, buckets, aliases)
+    return bucket_predicate(ast, part_col, ptype_ddl, buckets, aliases, qualifiers)
 
 
 def evaluate_bucket_ids(

@@ -86,6 +86,25 @@ class DistributedTable:
                 for c in cols
             ]
         )
+        # NOT NULL enforcement: the reference carries column constraints into
+        # the shard DDL, where DuckDB rejects null inserts
+        # (src/function/create_distributed_table.cpp:107-108). Enforced here
+        # inline with raise_error — single pass, no validation pre-scan; a
+        # failing write job never commits files (FileOutputCommitter), so the
+        # table is untouched on rejection.
+        for field in self.meta.schema.fields:
+            if not field.nullable:
+                msg = (
+                    f"NOT NULL constraint failed: NULL value in column "
+                    f'"{field.name}" of table "{self.meta.name}"'
+                )
+                aligned = aligned.withColumn(
+                    field.name,
+                    F.when(
+                        F.col(field.name).isNull(),
+                        F.raise_error(F.lit(msg)).cast(field.dataType),
+                    ).otherwise(F.col(field.name)),
+                )
         routed = self.route(aligned)
         # One shuffle so each bucket directory is written by few tasks (no
         # small-file explosion when every input task holds every bucket).
@@ -106,6 +125,7 @@ class DistributedTable:
         columns: list[str] | None = None,
         aliases: set[str] | None = None,
         keep_bucket: bool = False,
+        qualifiers: set[str] | None = None,
     ) -> DataFrame:
         """Bucket-pruned scan. ``where`` is applied in full by Catalyst; the
         derived ``__bucket`` predicate only narrows which directories the
@@ -118,7 +138,7 @@ class DistributedTable:
         df = self.spark.read.parquet(self.path)
         bucket_pred = bucket_predicate_for_where(
             where, self.meta.partition_column, self._part_type_ddl,
-            self.meta.buckets, aliases,
+            self.meta.buckets, aliases, qualifiers or {self.meta.name},
         )
         if bucket_pred:
             df = df.where(bucket_pred)
@@ -129,10 +149,15 @@ class DistributedTable:
             out_cols = out_cols + [BUCKET_COL]
         return df.select(*out_cols)
 
-    def pruned_bucket_ids(self, where: str | None, aliases: set[str] | None = None) -> list[int]:
+    def pruned_bucket_ids(
+        self,
+        where: str | None,
+        aliases: set[str] | None = None,
+        qualifiers: set[str] | None = None,
+    ) -> list[int]:
         bucket_pred = bucket_predicate_for_where(
             where, self.meta.partition_column, self._part_type_ddl,
-            self.meta.buckets, aliases,
+            self.meta.buckets, aliases, qualifiers or {self.meta.name},
         )
         return evaluate_bucket_ids(self.spark, bucket_pred, self.meta.buckets)
 

@@ -1,0 +1,145 @@
+"""Regressions for the round-1 ADVICE findings on the SQL front door:
+
+- alias-in-WHERE rewrite must not touch string literals or qualified refs,
+  and must not substitute an alias that shadows a real column;
+- UPDATE/DELETE must split SET/WHERE quote-aware (a literal containing
+  ' WHERE ' must not corrupt the statement);
+- bucket pruning must never attribute another relation's same-named column
+  to the partition column (qualified refs match only the distributed
+  table's own name/aliases);
+- skew salting must be deterministic (retry-safe) and salted_join must
+  reject non-left-preserving join types.
+"""
+
+import re
+
+import pytest
+
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def t1(mpp):
+    mpp.sql("CREATE TABLE t1(id INT, name TEXT) PARTITION BY (id) WITH BUCKETS 8")
+    mpp.sql(
+        "INSERT INTO t1 VALUES (1, 'a'), (2, 'b'), (3, 'c0'), (4, 'x WHERE y')"
+    )
+    return mpp
+
+
+# -- alias rewrite ----------------------------------------------------------
+
+def test_alias_rewrite_preserves_string_literals(t1):
+    # ADVICE r01: SELECT a AS b ... WHERE b = 'b' must compare against the
+    # literal 'b', not a rewritten 'a'.
+    q = "SELECT id AS c0, name FROM t1 WHERE name = 'c0'"
+    assert rows(t1.sql(q)) == [(3, "c0")]
+
+
+def test_alias_rewrite_skips_shadowing_alias(t1):
+    # alias `name` shadows the real column `name`: WHERE resolves to the
+    # base column in DuckDB and Spark alike — no substitution.
+    q = "SELECT id, upper(name) AS name FROM t1 WHERE name = 'a'"
+    assert rows(t1.sql(q)) == [(1, "A")]
+
+
+def test_alias_rewrite_skips_qualified_refs(t1):
+    # t1.id is a qualified ref to the base column, not the alias target.
+    q = "SELECT t1.id AS x, t1.name FROM t1 WHERE t1.id = 2"
+    assert rows(t1.sql(q)) == [(2, "b")]
+
+
+def test_alias_rewrite_still_applies(t1):
+    q = "SELECT id AS c0, name AS c1 FROM t1 WHERE c0 = 1 AND c1 = 'a'"
+    assert rows(t1.sql(q)) == [(1, "a")]
+
+
+# -- quote-aware UPDATE / DELETE -------------------------------------------
+
+def test_update_set_literal_containing_where(t1):
+    n = t1.sql("UPDATE t1 SET name = 'p WHERE q' WHERE id = 1")
+    assert n == 1
+    assert rows(t1.sql("SELECT name FROM t1 WHERE id = 1")) == [("p WHERE q",)]
+
+
+def test_update_literal_where_without_predicate(t1):
+    # no real WHERE at all: the one inside the literal must not be split on
+    n = t1.sql("UPDATE t1 SET name = 'x WHERE y'")
+    assert n == 4
+    assert rows(t1.sql("SELECT DISTINCT name FROM t1")) == [("x WHERE y",)]
+
+
+def test_delete_where_literal_containing_where(t1):
+    n = t1.sql("DELETE FROM t1 WHERE name = 'x WHERE y'")
+    assert n == 1
+    assert rows(t1.sql("SELECT count(*) AS n FROM t1")) == [(3,)]
+
+
+def test_split_where_tail_is_quote_and_paren_aware():
+    # WHERE inside a string literal or a parenthesized subquery is depth>0 /
+    # quoted — the top-level split must land on the real WHERE only.
+    from duckdb_mpp_spark.mpp import _split_where_tail
+
+    assert _split_where_tail("name = 'x WHERE y'") == ("name = 'x WHERE y'", None)
+    assert _split_where_tail("name = 'a' WHERE id = 1") == ("name = 'a'", "id = 1")
+    assert _split_where_tail(
+        "id = (SELECT max(id) FROM t WHERE name = 'b') WHERE name = 'a'"
+    ) == ("id = (SELECT max(id) FROM t WHERE name = 'b')", "name = 'a'")
+    assert _split_where_tail("note = 'it''s WHERE here' WHERE id = 2") == (
+        "note = 'it''s WHERE here'",
+        "id = 2",
+    )
+
+
+# -- pruning qualifier attribution -------------------------------------------
+
+def _shards(explain_text: str) -> str:
+    m = re.search(r"Shards: (\d+/\d+)", explain_text)
+    assert m, explain_text
+    return m.group(1)
+
+
+def test_foreign_qualified_ref_never_prunes(t1, spark):
+    # ev has a column literally named `id` (the partition column's name) —
+    # a filter on ev.id must NOT prune t1 (ADVICE r01: result-changing).
+    spark.createDataFrame([(5, 1), (5, 2), (7, 3)], "id int, k int") \
+        .createOrReplaceTempView("ev")
+    q = "SELECT t1.id, t1.name FROM t1 JOIN ev ON t1.id = ev.k WHERE ev.id = 5"
+    assert rows(t1.sql(q), "id") == [(1, "a"), (2, "b")]
+    assert _shards(t1.sql("EXPLAIN " + q)) == "8/8"
+
+
+def test_own_qualifier_and_alias_still_prune(t1):
+    assert _shards(t1.sql("EXPLAIN SELECT * FROM t1 WHERE t1.id = 1")) == "1/8"
+    assert _shards(t1.sql("EXPLAIN SELECT * FROM t1 e WHERE e.id = 1")) == "1/8"
+    tbl = t1.table("t1")
+    assert len(tbl.pruned_bucket_ids("ev.id = 5")) == 8  # foreign qualifier
+    assert len(tbl.pruned_bucket_ids("t1.id = 5")) == 1
+    assert len(tbl.pruned_bucket_ids("id = 5")) == 1
+
+
+# -- deterministic salting ----------------------------------------------------
+
+def test_salted_join_rejects_right_outer(spark):
+    from duckdb_mpp_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "x")], "k int, v string")
+    right = spark.createDataFrame([(1, "d")], "k int, name string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, "k", how=how)
+
+
+def test_salt_is_deterministic_expression(spark):
+    # retry-safety proxy: the salt expression must not contain
+    # nondeterministic expressions (monotonically_increasing_id / rand).
+    from duckdb_mpp_spark.operators.skew import _salt_col
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    salted = df.withColumn("__salt", _salt_col(df, 16))
+    plan = salted._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert "rand(" not in plan
+    a = sorted(tuple(r) for r in salted.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b

@@ -191,3 +191,41 @@ def test_compact_and_bucket_stats(mpp):
     assert sorted(tuple(r) for r in tbl.scan().collect()) == data_before
     # pruning still intact after compaction
     assert "Shards: 1/4" in tbl.explain(where="c0 = 1")
+
+
+def test_show_tables_lists_distributed_tables(session):
+    """SHOW TABLES routes to the MPP catalog (test/sql/mpp.test:41-44:
+    t1 listed after CREATE; :165-167: empty after DROP — tombstone excluded).
+    """
+    assert rows(session.sql("SHOW TABLES")) == []
+    session.sql("CREATE TABLE t1(c0 INT, c1 DOUBLE) PARTITION BY (c0) WITH BUCKETS 4")
+    session.sql("CREATE TABLE a2(c0 INT) PARTITION BY (c0) WITH BUCKETS 2")
+    assert rows(session.sql("SHOW TABLES")) == [("a2",), ("t1",)]
+    session.sql("DROP TABLE t1")
+    assert rows(session.sql("SHOW TABLES")) == [("a2",)]
+
+
+def test_describe_distributed_table(session):
+    session.sql(
+        "CREATE TABLE d1(id INT NOT NULL, name TEXT DEFAULT 'anon', score DOUBLE) "
+        "PARTITION BY (id) WITH BUCKETS 4"
+    )
+    got = rows(session.sql("DESCRIBE d1"))
+    assert got == [
+        ("id", "INTEGER", "NO", None, None, None),
+        ("name", "VARCHAR", "YES", None, "'anon'", None),
+        ("score", "DOUBLE", "YES", None, None, None),
+    ]
+
+
+def test_insert_null_into_not_null_column_fails(session):
+    """NOT NULL parity: the reference's shard DDL carries constraints and
+    DuckDB rejects the insert (create_distributed_table.cpp:107)."""
+    session.sql(
+        "CREATE TABLE nn(id INT, tag TEXT NOT NULL) PARTITION BY (id) WITH BUCKETS 4"
+    )
+    assert session.sql("INSERT INTO nn VALUES (1, 'a')") == 1
+    with pytest.raises(Exception, match="NOT NULL constraint failed"):
+        session.sql("INSERT INTO nn VALUES (2, NULL)")
+    # failed write committed nothing: table still holds exactly the first row
+    assert rows(session.sql("SELECT id, tag FROM nn")) == [(1, "a")]
