@@ -162,21 +162,48 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
     Set semantics: distinct shingles per doc; integer intersection/union
-    counts so the division is engine-identical."""
-    # distinct shingles feed three consumers (two join sides + sizes):
-    # materialize once instead of recomputing the shingle pipeline thrice
-    dsh = sh.distinct().localCheckpoint(eager=False)
-    sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
-    inter = (
-        dsh.select(F.col(id_col).alias("doc_a"), "sh")
-        .join(dsh.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
-        .join(pairs, ["doc_a", "doc_b"])  # restrict to candidates only
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    counts so the division is engine-identical.
+
+    Shape (VERDICT r01 fix): the naive formulation equi-joins shingles to
+    shingles and only then restricts to candidate pairs — O(Σ_sh df(sh)²),
+    a blow-up on hot shingles that Catalyst won't reorder away (CBO off).
+    Instead we never join on the shingle at all: build per-doc distinct
+    shingle SETS (one groupBy), semi-restricted to docs that occur in some
+    candidate pair, attach each pair's two sets by doc-id equi-joins, and
+    intersect per pair with ``array_intersect``. Cost is
+    O(|pairs| · avg shingles/doc), immune to shingle skew; the shuffle
+    carries candidate docs' shingle sets once, never the df² pair stream.
+    Only pairs sharing ≥1 shingle are returned (inner-join parity with the
+    shingle-join formulation)."""
+    # pairs feeds two consumers (candidate-doc semi-join + final join) and
+    # its lineage is the whole LSH pipeline — materialize once
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
+    sets = (
+        sh.distinct()
+        .join(cand_docs, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("shs"), F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # feeds both join sides
+    )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("na"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n").alias("nb"))
+    i = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            i.alias("i"),
+            F.col("na"),
+            F.col("nb"),
+        )
+        .where(F.col("i") > 0)
         .select(
             "doc_a",
             "doc_b",
@@ -198,29 +225,32 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     bit_j(token) = bit (j mod 4) of hex digit (j div 4) of md5(token);
     fingerprint bit j is set when sum over tokens of (2*bit - 1) > 0.
+
+    Shape (VERDICT r01 fix): stays row-per-token — the 32 bit contributions
+    are 32 column expressions over one materialized md5 per token, summed by
+    32 parallel aggregates in ONE groupBy (map-side combine, per-doc partials
+    of 32 longs). The previous formulation exploded every token ×32 before
+    aggregating — pure compute/materialization tax at corpus scale.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    bits = toks.select(
-        id_col,
-        "tok",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-    )
-    hexdigit = F.expr("instr('0123456789abcdef', substring(md5(tok), CAST(j / 4 AS INT) + 1, 1)) - 1")
-    p = F.expr("element_at(array(1, 2, 4, 8), (j % 4) + 1)")
-    bit = (F.floor(hexdigit / p) % 2).cast("int")
-    contrib = bits.select(id_col, "j", (bit * 2 - 1).alias("c"))
-    return (
-        contrib.groupBy(id_col, "j")
-        .agg(F.sum("c").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("CAST(round(pow(2, j), 0) AS BIGINT)")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
+    hexed = toks.select(id_col, F.md5("tok").alias("hx"))
+
+    def contrib(j: int):
+        hexdigit = F.expr(
+            f"instr('0123456789abcdef', substring(hx, {j // 4 + 1}, 1)) - 1"
         )
+        bit = (F.floor(hexdigit / F.lit(1 << (j % 4))) % 2).cast("int")
+        return bit * 2 - 1
+
+    sums = hexed.groupBy(id_col).agg(
+        *[F.sum(contrib(j)).alias(f"s{j}") for j in range(32)]
     )
+    fp = F.lit(0).cast("bigint")
+    for j in range(32):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sums.select(id_col, fp.alias("simhash"))
 
 
 def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:

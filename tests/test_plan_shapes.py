@@ -69,6 +69,32 @@ def test_text_dedup_hot_path_is_jvm_side(spark, name):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_jaccard_verify_never_joins_on_shingle(spark):
+    """The Jaccard verify stage must not equi-join shingles to shingles
+    (O(df²) blow-up on hot shingles at scale — VERDICT r01). The fixed shape
+    intersects per-doc shingle sets per candidate pair: the plan must use
+    array_intersect and every join key must be a doc id / band key, never
+    the shingle column."""
+    p = plan_text(run_spark_query("dedup_ngram_jaccard", spark, SF_DIR))
+    assert "array_intersect" in p, p
+    # no join whose equi-key is the shingle column `sh`
+    import re as _re
+
+    for m in _re.finditer(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\[([^\]]*)\]", p):
+        keys = m.group(2)
+        assert not _re.search(r"\bsh#", keys), p
+
+
+def test_simhash_has_no_bit_explode(spark):
+    """SimHash must stay row-per-token: 32 parallel sum aggregates over one
+    md5 per token, not a ×32 explode (VERDICT r01). One Generate node (the
+    token explode) is expected; a second means the bit explode came back."""
+    import re as _re
+
+    p = plan_text(run_spark_query("dedup_simhash", spark, SF_DIR))
+    assert len(_re.findall(r"\(\d+\) Generate", p)) <= 1, p
+
+
 def test_agg_is_partial_then_final(spark):
     """Aggregations must map-side combine (two HashAggregate levels) so the
     shuffle carries partial states, not raw rows."""
