@@ -40,11 +40,14 @@ HEADLINE = [
     "events_sessionization",
     "asof_join_events_orders",
     "events_cohort_retention",
-    # distributed-table layer (create + bucketed insert + pruned scan)
-    "mpp_create_insert_scan",
+    # distributed-table layer: timed as split phases (mpp_bucketed_insert /
+    # mpp_pruned_scan) in bench_mpp_split() so DML and pruning perf
+    # regressions are visible independently round-over-round
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "embedding_neardup_pairs",
     "text_quality_score",
     "text_top_tokens",
@@ -81,11 +84,37 @@ def main() -> None:
     for name in names:
         materialize(run_spark_query(name, spark, sf_dir))
 
+    def bench_mpp_split(timings: dict[str, float] | None) -> None:
+        """Distributed-table layer, split: bucketed insert vs pruned scan
+        (one combined number hides whether a regression is in the write
+        shuffle or the pruning/file-index path). None → untimed warmup."""
+        import tempfile
+
+        from duckdb_mpp_spark.mpp import MppSession
+        from duckdb_mpp_spark.sources import load_table
+
+        mpp = MppSession(spark, tempfile.mkdtemp(prefix="bench_mpp_"))
+        orders = load_table(spark, sf_dir, "orders")
+        tbl = mpp.create_distributed_table("orders_bench", orders.schema, "o_custkey", 12)
+        t0 = time.perf_counter()
+        tbl.insert(orders)
+        if timings is not None:
+            timings["mpp_bucketed_insert"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        materialize(tbl.scan(where="o_custkey IN (1, 2, 3) OR o_custkey = 77"))
+        if timings is not None:
+            timings["mpp_pruned_scan"] = round(time.perf_counter() - t0, 4)
+
+    if not extra:
+        bench_mpp_split(None)  # warmup
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         materialize(run_spark_query(name, spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+    if not extra:
+        bench_mpp_split(timings)
 
     total = round(sum(timings.values()), 4)
     print(
