@@ -25,6 +25,17 @@ from pyspark.sql import types as T
 
 CATALOG_FILE = "_mpp_catalog.json"
 
+
+def resolve_field(schema: T.StructType, path: str) -> T.DataType | None:
+    """Resolve a possibly-dotted column path (``s.a``) through nested
+    structs; None if any step is missing."""
+    dtype: T.DataType = schema
+    for part in path.split("."):
+        if not isinstance(dtype, T.StructType) or part not in dtype.fieldNames():
+            return None
+        dtype = dtype[part].dataType
+    return dtype
+
 # Reference schema: nodes(host VARCHAR, port USMALLINT) — unsigned types map
 # to the next signed Spark type (SURVEY §1.3).
 NODES_SCHEMA = T.StructType(
@@ -146,16 +157,21 @@ class MppCatalog:
             if name in self._tables:
                 raise ValueError(f'table "{name}" already exists')
             cols = [f.name for f in schema.fields]
-            if partition_column not in cols:
+            # the partition column may be a struct-field path (``s.a``) —
+            # the reference resolves partition refs through struct_extract
+            # (src/include/common/expression_helper.hpp:16-34)
+            base = partition_column.split(".")[0]
+            if base not in cols or resolve_field(schema, partition_column) is None:
                 # matches reference error (create_distributed_table.cpp:78-82)
                 raise ValueError(f'partition column "{partition_column}" does not exist')
+            partition_column_index = cols.index(base)
             if buckets <= 0:
                 raise ValueError("buckets must be positive")
             meta = TableMeta(
                 name=name,
                 oid=self._next_oid,
                 partition_column=partition_column,
-                partition_column_index=cols.index(partition_column),
+                partition_column_index=partition_column_index,
                 buckets=buckets,
                 schema_json=schema.json(),
                 defaults=defaults or {},

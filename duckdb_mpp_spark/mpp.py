@@ -49,7 +49,7 @@ from duckdb_mpp_spark.table import DistributedTable
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
     r"\((?P<cols>.*)\)\s*"
-    r"PARTITION\s+BY\s*\(\s*(?P<pcol>[\w\"]+)\s*\)\s*"
+    r"PARTITION\s+BY\s*\(\s*(?P<pcol>[\w.\"]+)\s*\)\s*"
     r"WITH\s+BUCKETS\s+(?P<buckets>\d+)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -176,15 +176,57 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [s.strip() for s in out if s.strip()]
 
 
-_COLDEF_RE = re.compile(
-    r"^(?P<name>\"[^\"]+\"|[\w$]+)\s+(?P<type>[\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
-    r"(?P<rest>.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
 _DEFAULT_CLAUSE_RE = re.compile(
     r"\bDEFAULT\s+(?P<lit>'(?:[^']|'')*'|[-\w.]+(?:\s*\(\s*\))?)",
     re.IGNORECASE,
 )
+
+
+def _convert_type(raw_type: str) -> str:
+    """DuckDB type text → Spark DDL type string, including nested
+    ``STRUCT(a INT, b TEXT)`` → ``struct<a:int,b:string>``."""
+    raw_type = raw_type.strip()
+    sm = re.match(r"^STRUCT\s*\((?P<inner>.*)\)$", raw_type, re.IGNORECASE | re.DOTALL)
+    if sm:
+        fields = []
+        for item in _split_top_level(sm.group("inner")):
+            fm = re.match(r"^(\"[^\"]+\"|[\w$]+)\s+(.*)$", item, re.DOTALL)
+            if not fm:
+                raise ValueError(f"cannot parse struct field: {item!r}")
+            fields.append(f"{fm.group(1).strip(chr(34))}:{_convert_type(fm.group(2))}")
+        return f"struct<{','.join(fields)}>"
+    base = re.match(r"[A-Za-z]+", raw_type).group(0).upper()
+    if base in _TYPE_MAP and base != "DECIMAL":
+        return _TYPE_MAP[base]
+    if base in ("DECIMAL", "NUMERIC"):
+        return raw_type.lower().replace("numeric", "decimal")
+    return raw_type.lower()
+
+
+def _split_coldef(coldef: str) -> tuple[str, str, str]:
+    """Split one column definition into (name, type-text, rest), with the
+    type text spanning balanced parens (so STRUCT(...) survives)."""
+    m = re.match(r"^(?P<name>\"[^\"]+\"|[\w$]+)\s+(?P<tail>.*)$", coldef, re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse column definition: {coldef!r}")
+    tail = m.group("tail")
+    tm = re.match(r"^[\w]+", tail)
+    if not tm:
+        raise ValueError(f"cannot parse column type: {coldef!r}")
+    end = tm.end()
+    # optional parenthesized argument list (DECIMAL(18,2) / STRUCT(...))
+    probe = tail[end:]
+    ws = len(probe) - len(probe.lstrip())
+    if probe[ws : ws + 1] == "(":
+        depth, i = 0, end + ws
+        while i < len(tail):
+            depth += tail[i] == "("
+            depth -= tail[i] == ")"
+            i += 1
+            if depth == 0:
+                break
+        end = i
+    return m.group("name").strip('"'), tail[:end], tail[end:]
 
 
 def parse_column_defs(cols_text: str) -> tuple[T.StructType, dict[str, str]]:
@@ -198,22 +240,8 @@ def parse_column_defs(cols_text: str) -> tuple[T.StructType, dict[str, str]]:
     for coldef in _split_top_level(cols_text):
         if re.match(r"^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b", coldef, re.I):
             continue  # table-level constraint: accepted, not enforced
-        m = _COLDEF_RE.match(coldef)
-        if not m:
-            raise ValueError(f"cannot parse column definition: {coldef!r}")
-        name = m.group("name").strip('"')
-        raw_type = m.group("type").strip()
-        base = re.match(r"[A-Za-z]+", raw_type).group(0).upper()
-        if base in _TYPE_MAP:
-            spark_type = _TYPE_MAP[base]
-            if base == "DECIMAL":
-                spark_type = raw_type.lower()
-        elif base == "DECIMAL" or base == "NUMERIC":
-            spark_type = raw_type.lower().replace("numeric", "decimal")
-        else:
-            spark_type = raw_type.lower()
-        dtype = T._parse_datatype_string(spark_type)
-        rest = m.group("rest") or ""
+        name, raw_type, rest = _split_coldef(coldef)
+        dtype = T._parse_datatype_string(_convert_type(raw_type))
         nullable = "NOT NULL" not in rest.upper()
         dm = _DEFAULT_CLAUSE_RE.search(rest)
         if dm:
@@ -340,7 +368,7 @@ class MppSession:
         if m:
             schema, defaults = parse_column_defs(m.group("cols"))
             self.create_distributed_table(
-                _ident(m.group("name")), schema, _ident(m.group("pcol")),
+                _ident(m.group("name")), schema, _ident_path(m.group("pcol")),
                 int(m.group("buckets")), defaults,
             )
             return None
@@ -639,3 +667,9 @@ class MppSession:
 
 def _ident(name: str) -> str:
     return name.strip().strip('"').split(".")[-1].lower()
+
+
+def _ident_path(name: str) -> str:
+    """Normalize a possibly-dotted path, KEEPING the dots — used for
+    struct-field partition columns (``PARTITION BY (s.a)``)."""
+    return ".".join(p.strip().strip('"').lower() for p in name.strip().split("."))

@@ -13,7 +13,8 @@ mod-997 byte checksum) so the oracle can recompute the same values from the
 source text column — proving the binary round-trip is lossless.
 """
 
-from collections.abc import Iterator
+import struct
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -38,20 +39,71 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, fake: bool = False) -> dict:
-    """Stub decoder. Real deployments plug PIL/torchaudio/ffmpeg in here.
+# -- pluggable decoder registry ---------------------------------------------
+#
+# Decoders dispatch on a leading magic: register PIL/ffmpeg-backed decoders
+# for real formats (b"\x89PNG", b"RIFF", ...) via ``register_decoder``; the
+# built-in SGM codec below is a complete pure-Python format so the decode
+# path is REAL (it parses a binary header + payload written by another
+# function), not a stand-in — exercised end-to-end by ``multimodal_decode_sgm``.
 
-    ``fake=True`` returns deterministic pseudo-dimensions derived from the
-    byte checksum — keeps the full pipeline runnable and verifiable in this
-    container.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in this "
-            "environment; pass fake=True for the deterministic stub"
+SGM_MAGIC = b"SGM1"
+_SGM_HEADER = struct.Struct(">4sHHB")  # magic, width, height, channels
+
+
+def encode_sgm(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Serialize an SGM image: 9-byte header + width*height*channels bytes."""
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected {width * height * channels}"
         )
-    checksum = sum(payload) % 997
-    return {"width": 64 + checksum % 64, "height": 64 + (checksum // 64) % 64}
+    return _SGM_HEADER.pack(SGM_MAGIC, width, height, channels) + pixels
+
+
+def decode_sgm(payload: bytes) -> dict:
+    """Parse an SGM image; raises ValueError on a corrupt header/payload."""
+    if len(payload) < _SGM_HEADER.size:
+        raise ValueError("payload shorter than SGM header")
+    magic, width, height, channels = _SGM_HEADER.unpack(payload[: _SGM_HEADER.size])
+    if magic != SGM_MAGIC:
+        raise ValueError(f"bad SGM magic: {magic!r}")
+    pixels = payload[_SGM_HEADER.size:]
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"SGM pixel buffer is {len(pixels)} bytes, "
+            f"header declares {width * height * channels}"
+        )
+    return {"width": width, "height": height, "channels": channels, "pixels": pixels}
+
+
+_DECODERS: dict[bytes, Callable[[bytes], dict]] = {SGM_MAGIC: decode_sgm}
+
+
+def register_decoder(magic: bytes, fn: Callable[[bytes], dict]) -> None:
+    """Plug a real media decoder (e.g. PIL for b"\\x89PNG") into the
+    dispatch table used by ``decode_media``."""
+    _DECODERS[magic] = fn
+
+
+def decode_media(payload: bytes, fake: bool = False) -> dict:
+    """Decode a media payload by magic dispatch.
+
+    ``fake=True`` keeps the legacy deterministic pseudo-dimension path for
+    payloads with no media container (raw text bytes in the feature gate).
+    Unknown magics raise NotImplementedError — real formats need their
+    libraries registered via ``register_decoder``.
+    """
+    if fake:
+        checksum = sum(payload) % 997
+        return {"width": 64 + checksum % 64, "height": 64 + (checksum // 64) % 64}
+    for magic, fn in _DECODERS.items():
+        if payload[: len(magic)] == magic:
+            return fn(payload)
+    raise NotImplementedError(
+        "no registered decoder for this payload format; register one with "
+        "register_decoder(magic, fn) (image/audio libraries are not present "
+        "in this environment)"
+    )
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -140,6 +192,55 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def encode_sgm_images(docs: DataFrame) -> DataFrame:
+    """Build real SGM binary payloads from the corpus: dimensions derived
+    from the text length, pixels cyclically resampled from the utf-8 bytes
+    (deterministic, oracle-recomputable)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                b = text.encode("utf-8")
+                w = 1 + len(b) % 16
+                h = 1 + (len(b) // 16) % 16
+                target = w * h
+                pixels = (b * (target // len(b) + 1))[:target]
+                payloads.append(encode_sgm(w, h, 1, pixels))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id bigint, payload binary"
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, n_pixels int, mean_pixel int"
+)
+
+
+def decode_sgm_features(df: DataFrame) -> DataFrame:
+    """Decode SGM payloads through the pluggable decoder registry and emit
+    per-image features — the real decode path (binary header parse +
+    pixel-buffer validation), not the fake."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height", "channels", "n_pixels", "mean_pixel")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_media(payload)
+                n = img["width"] * img["height"] * img["channels"]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["channels"].append(img["channels"])
+                rows["n_pixels"].append(n)
+                rows["mean_pixel"].append(sum(img["pixels"]) // n)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
 def _register():
     def features_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -166,6 +267,39 @@ def _register():
                    CAST(64 + checksum % 64 AS INT) AS width,
                    CAST(64 + (checksum // 64) % 64 AS INT) AS height
             FROM bytes ORDER BY doc_id
+            """,
+        ),
+    )
+
+    def decode_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return decode_sgm_features(encode_sgm_images(docs)).orderBy("doc_id")
+
+    # encode→decode happens only Spark-side (binary header round-trip); the
+    # oracle recomputes the expected features straight from the text column —
+    # a hash match proves the decoder parsed exactly what the encoder wrote.
+    register(
+        "multimodal_decode_sgm",
+        Query(
+            spark=decode_fn,
+            oracle="""
+            WITH dims AS (
+              SELECT doc_id, text,
+                     1 + length(text) % 16 AS w,
+                     1 + (length(text) // 16) % 16 AS h
+              FROM documents
+            ),
+            pix AS (
+              SELECT doc_id, w, h,
+                     SUM(ord(substring(text, ((i.i - 1) % length(text)) + 1, 1))) AS s
+              FROM dims, generate_series(1, 100000) i(i)
+              WHERE i.i <= w * h
+              GROUP BY doc_id, w, h
+            )
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   1 AS channels, CAST(w * h AS INT) AS n_pixels,
+                   CAST(s // (w * h) AS INT) AS mean_pixel
+            FROM pix ORDER BY doc_id
             """,
         ),
     )

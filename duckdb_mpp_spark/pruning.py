@@ -318,12 +318,17 @@ def bucket_predicate(
     def col_matches(col: str | None) -> bool:
         if col is None:
             return False
-        parts = col.split(".")
-        if parts[-1] not in names:
-            return False
-        if len(parts) == 1:
+        # exact match first — covers struct-field partition paths (``s.a``,
+        # expression_helper.hpp:23-30 struct_extract traversal parity)
+        if col in names:
             return True
-        return parts[-2] in quals
+        parts = col.split(".")
+        # qualifier-stripped match: ``t1.s.a`` → qualifier ``t1`` + ``s.a``
+        if len(parts) > 1 and parts[0] in quals and ".".join(parts[1:]) in names:
+            return True
+        if len(parts) > 1 and parts[-2] in quals and parts[-1] in names:
+            return True
+        return False
 
     def rec(node) -> str | None:
         if isinstance(node, BoolOp):

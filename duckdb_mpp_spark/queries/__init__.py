@@ -107,14 +107,45 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 )
 
 
+# The 48 round-1 registrations that got NO driver correctness row (their
+# priority ahead of queries added in later rounds — those wait one round).
+_R01_UNVERIFIED: frozenset[str] = frozenset(
+    {
+        "agg_variance_corr", "agg_exact_median", "setop_except_all",
+        "setop_intersect_all", "events_hourly_agg", "events_sessionization",
+        "events_funnel", "events_json_props", "asof_join_events_orders",
+        "range_join_binned", "events_zscore_outliers", "events_cohort_retention",
+        "mpp_create_insert_scan", "mpp_update_cow", "mpp_delete_cow",
+        "text_token_stats", "text_quality_score", "text_language_id",
+        "text_fingerprint", "dedup_exact", "dedup_minhash_signatures",
+        "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_simhash_pairs", "dedup_cluster_assign", "pipeline_corpus_curation",
+        "pipeline_train_test_split", "multimodal_binary_features",
+        "multimodal_frame_sample", "ann_topk_bruteforce", "ann_ivf_by_label",
+        "ann_lsh_bucketed", "embedding_neardup_pairs", "ann_ivf_kmeans",
+        "streaming_hourly_agg", "streaming_session_windows",
+        "streaming_dedup_distinct", "streaming_static_join_agg",
+        "streaming_stateful_running_totals", "streaming_stream_stream_join",
+        "agg_percentiles_exact", "text_top_tokens", "curation_blocklist_filter",
+        "higher_order_array_fns", "dedup_keep_latest", "agg_group_by_all",
+        "limit_offset_pagination",
+    }
+)
+
+
 def _registry_names_prioritized() -> list[str]:
-    """Registry names with driver-unverified queries first (streaming last
-    within that block), then the round-1-verified tail."""
-    names = list(REGISTRY)
-    unverified = [n for n in names if n not in _DRIVER_VERIFIED]
-    unverified.sort(key=lambda n: n.startswith("streaming_"))  # stable
-    verified = [n for n in names if n in _DRIVER_VERIFIED]
-    return unverified + verified
+    """Registry names in driver-check priority order: round-1-unverified
+    first (streaming last within that block — they are wall-clock heavy),
+    then queries new this round, then the round-1-verified tail."""
+
+    def prio(n: str) -> int:
+        if n in _R01_UNVERIFIED:
+            return 1 if n.startswith("streaming_") else 0
+        if n in _DRIVER_VERIFIED:
+            return 3
+        return 2  # newly registered since round 1
+
+    return sorted(REGISTRY, key=prio)  # stable: registry order within tiers
 
 
 def run_spark_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:

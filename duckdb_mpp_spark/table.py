@@ -51,7 +51,10 @@ class DistributedTable:
     # -- helpers ----------------------------------------------------------
     @property
     def _part_type_ddl(self) -> str:
-        return self.meta.schema[self.meta.partition_column].dataType.simpleString()
+        from duckdb_mpp_spark.catalog import resolve_field
+
+        dtype = resolve_field(self.meta.schema, self.meta.partition_column)
+        return dtype.simpleString()
 
     def _has_data(self) -> bool:
         for _, _, files in os.walk(self.path):

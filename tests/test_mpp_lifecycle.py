@@ -229,3 +229,28 @@ def test_insert_null_into_not_null_column_fails(session):
         session.sql("INSERT INTO nn VALUES (2, NULL)")
     # failed write committed nothing: table still holds exactly the first row
     assert rows(session.sql("SELECT id, tag FROM nn")) == [(1, "a")]
+
+
+def test_struct_partition_column(mpp):
+    """Struct-typed columns in DDL + a struct-field partition path, with
+    pruning through the dotted ref (the reference resolves partition refs
+    through struct_extract, expression_helper.hpp:23-30) and Shards: k/n."""
+    mpp.sql(
+        "CREATE TABLE sp(id INT, s STRUCT(a INT, b TEXT)) "
+        "PARTITION BY (s.a) WITH BUCKETS 6"
+    )
+    n = mpp.sql(
+        "INSERT INTO sp VALUES (1, named_struct('a', 1, 'b', 'x')), "
+        "(2, named_struct('a', 2, 'b', 'y')), (3, named_struct('a', 1, 'b', 'z'))"
+    )
+    assert n == 3
+    assert rows(mpp.sql("SELECT id FROM sp WHERE s.a = 1"), "id") == [(1,), (3,)]
+    assert "Shards: 1/6" in mpp.sql("EXPLAIN SELECT id FROM sp WHERE s.a = 1")
+    tbl = mpp.table("sp")
+    assert len(tbl.pruned_bucket_ids("s.a = 2")) == 1
+    assert len(tbl.pruned_bucket_ids("s.a IN (1, 2)")) <= 2
+    # non-partition struct fields and whole-struct filters never prune
+    assert len(tbl.pruned_bucket_ids("s.b = 'x'")) == 6
+    # a struct-field path that isn't declared errors like a missing column
+    with pytest.raises(ValueError, match="does not exist"):
+        mpp.sql("CREATE TABLE sp2(s STRUCT(a INT)) PARTITION BY (s.z) WITH BUCKETS 2")
