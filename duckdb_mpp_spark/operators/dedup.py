@@ -183,11 +183,15 @@ def jaccard_verify(
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # collect_set dedups, so no separate .distinct() pass: the broadcast
+    # semi-join filters the shingle stream map-side and ONE shuffle builds
+    # the per-doc sets (vs distinct-then-collect_set = two full shuffles of
+    # the candidate shingle stream).
     sets = (
-        sh.distinct()
-        .join(cand_docs, id_col, "left_semi")
+        sh.join(cand_docs, id_col, "left_semi")
         .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("shs"), F.count("*").alias("n"))
+        .agg(F.collect_set("sh").alias("shs"))
+        .select(id_col, "shs", F.size("shs").alias("n"))
         .localCheckpoint(eager=False)  # feeds both join sides
     )
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("na"))
