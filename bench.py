@@ -51,6 +51,8 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "text_quality_score",
     "text_top_tokens",
+    "text_repetition_stats",
+    "text_contamination_overlap",
     # streaming runtime
     "streaming_hourly_agg",
 ]

@@ -609,9 +609,32 @@ class MppSession:
             return query
         return query[: span[0]] + " " + " ".join(out) + " " + query[span[1]:]
 
+    def _rowid_referenced(self, query: str) -> bool:
+        """True when the query references the ``rowid`` pseudo-column as a
+        bare word token (string literals don't count — same lexer as
+        pruning)."""
+        from duckdb_mpp_spark.pruning import _tokenize
+
+        toks = _tokenize(query)
+        if toks is None:
+            return bool(re.search(r"\browid\b", query, re.IGNORECASE))
+        return any(
+            kind == "word" and val.lower().split(".")[-1] == "rowid"
+            for kind, val in toks
+        )
+
     def _register_views_for_query(self, query: str) -> list[str]:
         names = self._distributed_tables_in(query)
         where = self._where_text(query)
+        # rowid pseudo-column (reference projects DuckDB's shard-local rowid,
+        # mpp_table_scan.cpp:310-322): exposed on the view only when the
+        # query references it, mirroring DuckDB's expose-on-reference rule.
+        # Known divergence: within such a query, SELECT * also expands
+        # rowid (a view has no pseudo-columns) — documented in tests.
+        if names and self._rowid_referenced(query):
+            for name in names:
+                self.table(name).scan_with_rowid().createOrReplaceTempView(name)
+            return names
         for name in names:
             tbl = self.table(name)
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None

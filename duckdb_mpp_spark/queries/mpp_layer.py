@@ -96,3 +96,51 @@ register(
         """,
     ),
 )
+
+
+def _rowid_scan(spark, sf_dir):
+    """rowid pseudo-column invariants (reference projects DuckDB's
+    shard-local rowid, src/function/mpp_table_scan.cpp:310-322; ids are
+    per-shard — "Global row id" unchecked in its README:117). Two inserts
+    produce two file sets per bucket, exercising the cumulative per-file
+    offsets. The returned row proves: every bucket's rowids are dense
+    0..n_b-1 (distinct, max+1 == count, min == 0) and the total row count
+    matches the raw data — all bucket-layout-independent, so the DuckDB
+    oracle can state them exactly."""
+    from pyspark.sql import functions as F
+
+    mpp, tbl = _bucketed_orders(spark, sf_dir, "orders_rid")
+    orders = load_table(spark, sf_dir, "orders")
+    tbl.insert(orders)  # second file set per bucket
+    per_bucket = (
+        tbl.scan_with_rowid(columns=["__bucket"])
+        .groupBy("__bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("rowid").alias("d"),
+            F.max("rowid").alias("mx"),
+            F.min("rowid").alias("mn"),
+        )
+    )
+    bad = (
+        (F.col("d") != F.col("n"))
+        | (F.col("mx") != F.col("n") - 1)
+        | (F.col("mn") != 0)
+    )
+    return per_bucket.agg(
+        F.sum("n").alias("total_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("dense_violations"),
+    )
+
+
+register(
+    "mpp_rowid_scan",
+    Query(
+        spark=_rowid_scan,
+        oracle="""
+        SELECT CAST(2 * COUNT(*) AS BIGINT) AS total_rows,
+               CAST(0 AS BIGINT) AS dense_violations
+        FROM orders
+        """,
+    ),
+)

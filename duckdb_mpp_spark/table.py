@@ -152,6 +152,63 @@ class DistributedTable:
             out_cols = out_cols + [BUCKET_COL]
         return df.select(*out_cols)
 
+    def _file_rowid_offsets(self) -> list[tuple[str, int]]:
+        """Per-file starting rowid: cumulative parquet-footer row counts over
+        lexicographically ordered files within each bucket directory.
+        Metadata-only — O(#files) footer reads, no data scan (a 100 TB
+        deployment distributes the footer listing the same way Spark's file
+        index distributes file listing)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for b in range(self.meta.buckets):
+            d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            if not os.path.isdir(d):
+                continue
+            off = 0
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(d, fname)
+                out.append(("file:" + fpath, off))
+                off += pq.ParquetFile(fpath).metadata.num_rows
+        return out
+
+    def scan_with_rowid(
+        self,
+        where: str | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Scan with the ``rowid`` pseudo-column — shard-LOCAL row ids like
+        the reference (mpp_table_scan.cpp:310-322 projects DuckDB's per-shard
+        rowid; "Global row id" is an unchecked TODO in its README:117), so
+        ids are dense 0..n_b-1 within each bucket and repeat across buckets.
+
+        rowid = file_start_offset + ``_metadata.row_index``: the per-file
+        offsets come from parquet footers (driver metadata pass), the row
+        index from the scan itself — no shuffle, no window, any scale.
+        Like DuckDB rowids, values are stable across reads but NOT across
+        copy-on-write rewrites (UPDATE/DELETE/compact)."""
+        base_cols = columns or [f.name for f in self.meta.schema.fields]
+        if not self._has_data():
+            df = self._empty_df().withColumn("rowid", F.lit(None).cast("bigint"))
+            if where:
+                df = df.where(where)
+            return df.select("rowid", *base_cols)
+        offsets = self.spark.createDataFrame(
+            self._file_rowid_offsets(), "__fp string, __off long"
+        )
+        df = (
+            self.spark.read.parquet(self.path)
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(offsets), "__fp")
+            .withColumn("rowid", F.col("__off") + F.col("__ri"))
+        )
+        if where:
+            df = df.where(where)
+        return df.select("rowid", *base_cols)
+
     def pruned_bucket_ids(
         self,
         where: str | None,

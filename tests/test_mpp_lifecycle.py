@@ -254,3 +254,43 @@ def test_struct_partition_column(mpp):
     # a struct-field path that isn't declared errors like a missing column
     with pytest.raises(ValueError, match="does not exist"):
         mpp.sql("CREATE TABLE sp2(s STRUCT(a INT)) PARTITION BY (s.z) WITH BUCKETS 2")
+
+
+def test_rowid_pseudo_column(mpp):
+    """Shard-local rowid parity (mpp_table_scan.cpp:310-322): dense per
+    bucket, repeats across buckets, exposed through SQL only when
+    referenced."""
+    from pyspark.sql import functions as F
+
+    mpp.sql("CREATE TABLE rt(id INT, tag TEXT) PARTITION BY (id) WITH BUCKETS 4")
+    mpp.sql("INSERT INTO rt VALUES " + ", ".join(f"({i}, 't{i}')" for i in range(8)))
+    mpp.sql("INSERT INTO rt VALUES " + ", ".join(f"({i}, 'u{i}')" for i in range(8, 12)))
+    tbl = mpp.table("rt")
+
+    per_bucket = (
+        tbl.scan_with_rowid(columns=["__bucket"])
+        .groupBy("__bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("rowid").alias("d"),
+            F.max("rowid").alias("mx"),
+            F.min("rowid").alias("mn"),
+        )
+        .collect()
+    )
+    assert sum(r.n for r in per_bucket) == 12
+    for r in per_bucket:  # dense 0..n-1 within every bucket
+        assert (r.d, r.mx, r.mn) == (r.n, r.n - 1, 0)
+
+    # stable across reads (footer offsets + row_index are deterministic)
+    a = sorted(map(tuple, tbl.scan_with_rowid(columns=["id"]).collect()))
+    b = sorted(map(tuple, tbl.scan_with_rowid(columns=["id"]).collect()))
+    assert a == b
+
+    # SQL front door: usable in projection and WHERE when referenced...
+    n_buckets_with_data = len({r["__bucket"] for r in per_bucket})
+    zero = rows(mpp.sql("SELECT rowid, id FROM rt WHERE rowid = 0"))
+    assert len(zero) == n_buckets_with_data
+    assert all(r[0] == 0 for r in zero)
+    # ...and absent from SELECT * otherwise (DuckDB's expose-on-reference)
+    assert [c for c in mpp.sql("SELECT * FROM rt").columns] == ["id", "tag"]

@@ -100,3 +100,23 @@ def test_agg_is_partial_then_final(spark):
     shuffle carries partial states, not raw rows."""
     p = plan_text(run_spark_query("q01_pricing_summary", spark, SF_DIR))
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast: the corpus side of the
+    contamination join is never shuffled (at 100 TB the eval set is MBs,
+    the corpus isn't)."""
+    p = plan_text(run_spark_query("text_contamination_overlap", spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_repetition_stats", "text_pii_redaction", "sampling_weighted_domains",
+     "pipeline_sequence_packing"],
+)
+def test_corpus_ops_are_jvm_side(spark, name):
+    """Corpus-curation operators are expression/window-level — no Python
+    evaluation nodes on the hot path."""
+    p = plan_text(run_spark_query(name, spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
