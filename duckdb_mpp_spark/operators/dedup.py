@@ -88,13 +88,30 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Word k-gram shingles, exploded to (id, shingle)."""
-    ws = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_WORDS - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(ws, i, SHINGLE_WORDS), " "),
+    """Word k-gram shingles, exploded to (id, shingle).
+
+    Shape matters: exploding an index sequence and assembling each gram with
+    ``concat_ws(element_at...)`` keeps the whole stage in codegen. The
+    obvious ``transform(sequence, i -> array_join(slice(ws, i, k)))`` builds
+    the gram array through nested higher-order lambdas, which evaluate
+    interpreted — measured 0.56 s vs 0.34 s per corpus pass at sf0.1 and
+    ~4× slower on first (codegen-warmup) execution. ``concat_ws`` skips the
+    NULLs that ``try_element_at`` yields past the end of short docs, matching
+    ``array_join``'s shorter-slice output exactly (value parity verified;
+    plain ``element_at`` would THROW on docs shorter than the shingle)."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    idx = t.select(
+        id_col,
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - (SHINGLE_WORDS - 1), F.lit(1)))
+        ).alias("i"),
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("sh"))
+    gram = F.concat_ws(
+        " ",
+        *[F.try_element_at("t", F.col("i") + j) for j in range(SHINGLE_WORDS)],
+    )
+    return idx.select(id_col, gram.alias("sh"))
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -167,15 +184,19 @@ def jaccard_verify(
     Shape (VERDICT r01 fix): the naive formulation equi-joins shingles to
     shingles and only then restricts to candidate pairs — O(Σ_sh df(sh)²),
     a blow-up on hot shingles that Catalyst won't reorder away (CBO off).
-    Instead we never join on the shingle at all: build per-doc distinct
-    shingle SETS (one groupBy), semi-restricted to docs that occur in some
-    candidate pair, attach each pair's two sets by doc-id equi-joins, and
-    intersect per pair with ``array_intersect``. Cost is
-    O(|pairs| · avg shingles/doc), immune to shingle skew; the shuffle
-    carries candidate docs' shingle sets once, never the df² pair stream.
-    Only pairs sharing ≥1 shingle are returned (inner-join parity with the
-    shingle-join formulation)."""
-    # pairs feeds two consumers (candidate-doc semi-join + final join) and
+    Instead the candidate restriction comes FIRST: semi-join the shingle
+    stream down to docs that occur in some pair, then route each candidate
+    doc's (distinct) shingles through the pair table — ``pairs ⋈_doc_a dsh
+    ⋈_(doc_b, sh) dsh`` — and count matches per pair. The shingle equi-join
+    key is (doc_b, sh), so fan-out is O(|pairs| · shingles/doc), immune to
+    hot-shingle skew (a shingle in d docs never materializes d² rows; a doc
+    in p pairs replicates its shingle list p times, exactly the work the
+    intersection inherently needs). Only pairs sharing ≥1 shingle are
+    returned. Measured at sf0.1 this beat carrying per-doc ``collect_set``
+    arrays through two joins + ``array_intersect`` (2.56 s vs 2.84 s
+    end-to-end): the array payloads shuffle twice and ``array_intersect``
+    re-sorts both sides per pair."""
+    # pairs feeds two consumers (candidate-doc semi-join + routing join) and
     # its lineage is the whole LSH pipeline — materialize once
     pairs = pairs.localCheckpoint(eager=False)
     cand_docs = (
@@ -183,31 +204,27 @@ def jaccard_verify(
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # collect_set dedups, so no separate .distinct() pass: the broadcast
-    # semi-join filters the shingle stream map-side and ONE shuffle builds
-    # the per-doc sets (vs distinct-then-collect_set = two full shuffles of
-    # the candidate shingle stream).
-    sets = (
+    # set semantics: distinct (doc, shingle) after the map-side semi filter;
+    # materialized once — it feeds both sides of the routing join AND sizes
+    dsh = (
         sh.join(cand_docs, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("shs"))
-        .select(id_col, "shs", F.size("shs").alias("n"))
-        .localCheckpoint(eager=False)  # feeds both join sides
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    a = sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("na"))
-    b = sets.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n").alias("nb"))
-    i = F.size(F.array_intersect("shs_a", "shs_b"))
-    return (
+    sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = dsh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = dsh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
         pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            i.alias("i"),
-            F.col("na"),
-            F.col("nb"),
-        )
-        .where(F.col("i") > 0)
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

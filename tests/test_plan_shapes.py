@@ -69,20 +69,23 @@ def test_text_dedup_hot_path_is_jvm_side(spark, name):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
-def test_jaccard_verify_never_joins_on_shingle(spark):
-    """The Jaccard verify stage must not equi-join shingles to shingles
-    (O(df²) blow-up on hot shingles at scale — VERDICT r01). The fixed shape
-    intersects per-doc shingle sets per candidate pair: the plan must use
-    array_intersect and every join key must be a doc id / band key, never
-    the shingle column."""
+def test_jaccard_verify_never_joins_on_shingle_alone(spark):
+    """The Jaccard verify stage must not equi-join shingles to shingles on
+    the bare shingle key (O(df²) blow-up on hot shingles at scale — VERDICT
+    r01). The fixed shape routes candidate docs' shingles through the pair
+    table and intersects on the composite (doc id, shingle) key: a shingle
+    occurring in d docs can never fan out d² rows because the doc id
+    restricts every join it appears in."""
     p = plan_text(run_spark_query("dedup_ngram_jaccard", spark, SF_DIR))
-    assert "array_intersect" in p, p
-    # no join whose equi-key is the shingle column `sh`
     import re as _re
 
-    for m in _re.finditer(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\[([^\]]*)\]", p):
-        keys = m.group(2)
-        assert not _re.search(r"\bsh#", keys), p
+    # formatted-plan detail section: "Left keys [n]: [k1, k2]" per join
+    joins = _re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", p)
+    assert joins, p
+    for keys in joins:
+        if _re.search(r"\bsh#", keys):
+            # composite key: a doc id must co-restrict the shingle
+            assert _re.search(r"\bdoc_[ab]#|\bdoc_id#", keys), p
 
 
 def test_simhash_has_no_bit_explode(spark):
