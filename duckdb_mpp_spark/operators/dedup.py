@@ -238,6 +238,64 @@ def jaccard_verify(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup (new batch vs persisted index)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    index_bands: DataFrame, batch_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedupe a NEW batch against an already-indexed corpus — the daily-crawl
+    step of a training-data pipeline. Both inputs are band-signature tables
+    as produced by :func:`minhash_bands` (the index side persisted from prior
+    runs; ~10⁻³ of corpus bytes, so at 100 TB of corpus the index join input
+    is ~100 GB of signatures, never the corpus itself).
+
+    Returns one row per batch doc: ``(doc_id, verdict, dup_of)`` where
+    verdict ∈ {'dup_index', 'dup_batch', 'new'} — matched an indexed doc,
+    matched an earlier (smaller-id) doc within the batch, or genuinely new.
+    ``dup_of`` is the smallest matching doc id (index match wins), NULL for
+    new docs.
+
+    Scale shape: two equi-joins on (band, band_key) — batch×index and
+    batch×batch — each partitioned by band bucket, so cost is bounded by
+    bucket co-occupancy exactly like :func:`lsh_candidate_pairs`; the small
+    batch side broadcasts under AQE. The index is NEVER re-hashed: new docs'
+    bands can be unioned into the persisted index afterwards, keeping each
+    daily run O(batch + matches)."""
+    batch_bands = batch_bands.localCheckpoint(eager=False)
+    nb = batch_bands.select(F.col(id_col).alias("new_id"), "band", "band_key")
+    ib = index_bands.select(F.col(id_col).alias("idx_id"), "band", "band_key")
+    vs_index = (
+        nb.join(ib, ["band", "band_key"])
+        .groupBy("new_id")
+        .agg(F.min("idx_id").alias("dup_index"))
+    )
+    earlier = nb.select(
+        F.col("new_id").alias("prev_id"), "band", "band_key"
+    )
+    vs_batch = (
+        nb.join(earlier, ["band", "band_key"])
+        .where(F.col("prev_id") < F.col("new_id"))
+        .groupBy("new_id")
+        .agg(F.min("prev_id").alias("dup_batch"))
+    )
+    return (
+        nb.select("new_id")
+        .distinct()
+        .join(vs_index, "new_id", "left")
+        .join(vs_batch, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("dup_index").isNotNull(), F.lit("dup_index"))
+            .when(F.col("dup_batch").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("dup_index", "dup_batch").alias("dup_of"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash (32-bit, md5-hex-digit arithmetic — portable to the oracle)
 # ---------------------------------------------------------------------------
 
@@ -414,6 +472,48 @@ def _register():
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
             ORDER BY doc_a, doc_b
+            """,
+        ),
+    )
+
+    def incremental_fn(spark, sf_dir):
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        # deterministic batch split stands in for "today's crawl": in
+        # production the index side is PERSISTED signatures, not recomputed
+        batch = docs.where(F.col("doc_id") % 7 == F.lit(0))
+        index = docs.where(F.col("doc_id") % 7 != F.lit(0))
+        return incremental_dedup(minhash_bands(index), minhash_bands(batch)).orderBy(
+            "doc_id"
+        )
+
+    register(
+        "dedup_incremental",
+        Query(
+            spark=incremental_fn,
+            oracle=_DUCK_BANDS
+            + """,
+            nb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+            ib AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+            vs_index AS (
+              SELECT n.doc_id, MIN(i.doc_id) AS dup_index
+              FROM nb n JOIN ib i ON n.band = i.band AND n.band_key = i.band_key
+              GROUP BY 1
+            ),
+            vs_batch AS (
+              SELECT a.doc_id, MIN(b.doc_id) AS dup_batch
+              FROM nb a JOIN nb b
+                ON a.band = b.band AND a.band_key = b.band_key AND b.doc_id < a.doc_id
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CASE WHEN c.dup_index IS NOT NULL THEN 'dup_index'
+                        WHEN t.dup_batch IS NOT NULL THEN 'dup_batch'
+                        ELSE 'new' END AS verdict,
+                   COALESCE(c.dup_index, t.dup_batch) AS dup_of
+            FROM (SELECT DISTINCT doc_id FROM nb) d
+            LEFT JOIN vs_index c USING (doc_id)
+            LEFT JOIN vs_batch t USING (doc_id)
+            ORDER BY d.doc_id
             """,
         ),
     )
