@@ -117,6 +117,33 @@ def main() -> None:
         materialize(tbl.scan(where="o_custkey IN (1, 2, 3) OR o_custkey = 77"))
         if timings is not None:
             timings["mpp_pruned_scan"] = round(time.perf_counter() - t0, 4)
+        # Co-located join flavor: join phase timed separately from the
+        # bucketed writes, so the zero-shuffle join cost is visible on its
+        # own (the writes are a one-time indexing cost in a real deployment).
+        from pyspark.sql import functions as F
+
+        customer = load_table(spark, sf_dir, "customer")
+        t_o = mpp.create_distributed_table(
+            "orders_col", orders.schema, "o_custkey", 12, colocated=True
+        )
+        t_c = mpp.create_distributed_table(
+            "customer_col", customer.schema, "c_custkey", 12, colocated=True
+        )
+        t_o.insert(orders)
+        t_c.insert(customer)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t0 = time.perf_counter()
+            materialize(
+                t_o.scan()
+                .join(t_c.scan(), F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            if timings is not None:
+                timings["mpp_colocated_join"] = round(time.perf_counter() - t0, 4)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     if not extra:
         bench_mpp_split(None)  # warmup

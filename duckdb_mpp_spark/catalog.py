@@ -71,6 +71,9 @@ class TableMeta:
     schema_json: str  # StructType.json() of the user-visible schema
     defaults: dict[str, str] = field(default_factory=dict)  # col -> SQL literal text
     deleted: bool = False
+    # Storage flavor: False → directory-per-bucket parquet (COW DML capable);
+    # True → Spark native bucketed table (append-only, co-located joins).
+    colocated: bool = False
 
     @property
     def schema(self) -> T.StructType:
@@ -152,10 +155,17 @@ class MppCatalog:
         partition_column: str,
         buckets: int,
         defaults: dict[str, str] | None = None,
+        colocated: bool = False,
     ) -> TableMeta:
         with self._lock:
             if name in self._tables:
                 raise ValueError(f'table "{name}" already exists')
+            if colocated and "." in partition_column:
+                # Spark bucketBy takes top-level columns only; the COW layout
+                # supports struct-field partition columns, this flavor doesn't.
+                raise ValueError(
+                    "COLOCATED tables require a top-level partition column"
+                )
             cols = [f.name for f in schema.fields]
             # the partition column may be a struct-field path (``s.a``) —
             # the reference resolves partition refs through struct_extract
@@ -175,6 +185,7 @@ class MppCatalog:
                 buckets=buckets,
                 schema_json=schema.json(),
                 defaults=defaults or {},
+                colocated=colocated,
             )
             self._next_oid += 1
             self._tables[name] = meta

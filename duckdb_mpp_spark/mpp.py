@@ -50,7 +50,7 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
     r"\((?P<cols>.*)\)\s*"
     r"PARTITION\s+BY\s*\(\s*(?P<pcol>[\w.\"]+)\s*\)\s*"
-    r"WITH\s+BUCKETS\s+(?P<buckets>\d+)\s*;?\s*$",
+    r"WITH\s+BUCKETS\s+(?P<buckets>\d+)(?:\s+(?P<colocated>COLOCATED))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
@@ -270,17 +270,27 @@ class MppSession:
         partition_column: str,
         buckets: int,
         defaults: dict[str, str] | None = None,
+        colocated: bool = False,
     ) -> DistributedTable:
         if isinstance(schema, str):
             schema, parsed_defaults = parse_column_defs(schema)
             defaults = {**parsed_defaults, **(defaults or {})}
-        meta = self.catalog.create_table(name, schema, partition_column, buckets, defaults)
+        meta = self.catalog.create_table(
+            name, schema, partition_column, buckets, defaults, colocated=colocated
+        )
         if self._txn_depth:
             self._txn_created.append(name)
+        return self._bind(meta)
+
+    def _bind(self, meta) -> DistributedTable:
+        if meta.colocated:
+            from duckdb_mpp_spark.colocated import ColocatedTable
+
+            return ColocatedTable(self.spark, self.catalog, meta)
         return DistributedTable(self.spark, self.catalog, meta)
 
     def table(self, name: str) -> DistributedTable:
-        return DistributedTable(self.spark, self.catalog, self.catalog.get(name))
+        return self._bind(self.catalog.get(name))
 
     def insert_df(self, name: str, df: DataFrame) -> int:
         return self.table(name).insert(df)
@@ -303,7 +313,18 @@ class MppSession:
             raise ValueError(f"unknown node {addr!r}; registered: {sorted(known)}")
         return self.sql(sql)
 
+    def _reject_colocated_dml(self, name: str, verb: str) -> None:
+        if self.catalog.get(name).colocated:
+            raise NotImplementedError(
+                f"{verb} is not supported on COLOCATED tables (append-only "
+                "native-bucketed storage; use the directory-per-bucket flavor "
+                "for copy-on-write DML)"
+            )
+
     def drop_table(self, name: str) -> None:
+        tbl = self.table(name)
+        if self.catalog.get(name).colocated:
+            tbl.unregister()
         meta = self.catalog.drop_table(name)
         self.spark.catalog.dropTempView(name) if self._view_exists(name) else None
         # Files deliberately left behind: reference DROP does not drop worker
@@ -323,6 +344,8 @@ class MppSession:
         for name in self._txn_created:
             try:
                 meta = self.catalog.get(name)
+                if meta.colocated:
+                    self._bind(meta).unregister()
                 shutil.rmtree(self.catalog.table_path(meta), ignore_errors=True)
                 self.catalog.forget_table(name)
             except ValueError:
@@ -370,6 +393,7 @@ class MppSession:
             self.create_distributed_table(
                 _ident(m.group("name")), schema, _ident_path(m.group("pcol")),
                 int(m.group("buckets")), defaults,
+                colocated=bool(m.group("colocated")),
             )
             return None
 
@@ -379,6 +403,7 @@ class MppSession:
 
         m = _UPDATE_RE.match(stripped)
         if m and self.catalog.exists(_ident(m.group("name"))):
+            self._reject_colocated_dml(_ident(m.group("name")), "UPDATE")
             sets_text, where = _split_where_tail(m.group("rest"))
             assignments = {}
             for part in _split_top_level(sets_text):
@@ -388,6 +413,7 @@ class MppSession:
 
         m = _DELETE_RE.match(stripped)
         if m and self.catalog.exists(_ident(m.group("name"))):
+            self._reject_colocated_dml(_ident(m.group("name")), "DELETE")
             head, where = _split_where_tail(m.group("rest") or "")
             if head:  # DELETE ... USING etc. — not the supported shape
                 raise NotImplementedError(f"unsupported DELETE clause: {head!r}")
@@ -640,7 +666,7 @@ class MppSession:
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
             # The view embeds ONLY the derived __bucket predicate (directory
             # pruning); the user's WHERE is applied by spark.sql itself.
-            if where and len(names) == 1:
+            if where and len(names) == 1 and not tbl.meta.colocated:
                 df = tbl.scan(where=None, keep_bucket=True) if tbl._has_data() else tbl._empty_df(True)
                 from duckdb_mpp_spark.pruning import bucket_predicate_for_where
 

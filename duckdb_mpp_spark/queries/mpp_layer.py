@@ -98,6 +98,56 @@ register(
 )
 
 
+def _colocated_join(spark, sf_dir):
+    """Co-located distributed join: orders and customer both hash-bucketed
+    on custkey with equal bucket counts → the join plans with zero Exchange
+    on the keys (the reference's shard-co-located join; plan asserted in
+    tests/test_colocated.py). The oracle states plain join semantics — a
+    hash match proves bucketed routing loses/duplicates nothing."""
+    from pyspark.sql import functions as F
+
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    t_o = mpp.create_distributed_table(
+        "orders_c", orders.schema, "o_custkey", 12, colocated=True
+    )
+    t_c = mpp.create_distributed_table(
+        "customer_c", customer.schema, "c_custkey", 12, colocated=True
+    )
+    t_o.insert(orders)
+    t_c.insert(customer)
+    j = t_o.scan().join(
+        t_c.scan(), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "mpp_colocated_join",
+    Query(
+        spark=_colocated_join,
+        oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+    ),
+)
+
+
 def _rowid_scan(spark, sf_dir):
     """rowid pseudo-column invariants (reference projects DuckDB's
     shard-local rowid, src/function/mpp_table_scan.cpp:310-322; ids are

@@ -78,10 +78,10 @@ class DistributedTable:
         )
 
     # -- write path -------------------------------------------------------
-    def insert(self, df: DataFrame) -> int:
-        """Bucket-routed append; returns inserted row count (the reference's
-        single BIGINT result row, src/execution/mpp_physical_insert.cpp:215-221).
-        """
+    def _aligned_for_insert(self, df: DataFrame) -> DataFrame:
+        """Column-order/type alignment + NOT NULL enforcement shared by both
+        storage flavors (directory-per-bucket here, native bucketed in
+        colocated.py)."""
         cols = [f.name for f in self.meta.schema.fields]
         aligned = df.select(
             *[
@@ -108,7 +108,13 @@ class DistributedTable:
                         F.raise_error(F.lit(msg)).cast(field.dataType),
                     ).otherwise(F.col(field.name)),
                 )
-        routed = self.route(aligned)
+        return aligned
+
+    def insert(self, df: DataFrame) -> int:
+        """Bucket-routed append; returns inserted row count (the reference's
+        single BIGINT result row, src/execution/mpp_physical_insert.cpp:215-221).
+        """
+        routed = self.route(self._aligned_for_insert(df))
         # One shuffle so each bucket directory is written by few tasks (no
         # small-file explosion when every input task holds every bucket).
         routed = routed.repartition(self.meta.buckets, BUCKET_COL)
