@@ -135,15 +135,19 @@ _R01_UNVERIFIED: frozenset[str] = frozenset(
 
 def _registry_names_prioritized() -> list[str]:
     """Registry names in driver-check priority order: round-1-unverified
-    first (streaming last within that block — they are wall-clock heavy),
-    then queries new this round, then the round-1-verified tail."""
+    batch queries first, then queries new this round, then streaming (wall-
+    clock heavy — micro-batch start/stop — and covered by stream-vs-batch
+    parity tests locally, so they cost the most driver budget per unit of
+    new information), then the round-1-verified tail."""
 
     def prio(n: str) -> int:
+        if n.startswith("streaming_"):
+            return 2
         if n in _R01_UNVERIFIED:
-            return 1 if n.startswith("streaming_") else 0
+            return 0
         if n in _DRIVER_VERIFIED:
             return 3
-        return 2  # newly registered since round 1
+        return 1  # newly registered since round 1
 
     return sorted(REGISTRY, key=prio)  # stable: registry order within tiers
 
