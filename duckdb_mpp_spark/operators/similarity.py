@@ -152,6 +152,74 @@ def brute_force_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` — the standard memory/bandwidth lever
+    for 100 TB embedding stores (float32 → int8 is a 4× cut in shuffle and
+    scan bytes; ANN over the quantized vectors then runs on exact integer
+    dot products).
+
+    Engine portability is by construction: float→double widening is exact,
+    IEEE-754 double division is bit-identical across engines, and ``floor``
+    avoids round()'s half-up/half-even ambiguity — so quantized codes (and
+    every integer dot product over them) match DuckDB bit-for-bit. Returns
+    (id, q: array<long>, scale, nrm) with the integer L2 norm precomputed
+    once per vector (pairwise scoring then never re-reduces a self-dot)."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    scale = F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(xd, lambda x: F.floor(x / scale + F.lit(0.5)))
+    qq = F.aggregate(
+        F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        scale.alias("scale"),
+        F.sqrt(qq.cast("double")).alias("nrm"),
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(qz: DataFrame, k: int = 10) -> DataFrame:
+    """Brute-force top-k cosine over quantized vectors. ``qz`` is
+    ``quantize_embeddings`` output plus a boolean ``is_query`` column.
+    Same broadcast-queries × one-corpus-pass shape as the float path; the
+    per-pair kernel is an integer dot product (SIMD-friendly, no float
+    reduction-order concerns)."""
+    queries = qz.where("is_query").select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
+    )
+    corpus = qz.select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nrm").alias("cn")
+    )
+    pairs = F.broadcast(queries).crossJoin(corpus).where(F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        (
+            int_dot(F.col("qq"), F.col("cq")).cast("double")
+            / (F.col("qn") * F.col("cn"))
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", F.round("cos_raw", 4).alias("score"))
+    )
+
+
 # DuckDB oracle building blocks: dot products via generate_series with the
 # same float-multiply-then-widen arithmetic.
 _DUCK_NORMS = f"""
@@ -349,6 +417,57 @@ def _register():
                       JOIN norms nb ON nb.vec_id = vb
             WHERE dp / (na.nrm * nb.nrm) > 0.35
             ORDER BY va, vb
+            """,
+        ),
+    )
+
+    def quantized_fn(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qz = quantize_embeddings(emb).withColumn(
+            "is_query", F.col("vec_id") % 97 == F.lit(0)
+        )
+        return quantized_topk(qz, k=10).orderBy("qid", "rank")
+
+    register(
+        "ann_quantized_topk",
+        Query(
+            spark=quantized_fn,
+            oracle=f"""
+            WITH sc AS (
+              SELECT vec_id, embedding,
+                     greatest(list_max(list_transform(embedding,
+                              y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0 AS scale
+              FROM embeddings
+            ),
+            qz AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+              FROM sc
+            ),
+            qnorms AS (
+              SELECT vec_id, sqrt(CAST(SUM(q[t.i] * q[t.i]) AS DOUBLE)) AS nrm
+              FROM qz, generate_series(1, {DIM}) t(i) GROUP BY vec_id
+            ),
+            dots AS (
+              SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.q[t.i] * b.q[t.i]) AS dp
+              FROM qz a, qz b, generate_series(1, {DIM}) t(i)
+              WHERE a.vec_id % 97 = 0 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT qid, cid, CAST(dp AS DOUBLE) / (nq.nrm * nc.nrm) AS cos_raw
+              FROM dots JOIN qnorms nq ON nq.vec_id = qid
+                        JOIN qnorms nc ON nc.vec_id = cid
+            ),
+            ranked AS (
+              SELECT qid, cid,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS INT) AS rank,
+                     round(cos_raw, 4) AS score
+              FROM scored
+            )
+            SELECT qid, cid, rank, score FROM ranked WHERE rank <= 10
+            ORDER BY qid, rank
             """,
         ),
     )
