@@ -45,6 +45,7 @@ HEADLINE = [
     # regressions are visible independently round-over-round
     # LLM-pipeline operators
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",

@@ -93,6 +93,11 @@ def test_append_accumulates(pair, spark):
     assert pair.table("dims").scan().count() == 11
 
 
+def test_insert_select_through_front_door(pair):
+    pair.sql("INSERT INTO dims SELECT k + 100 AS k, name FROM dims WHERE k < 3")
+    assert pair.table("dims").scan(where="k >= 100").count() == 3
+
+
 def test_not_null_enforced(mpp, spark):
     mpp.sql(
         "CREATE TABLE nn(k INT, v TEXT NOT NULL) PARTITION BY (k) "
