@@ -26,28 +26,38 @@ from pyspark.sql import types as T
 
 from duckdb_mpp_spark.sources import load_table
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns int64 in the fixture parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_as_long: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_as_long else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded stream (file source). The ns-int64
-    timestamp is converted exactly like the batch reader (truncate to µs)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet as an unbounded stream (file source). Adapts to the
+    fixture's physical timestamp type exactly like the batch reader
+    (``sources.tables``): TIMESTAMP(NANOS) parquet has no native Spark type,
+    so it is read as raw int64 and truncated to µs; TIMESTAMP(MICROS) reads
+    natively."""
+    from duckdb_mpp_spark.sources.tables import _nanos_timestamp_cols
+
+    ns_cols = _nanos_timestamp_cols(os.path.join(sf_dir, "events.parquet"))
+    if "ts" in ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_as_long="ts" in ns_cols))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if "ts" in ns_cols:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
