@@ -54,6 +54,9 @@ HEADLINE = [
     "text_top_tokens",
     "text_repetition_stats",
     "text_contamination_overlap",
+    "dedup_substring_spans",
+    "text_tfidf_keywords",
+    "graph_triangle_count",
     # streaming runtime
     "streaming_hourly_agg",
 ]

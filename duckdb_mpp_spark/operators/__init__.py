@@ -1,3 +1,12 @@
 def register_pipeline_queries() -> None:
     """Import-time registration of all pipeline-operator gate queries."""
-    from duckdb_mpp_spark.operators import corpus, curation, dedup, multimodal, similarity, text  # noqa: F401
+    from duckdb_mpp_spark.operators import (  # noqa: F401
+        corpus,
+        curation,
+        dedup,
+        graph,
+        multimodal,
+        similarity,
+        substrings,
+        text,
+    )

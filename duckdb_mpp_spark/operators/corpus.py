@@ -360,6 +360,50 @@ def weighted_domain_sample(
     return df.withColumn("__w", w).where(u < F.col("__w")).drop("__w")
 
 
+STRATUM_K = 100
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = STRATUM_K,
+) -> DataFrame:
+    """Exactly-k-per-stratum sample: rank rows within each stratum by an
+    md5-derived shuffle key (deterministic, engine-portable — no ``rand()``)
+    and keep the first k. Unlike ``weighted_domain_sample`` (keep-probability
+    per row → binomial counts) this guarantees exact per-stratum counts, the
+    contract eval-set construction needs.
+
+    One shuffle (the window partition). The ``row_number() <= k`` filter
+    compiles to ``WindowGroupLimit`` (asserted for the top-k family in
+    ``tests/test_plan_shapes.py``), so each partition keeps a k-row heap
+    instead of fully sorting the stratum — the property that keeps a hot
+    stratum from becoming a full sort at 100 TB."""
+    rnd = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(rnd, F.col(id_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(strata_col, "rank", id_col)
+    )
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT lang, CAST(rank AS INT) AS rank, doc_id
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+WHERE rank <= {STRATUM_K}
+ORDER BY lang, rank
+"""
+
+
 _SAMPLE_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, lang,
@@ -430,6 +474,16 @@ def _register() -> None:
     register(
         "sampling_weighted_domains",
         Query(spark=sample_fn, oracle=_SAMPLE_ORACLE),
+    )
+
+    def stratified_fn(spark, sf_dir):
+        return stratified_sample_exact(load_table(spark, sf_dir, "documents")).orderBy(
+            "lang", "rank"
+        )
+
+    register(
+        "sampling_stratified_exact",
+        Query(spark=stratified_fn, oracle=_STRATIFIED_ORACLE),
     )
 
 

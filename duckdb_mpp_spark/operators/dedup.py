@@ -87,7 +87,12 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_WORDS,
+) -> DataFrame:
     """Word k-gram shingles, exploded to (id, shingle).
 
     Shape matters: exploding an index sequence and assembling each gram with
@@ -104,12 +109,12 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         id_col,
         "t",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("t") - (SHINGLE_WORDS - 1), F.lit(1)))
+            F.sequence(F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(1)))
         ).alias("i"),
     )
     gram = F.concat_ws(
         " ",
-        *[F.try_element_at("t", F.col("i") + j) for j in range(SHINGLE_WORDS)],
+        *[F.try_element_at("t", F.col("i") + j) for j in range(k)],
     )
     return idx.select(id_col, gram.alias("sh"))
 

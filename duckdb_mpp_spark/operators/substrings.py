@@ -1,0 +1,183 @@
+"""Exact-substring dedup signals and IDF keyword extraction.
+
+Two corpus operators a training-data pipeline runs after fuzzy dedup:
+
+- ``duplicated_span_stats``: per-document statistics over long word
+  n-gram spans that also occur in OTHER documents — the signal behind
+  exact-substring deduplication ("Deduplicating Training Data Makes
+  Language Models Better", Lee et al. 2022, which removes 50-token
+  duplicated substrings). We keep the span width configurable
+  (default 8 words) and report, per doc, how much of it is covered by
+  cross-document duplicate spans, which is the decision input both for
+  doc-level dropping and span-level cutting.
+- ``tfidf_keywords``: top-k characteristic terms per document by
+  tf·idf. IDF is computed in scaled *integer* arithmetic
+  (``(1e6 · N) div df``) so scores are engine-exact — no float logs,
+  no cross-engine rounding drift — while preserving the idf ordering
+  (x ↦ N/df is monotone in idf).
+
+Scale shape (100 TB): every step is groupBy/join on the gram or token
+key — partial map-side aggregation, key-partitioned shuffles, no
+broadcast of corpus-sized state, no driver collect. The gram join
+(``per ⋈_sh docs_per_gram``) is a sort-merge on the gram key: a gram
+hot enough to skew it is exactly the duplicated content the operator
+exists to find, and its per-key row count is #docs containing it, never
+#docs². Document counts enter through a 1-row broadcasted aggregate,
+not a driver-side ``.count()``.
+
+No reference parity: the reference engine (see SURVEY §2) has no corpus
+operators; these extend the surface per the north-star brief, in the
+style of ``operators/corpus.py``.
+"""
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.operators.dedup import shingles
+from duckdb_mpp_spark.operators.text import tokens
+from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.sources import load_table
+
+SPAN_WORDS = 8        # duplicated-span width (words)
+KEYWORDS_PER_DOC = 3  # top-k keywords
+MIN_KEYWORD_LEN = 4   # skip short/function words
+IDF_SCALE = 1_000_000
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_WORDS
+) -> DataFrame:
+    """Per-doc duplicated-span stats: total span positions, positions whose
+    k-word gram occurs in ≥2 distinct documents, and the duplicated
+    fraction.
+
+    Three key-partitioned shuffles, each algorithm-required: (doc, gram)
+    occurrence counts; gram → #docs; per-doc rollup after the gram join."""
+    g = shingles(df, id_col, text_col, k=k)
+    per = g.groupBy(id_col, "sh").agg(F.count("*").alias("occ"))
+    docs_per_gram = per.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    dup_occ = F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(F.lit(0))
+    return (
+        per.join(docs_per_gram, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_spans"),
+            F.sum(dup_occ).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = KEYWORDS_PER_DOC,
+) -> DataFrame:
+    """Top-k terms per doc by tf·idf_scaled, idf_scaled = (1e6·N) div df
+    (exact bigint). Deterministic tiebreak (score desc, token asc)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).where(F.length("tok") >= MIN_KEYWORD_LEN)
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_total = df.agg(F.count("*").alias("n_total"))  # 1 row — broadcast join
+    scored = (
+        tf.join(doc_freq, "tok")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "score", F.expr(f"tf * (({IDF_SCALE} * n_total) div df)")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "rank", "tok", "tf", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gate queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DUCK_SPANS = f"""
+  WITH words AS (
+    SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+    FROM documents
+  ),
+  spans AS (
+    SELECT doc_id, array_to_string(ws[i:i+{SPAN_WORDS - 1}], ' ') AS sh
+    FROM words, LATERAL (
+      SELECT unnest(range(1, greatest(len(ws) - {SPAN_WORDS - 1}, 1) + 1)) AS i
+    ) t
+  ),
+  per AS (SELECT doc_id, sh, COUNT(*) AS occ FROM spans GROUP BY 1, 2),
+  dpg AS (SELECT sh, COUNT(*) AS n_docs FROM per GROUP BY 1)
+"""
+
+_SPAN_ORACLE = _DUCK_SPANS + """
+  SELECT p.doc_id,
+         CAST(SUM(p.occ) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN d.n_docs >= 2 THEN p.occ ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         round(CAST(SUM(CASE WHEN d.n_docs >= 2 THEN p.occ ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(p.occ) AS DOUBLE), 6) AS dup_frac
+  FROM per p JOIN dpg d USING (sh)
+  GROUP BY 1
+  ORDER BY doc_id
+"""
+
+_KEYWORD_ORACLE = f"""
+  WITH toks AS (
+    SELECT doc_id, tok
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS tok
+      FROM documents
+    )
+    WHERE length(tok) >= {MIN_KEYWORD_LEN}
+  ),
+  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+  doc_freq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+  n AS (SELECT COUNT(*) AS n_total FROM documents),
+  scored AS (
+    SELECT t.doc_id, t.tok, t.tf,
+           t.tf * (({IDF_SCALE} * n.n_total) // d.df) AS score
+    FROM tf t JOIN doc_freq d USING (tok) CROSS JOIN n
+  ),
+  ranked AS (
+    SELECT doc_id, tok, tf, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+    FROM scored
+  )
+  SELECT doc_id, CAST(rank AS INT) AS rank, tok,
+         CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
+  FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
+  ORDER BY doc_id, rank
+"""
+
+
+def _register() -> None:
+    def spans_fn(spark, sf_dir):
+        return duplicated_span_stats(load_table(spark, sf_dir, "documents")).orderBy(
+            "doc_id"
+        )
+
+    register("dedup_substring_spans", Query(spark=spans_fn, oracle=_SPAN_ORACLE))
+
+    def keywords_fn(spark, sf_dir):
+        return tfidf_keywords(load_table(spark, sf_dir, "documents")).orderBy(
+            "doc_id", "rank"
+        )
+
+    register("text_tfidf_keywords", Query(spark=keywords_fn, oracle=_KEYWORD_ORACLE))
+
+
+_register()

@@ -116,3 +116,20 @@ register(
         """,
     ),
 )
+
+from duckdb_mpp_spark.streaming import streaming_ingest_distributed  # noqa: E402
+
+register(
+    "streaming_mpp_ingest",
+    Query(
+        spark=streaming_ingest_distributed,
+        oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    ),
+)

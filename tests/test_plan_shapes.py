@@ -123,3 +123,36 @@ def test_corpus_ops_are_jvm_side(spark, name):
     evaluation nodes on the hot path."""
     p = plan_text(run_spark_query(name, spark, SF_DIR))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_stratified_sample_uses_group_limit(spark):
+    """The exactly-k-per-stratum sample must compile its rank filter to
+    WindowGroupLimit (per-partition k-row heap) — otherwise a hot stratum
+    becomes a full sort of that stratum at scale."""
+    p = plan_text(run_spark_query("sampling_stratified_exact", spark, SF_DIR))
+    assert "WindowGroupLimit" in p, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_substring_spans", "text_tfidf_keywords", "graph_triangle_count"],
+)
+def test_new_corpus_graph_ops_are_jvm_side(spark, name):
+    """Substring-dedup, keyword extraction and triangle counting stay
+    expression-level (no Python evaluation nodes)."""
+    p = plan_text(run_spark_query(name, spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_tfidf_total_count_is_broadcast(spark):
+    """The corpus-size scalar joins in via a broadcast of a 1-row aggregate,
+    never a shuffled join or a driver-side collect."""
+    p = plan_text(run_spark_query("text_tfidf_keywords", spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_triangle_join_is_equi_join(spark):
+    """Triangle enumeration must be equi-joins on node keys — a nested-loop
+    or cartesian anywhere in the triangle plan is quadratic at scale."""
+    p = plan_text(run_spark_query("graph_triangle_count", spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
