@@ -484,12 +484,14 @@ def _register():
     def incremental_fn(spark, sf_dir):
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
         # deterministic batch split stands in for "today's crawl": in
-        # production the index side is PERSISTED signatures, not recomputed
-        batch = docs.where(F.col("doc_id") % 7 == F.lit(0))
-        index = docs.where(F.col("doc_id") % 7 != F.lit(0))
-        return incremental_dedup(minhash_bands(index), minhash_bands(batch)).orderBy(
-            "doc_id"
-        )
+        # production the index side is PERSISTED signatures, not recomputed.
+        # One minhash pass over the corpus, materialized, then split — the
+        # checkpoint plays the persisted index; hashing each split separately
+        # would shingle+hash the corpus twice for identical output.
+        bands = minhash_bands(docs).localCheckpoint(eager=False)
+        batch_bands = bands.where(F.col("doc_id") % 7 == F.lit(0))
+        index_bands = bands.where(F.col("doc_id") % 7 != F.lit(0))
+        return incremental_dedup(index_bands, batch_bands).orderBy("doc_id")
 
     register(
         "dedup_incremental",

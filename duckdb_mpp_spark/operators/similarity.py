@@ -559,3 +559,70 @@ def _register_kmeans():
 
 
 _register_kmeans()
+
+
+# ---------------------------------------------------------------------------
+# per-class centroids (nearest-centroid training / cluster summaries)
+# ---------------------------------------------------------------------------
+
+CENTROID_QSCALE = 1 << 20  # binary quantization step: float*2^20 floors exactly
+
+
+def class_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean vector (nearest-centroid classifier training, cluster
+    summaries for curation dashboards). posexplode fans each vector out to
+    (label, dim) contributions, but map-side partial aggregation caps the
+    shuffle at #labels x #dims rows regardless of corpus size -- the exploded
+    stream never crosses the wire. Sums are exact bigints over
+    ``floor(x * 2^20)`` (binary scale: exact for floats, engine-portable);
+    the mean is a single IEEE double division at the end."""
+    e = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    vq = F.floor(F.col("x").cast("double") * F.lit(float(CENTROID_QSCALE))).cast(
+        "bigint"
+    )
+    return (
+        e.select("label", "dim", vq.alias("vq"))
+        .groupBy("label", "dim")
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("s"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * CENTROID_QSCALE),
+                6,
+            ).alias("centroid"),
+        )
+    )
+
+
+def _register_centroids():
+    def centroids_fn(spark, sf_dir):
+        return class_centroids(load_table(spark, sf_dir, "embeddings")).orderBy(
+            "label", "dim"
+        )
+
+    register(
+        "embedding_class_centroids",
+        Query(
+            spark=centroids_fn,
+            oracle=f"""
+            WITH e AS (
+              SELECT label, CAST(t.i - 1 AS INT) AS dim,
+                     CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {CENTROID_QSCALE})
+                          AS BIGINT) AS vq
+              FROM embeddings, generate_series(1, {DIM}) t(i)
+            )
+            SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(vq) AS DOUBLE)
+                         / (COUNT(*) * CAST({CENTROID_QSCALE} AS DOUBLE)), 6)
+                     AS centroid
+            FROM e GROUP BY 1, 2
+            ORDER BY label, dim
+            """,
+        ),
+    )
+
+
+_register_centroids()
