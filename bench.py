@@ -121,6 +121,22 @@ def main() -> None:
         materialize(tbl.scan(where="o_custkey IN (1, 2, 3) OR o_custkey = 77"))
         if timings is not None:
             timings["mpp_pruned_scan"] = round(time.perf_counter() - t0, 4)
+        # Zone-map file skipping: SORT BY table, three range-disjoint
+        # ingests, date-range scan touches one generation of files.
+        t_s = mpp.create_distributed_table(
+            "orders_sorted_bench", orders.schema, "o_custkey", 12,
+            sort_column="o_orderdate",
+        )
+        for lo, hi in (("1992-01-01", "1995-01-01"),
+                       ("1995-01-01", "1997-01-01"),
+                       ("1997-01-01", "1999-01-01")):
+            t_s.insert(orders.where(f"o_orderdate >= '{lo}' AND o_orderdate < '{hi}'"))
+        t0 = time.perf_counter()
+        materialize(t_s.scan(
+            where="o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1996-01-01'"
+        ))
+        if timings is not None:
+            timings["mpp_zonemap_scan"] = round(time.perf_counter() - t0, 4)
         # Co-located join flavor: join phase timed separately from the
         # bucketed writes, so the zero-shuffle join cost is visible on its
         # own (the writes are a one-time indexing cost in a real deployment).

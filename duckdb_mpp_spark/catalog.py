@@ -74,6 +74,9 @@ class TableMeta:
     # Storage flavor: False → directory-per-bucket parquet (COW DML capable);
     # True → Spark native bucketed table (append-only, co-located joins).
     colocated: bool = False
+    # SORT BY column: files are written clustered on it, enabling zone-map
+    # file skipping for range predicates (see zonemap.py). COW flavor only.
+    sort_column: str | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -156,10 +159,20 @@ class MppCatalog:
         buckets: int,
         defaults: dict[str, str] | None = None,
         colocated: bool = False,
+        sort_column: str | None = None,
     ) -> TableMeta:
         with self._lock:
             if name in self._tables:
                 raise ValueError(f'table "{name}" already exists')
+            if sort_column is not None:
+                if colocated:
+                    raise ValueError(
+                        "SORT BY is supported on the copy-on-write flavor only"
+                    )
+                if sort_column not in {f.name for f in schema.fields}:
+                    raise ValueError(
+                        f'sort column "{sort_column}" does not exist'
+                    )
             if colocated and "." in partition_column:
                 # Spark bucketBy takes top-level columns only; the COW layout
                 # supports struct-field partition columns, this flavor doesn't.
@@ -186,6 +199,7 @@ class MppCatalog:
                 schema_json=schema.json(),
                 defaults=defaults or {},
                 colocated=colocated,
+                sort_column=sort_column,
             )
             self._next_oid += 1
             self._tables[name] = meta

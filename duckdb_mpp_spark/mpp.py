@@ -50,7 +50,8 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
     r"\((?P<cols>.*)\)\s*"
     r"PARTITION\s+BY\s*\(\s*(?P<pcol>[\w.\"]+)\s*\)\s*"
-    r"WITH\s+BUCKETS\s+(?P<buckets>\d+)(?:\s+(?P<colocated>COLOCATED))?\s*;?\s*$",
+    r"WITH\s+BUCKETS\s+(?P<buckets>\d+)(?:\s+(?P<colocated>COLOCATED))?"
+    r"(?:\s+SORT\s+BY\s*\(\s*(?P<sortcol>[\w.\"]+)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
@@ -271,12 +272,14 @@ class MppSession:
         buckets: int,
         defaults: dict[str, str] | None = None,
         colocated: bool = False,
+        sort_column: str | None = None,
     ) -> DistributedTable:
         if isinstance(schema, str):
             schema, parsed_defaults = parse_column_defs(schema)
             defaults = {**parsed_defaults, **(defaults or {})}
         meta = self.catalog.create_table(
-            name, schema, partition_column, buckets, defaults, colocated=colocated
+            name, schema, partition_column, buckets, defaults,
+            colocated=colocated, sort_column=sort_column,
         )
         if self._txn_depth:
             self._txn_created.append(name)
@@ -394,6 +397,7 @@ class MppSession:
                 _ident(m.group("name")), schema, _ident_path(m.group("pcol")),
                 int(m.group("buckets")), defaults,
                 colocated=bool(m.group("colocated")),
+                sort_column=_ident(m.group("sortcol")) if m.group("sortcol") else None,
             )
             return None
 

@@ -194,3 +194,66 @@ register(
         """,
     ),
 )
+
+
+def _sorted_scan(spark, sf_dir):
+    """SORT BY table + zone-map file skipping: three range-disjoint ingests
+    (the time-partitioned-ingest pattern) write three file generations per
+    bucket, each clustered on o_orderdate; the date-range scan then skips
+    the generations whose footer min/max can't overlap (zonemap.py). The
+    result must equal the plain filter — skipping is an optimization,
+    never a filter."""
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = mpp.create_distributed_table(
+        "orders_s", orders.schema, "o_custkey", 8, sort_column="o_orderdate"
+    )
+    for lo, hi in (("1992-01-01", "1995-01-01"), ("1995-01-01", "1997-01-01"),
+                   ("1997-01-01", "1999-01-01")):
+        tbl.insert(orders.where(f"o_orderdate >= '{lo}' AND o_orderdate < '{hi}'"))
+    out = tbl.scan(
+        where="o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1996-01-01'"
+    ).orderBy("o_orderkey")
+    assert tbl.last_file_skip is not None and tbl.last_file_skip[0] < tbl.last_file_skip[1]
+    return out
+
+
+register(
+    "mpp_sorted_scan",
+    Query(
+        spark=_sorted_scan,
+        oracle=f"""
+        SELECT {ORDER_COLS} FROM orders
+        WHERE o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1996-01-01'
+        ORDER BY o_orderkey
+        """,
+    ),
+)
+
+
+def _compact_scan(spark, sf_dir):
+    """Small-file compaction: two inserts accumulate two file sets per
+    bucket; compact() rewrites each bucket to one file (atomic dir swap,
+    same isolation as COW DML) and the pruned scan still returns exactly
+    the inserted rows — compaction changes layout, never content."""
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = mpp.create_distributed_table("orders_k", orders.schema, "o_custkey", 12)
+    tbl.insert(orders.where("o_orderkey % 2 = 0"))
+    tbl.insert(orders.where("o_orderkey % 2 = 1"))
+    rewritten = tbl.compact()
+    assert rewritten > 0
+    return tbl.scan(where="o_custkey <= 50").orderBy("o_orderkey")
+
+
+register(
+    "mpp_compact_scan",
+    Query(
+        spark=_compact_scan,
+        oracle=f"""
+        SELECT {ORDER_COLS} FROM orders
+        WHERE o_custkey <= 50
+        ORDER BY o_orderkey
+        """,
+    ),
+)

@@ -47,6 +47,8 @@ class DistributedTable:
         self.catalog = catalog
         self.meta = meta
         self.path = catalog.table_path(meta)
+        # (kept, total) file counts of the most recent zone-map-skipped scan
+        self.last_file_skip: tuple[int, int] | None = None
 
     # -- helpers ----------------------------------------------------------
     @property
@@ -118,6 +120,11 @@ class DistributedTable:
         # One shuffle so each bucket directory is written by few tasks (no
         # small-file explosion when every input task holds every bucket).
         routed = routed.repartition(self.meta.buckets, BUCKET_COL)
+        if self.meta.sort_column:
+            # SORT BY clustering: rows inside each written file are ordered
+            # on the sort column, so footer min/max become tight zone maps
+            # (zonemap.py). Sort, not range-partition — no extra shuffle.
+            routed = routed.sortWithinPartitions(BUCKET_COL, self.meta.sort_column)
         obs = Observation()
         routed = routed.observe(obs, F.count(F.lit(1)).alias("cnt"))
         (
@@ -144,7 +151,9 @@ class DistributedTable:
             if where:
                 df = df.where(where)
             return df.select(*(columns or [f.name for f in self.meta.schema.fields]))
-        df = self.spark.read.parquet(self.path)
+        df = self._zonemap_read(where, aliases, qualifiers)
+        if df is None:
+            df = self.spark.read.parquet(self.path)
         bucket_pred = bucket_predicate_for_where(
             where, self.meta.partition_column, self._part_type_ddl,
             self.meta.buckets, aliases, qualifiers or {self.meta.name},
@@ -157,6 +166,54 @@ class DistributedTable:
         if keep_bucket:
             out_cols = out_cols + [BUCKET_COL]
         return df.select(*out_cols)
+
+    def _zonemap_read(
+        self,
+        where: str | None,
+        aliases: set[str] | None,
+        qualifiers: set[str] | None,
+    ) -> DataFrame | None:
+        """Zone-map file skipping for SORT BY tables: derive conservative
+        bounds on the sort column from ``where``, keep only files whose
+        footer min/max can overlap, and scan that explicit file list
+        (``basePath`` preserves the __bucket partition column). Returns None
+        when skipping doesn't apply — caller falls back to the full scan.
+
+        Like bucket pruning this is an optimization, never a filter: the
+        full ``where`` is still applied by Catalyst, so a too-wide file set
+        is only wasted IO, and files lacking stats are always kept. The
+        footer pass is O(#files) driver metadata work (at warehouse scale
+        the same min/max belongs in a manifest, à la Iceberg/Delta — the
+        skipping decision is identical)."""
+        if not (self.meta.sort_column and where):
+            return None
+        from duckdb_mpp_spark import zonemap
+
+        bounds = zonemap.sort_bounds(
+            where, self.meta.sort_column, qualifiers or {self.meta.name}
+        )
+        if bounds is None:
+            return None
+        bucket_ids = self.pruned_bucket_ids(where, aliases, qualifiers)
+        total, kept = 0, []
+        for b in range(self.meta.buckets):
+            d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            if not os.path.isdir(d):
+                continue
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                total += 1
+                if b not in bucket_ids:
+                    continue
+                fp = os.path.join(d, fname)
+                mn, mx = zonemap.file_sort_stats(fp, self.meta.sort_column)
+                if mn is None or zonemap.file_overlaps(mn, mx, bounds):
+                    kept.append(fp)
+        self.last_file_skip = (len(kept), total)
+        if not kept:
+            return self._empty_df(with_bucket=True)
+        return self.spark.read.option("basePath", self.path).parquet(*kept)
 
     def _file_rowid_offsets(self) -> list[tuple[str, int]]:
         """Per-file starting rowid: cumulative parquet-footer row counts over
@@ -239,9 +296,13 @@ class DistributedTable:
         ]
         if where:
             lines.append(f"Filter: {where}")
+        self.last_file_skip = None
         plan = self.scan(where=where, aliases=aliases)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
+        if self.last_file_skip is not None:
+            k, n = self.last_file_skip
+            lines.append(f"Files: {k}/{n}")
         return "\n".join(lines) + "\n" + plan
 
 
@@ -296,9 +357,12 @@ class DistributedTable:
         df = self.spark.read.parquet(self.path)
         tmp = self.path + f".compact-{_uuid.uuid4().hex[:8]}"
         n_parts = max(self.meta.buckets * target_files_per_bucket, 1)
+        sort_cols = [BUCKET_COL] + (
+            [self.meta.sort_column] if self.meta.sort_column else []
+        )
         (
             df.repartition(n_parts, BUCKET_COL)
-            .sortWithinPartitions(BUCKET_COL)
+            .sortWithinPartitions(*sort_cols)  # re-clusters SORT BY tables
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(tmp)

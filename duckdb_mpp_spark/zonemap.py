@@ -1,0 +1,269 @@
+"""Zone-map file skipping for sort-clustered distributed tables.
+
+Tables declared with ``SORT BY (col)`` keep each written file clustered on
+the sort column, so parquet footer min/max statistics become *file-level*
+zone maps: a range predicate on the sort column can skip whole files before
+Spark ever schedules a task for them. This is the same design as
+Iceberg/Delta data skipping (manifest min/max per file) and the reference's
+DuckDB zone maps (row-group min/max), lifted to the bucket-directory layout.
+
+Division of labor with the engine: Spark already prunes *row groups* via
+pushed filters once a file is opened; file-level skipping removes the file
+from the scan plan entirely — fewer tasks, fewer footer opens, and on object
+storage fewer GETs. At 100 TB the min/max index belongs in a catalog
+manifest (one metadata read, like Delta's log); reading footers directly is
+the same O(#files) driver metadata pass as the file index itself and needs
+no extra infrastructure here.
+
+Correctness contract (same as ``pruning.py``): skipping is an OPTIMIZATION,
+never a filter. Bounds extraction is conservative — only conjuncts of the
+shape ``col OP literal`` / ``literal OP col`` / ``col BETWEEN a AND b``
+tighten the range; anything else (ORs, functions, unknown syntax) is
+ignored, which can only keep extra files. A file is skipped only when its
+footer stats PROVE it disjoint from the bound; missing/untyped stats keep
+the file.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+
+from duckdb_mpp_spark.pruning import _tokenize
+
+_CMP = {"=", "<", "<=", ">", ">="}
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+@dataclass
+class Bounds:
+    """Closed/open interval on the sort column. ``None`` end = unbounded."""
+
+    lo: object | None = None
+    lo_inclusive: bool = True
+    hi: object | None = None
+    hi_inclusive: bool = True
+
+    def tighten_lo(self, v, inclusive: bool) -> None:
+        if self.lo is None or v > self.lo or (v == self.lo and not inclusive):
+            self.lo, self.lo_inclusive = v, inclusive
+
+    def tighten_hi(self, v, inclusive: bool) -> None:
+        if self.hi is None or v < self.hi or (v == self.hi and not inclusive):
+            self.hi, self.hi_inclusive = v, inclusive
+
+    @property
+    def constrained(self) -> bool:
+        return self.lo is not None or self.hi is not None
+
+
+def _parse_literal_value(kind: str, text: str):
+    """SQL literal token → comparable Python value (None if unsupported)."""
+    if kind == "number":
+        f = float(text)
+        return int(text) if f.is_integer() and "." not in text and "e" not in text.lower() else f
+    if kind == "string":
+        return text[1:-1].replace("''", "'")
+    if kind == "typed":
+        head, _, rest = text.partition("'")
+        inner = rest.rstrip()[:-1].replace("''", "'")
+        t = head.strip().upper()
+        try:
+            if t == "DATE":
+                return datetime.date.fromisoformat(inner)
+            if t == "TIMESTAMP":
+                return datetime.datetime.fromisoformat(inner)
+        except ValueError:
+            return None
+    return None
+
+
+def _split_top_level_and(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    """Split on depth-0 ANDs — except the AND that belongs to a BETWEEN
+    phrase (``x BETWEEN a AND b`` must stay one conjunct, otherwise the
+    orphan upper bound could be misattributed to the sort column)."""
+    out, cur, depth, between_pending = [], [], 0, False
+    for k, v in toks:
+        if k == "lparen":
+            depth += 1
+        elif k == "rparen":
+            depth -= 1
+        if depth == 0 and k == "word" and v.upper() == "BETWEEN":
+            between_pending = True
+        if depth == 0 and k == "word" and v.upper() == "AND":
+            if between_pending:
+                between_pending = False
+                cur.append((k, v))
+                continue
+            out.append(cur)
+            cur = []
+            continue
+        cur.append((k, v))
+    out.append(cur)
+    return out
+
+
+def _strip_parens(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    while (
+        len(toks) >= 2
+        and toks[0][0] == "lparen"
+        and toks[-1][0] == "rparen"
+    ):
+        depth = 0
+        for i, (k, _) in enumerate(toks):
+            depth += k == "lparen"
+            depth -= k == "rparen"
+            if depth == 0 and i < len(toks) - 1:
+                return toks  # outer parens don't wrap the whole conjunct
+        toks = toks[1:-1]
+    return toks
+
+
+def _is_col(tok: tuple[str, str], sort_col: str, qualifiers: set[str]) -> bool:
+    if tok[0] != "word":
+        return False
+    name = tok[1].lower()
+    if name == sort_col.lower():
+        return True
+    if "." in name:
+        qual, _, base = name.rpartition(".")
+        return base == sort_col.lower() and qual in qualifiers
+    return False
+
+
+def sort_bounds(
+    where: str | None, sort_col: str, qualifiers: set[str] | None = None
+) -> Bounds | None:
+    """Conservative bounds on ``sort_col`` implied by ``where``.
+
+    Returns None when the predicate yields no usable constraint. Top-level
+    conjuncts that aren't a simple comparison on the sort column (ORs,
+    functions, other columns) are ignored — they can only narrow the result
+    further, so ignoring them keeps skipping sound."""
+    if not where:
+        return None
+    toks = _tokenize(where)
+    if toks is None:
+        return None
+    quals = {q.lower() for q in (qualifiers or set())}
+    b = Bounds()
+    for conj in _split_top_level_and(toks):
+        conj = _strip_parens(conj)
+        # col OP lit  |  lit OP col
+        if len(conj) == 3 and conj[1][0] == "op" and conj[1][1] in _CMP:
+            if _is_col(conj[0], sort_col, quals):
+                op, lit_tok = conj[1][1], conj[2]
+            elif _is_col(conj[2], sort_col, quals):
+                op, lit_tok = _FLIP.get(conj[1][1], "="), conj[0]
+            else:
+                continue
+            v = _parse_literal_value(lit_tok[0], lit_tok[1])
+            if v is None:
+                continue
+            if op == "=":
+                b.tighten_lo(v, True)
+                b.tighten_hi(v, True)
+            elif op == ">":
+                b.tighten_lo(v, False)
+            elif op == ">=":
+                b.tighten_lo(v, True)
+            elif op == "<":
+                b.tighten_hi(v, False)
+            elif op == "<=":
+                b.tighten_hi(v, True)
+        # col BETWEEN a AND b (kept whole by the splitter)
+        elif (
+            len(conj) == 5
+            and _is_col(conj[0], sort_col, quals)
+            and conj[1][0] == "word"
+            and conj[1][1].upper() == "BETWEEN"
+            and conj[3][0] == "word"
+            and conj[3][1].upper() == "AND"
+        ):
+            lo = _parse_literal_value(conj[2][0], conj[2][1])
+            hi = _parse_literal_value(conj[4][0], conj[4][1])
+            if lo is not None:
+                b.tighten_lo(lo, True)
+            if hi is not None:
+                b.tighten_hi(hi, True)
+    return b if b.constrained else None
+
+
+def _coerce(stat, bound):
+    """Coerce a parquet stat and a parsed literal to comparable types;
+    returns (stat, bound) or None when incomparable (→ keep the file)."""
+    import datetime as _dt
+
+    if stat is None or bound is None:
+        return None
+    if isinstance(stat, (int, float)) and isinstance(bound, (int, float)):
+        return float(stat), float(bound)
+    if isinstance(stat, bytes):
+        try:
+            stat = stat.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(stat, str) and isinstance(bound, str):
+        return stat, bound
+    if isinstance(stat, _dt.datetime) and isinstance(bound, _dt.datetime):
+        return stat, bound
+    if isinstance(stat, _dt.date) and isinstance(bound, _dt.date):
+        # normalize datetime vs date mixes
+        if isinstance(stat, _dt.datetime) != isinstance(bound, _dt.datetime):
+            s = stat if not isinstance(stat, _dt.datetime) else stat.date()
+            bb = bound if not isinstance(bound, _dt.datetime) else bound.date()
+            return s, bb
+        return stat, bound
+    if isinstance(stat, str) and isinstance(bound, _dt.date):
+        try:
+            return _dt.date.fromisoformat(stat[:10]), (
+                bound.date() if isinstance(bound, _dt.datetime) else bound
+            )
+        except ValueError:
+            return None
+    if isinstance(stat, _dt.date) and isinstance(bound, str):
+        # DATE/TIMESTAMP column compared against a bare string literal
+        try:
+            if isinstance(stat, _dt.datetime):
+                return stat, _dt.datetime.fromisoformat(bound)
+            return stat, _dt.date.fromisoformat(bound[:10])
+        except ValueError:
+            return None
+    return None
+
+
+def file_overlaps(fmin, fmax, bounds: Bounds) -> bool:
+    """True unless the footer stats PROVE the file disjoint from bounds."""
+    if bounds.lo is not None:
+        c = _coerce(fmax, bounds.lo)
+        if c is not None:
+            fmx, lo = c
+            if fmx < lo or (fmx == lo and not bounds.lo_inclusive):
+                return False
+    if bounds.hi is not None:
+        c = _coerce(fmin, bounds.hi)
+        if c is not None:
+            fmn, hi = c
+            if fmn > hi or (fmn == hi and not bounds.hi_inclusive):
+                return False
+    return True
+
+
+def file_sort_stats(path: str, sort_col: str):
+    """(min, max) of ``sort_col`` over all row groups of one parquet file,
+    from footer metadata only; (None, None) when stats are absent."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        idx = md.schema.names.index(sort_col)
+    except ValueError:
+        return None, None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        mn = st.min if mn is None or st.min < mn else mn
+        mx = st.max if mx is None or st.max > mx else mx
+    return mn, mx

@@ -1,0 +1,146 @@
+"""Zone-map file skipping for SORT BY tables (zonemap.py + table.py).
+
+The contract mirrors bucket pruning: skipping is an optimization derived
+from conservative predicate bounds + parquet footer stats — results must be
+identical with and without it, and anything unparseable must skip nothing.
+"""
+
+import datetime
+
+import pytest
+
+from duckdb_mpp_spark.zonemap import Bounds, file_overlaps, sort_bounds
+from tests.conftest import rows
+
+
+# ---------------------------------------------------------------------------
+# bounds extraction (pure)
+# ---------------------------------------------------------------------------
+
+def test_bounds_simple_range():
+    b = sort_bounds("v >= 10 AND v < 20", "v")
+    assert (b.lo, b.lo_inclusive, b.hi, b.hi_inclusive) == (10, True, 20, False)
+
+
+def test_bounds_flipped_and_equality():
+    b = sort_bounds("5 < v", "v")
+    assert (b.lo, b.lo_inclusive, b.hi) == (5, False, None)
+    b = sort_bounds("v = 7", "v")
+    assert (b.lo, b.hi) == (7, 7)
+
+
+def test_bounds_between_stays_whole():
+    b = sort_bounds("v BETWEEN 3 AND 9", "v")
+    assert (b.lo, b.hi) == (3, 9)
+
+
+def test_bounds_other_columns_between_not_misattributed():
+    # the AND inside another column's BETWEEN must not leak a bound onto v
+    b = sort_bounds("other BETWEEN 1 AND 5 AND v > 3", "v")
+    assert (b.lo, b.hi) == (3, None)
+
+
+def test_bounds_or_and_unknown_conjuncts_ignored():
+    assert sort_bounds("v > 5 OR x = 2", "v") is None
+    b = sort_bounds("f(v) = 3 AND v <= 8", "v")
+    assert (b.lo, b.hi) == (None, 8)
+
+
+def test_bounds_qualified_refs():
+    assert sort_bounds("t.v > 5", "v", {"t"}) is not None
+    # a different relation's same-named column must not constrain
+    assert sort_bounds("e.v > 5", "v", {"t"}) is None
+
+
+def test_bounds_date_literals():
+    b = sort_bounds("d >= DATE '1994-01-01' AND d < DATE '1995-01-01'", "d")
+    assert b.lo == datetime.date(1994, 1, 1)
+    assert b.hi == datetime.date(1995, 1, 1) and not b.hi_inclusive
+
+
+def test_file_overlaps_is_conservative():
+    b = Bounds(lo=10, lo_inclusive=True, hi=20, hi_inclusive=False)
+    assert not file_overlaps(1, 9, b)       # entirely below
+    assert not file_overlaps(20, 30, b)     # at exclusive upper bound
+    assert file_overlaps(19, 25, b)         # straddles
+    assert file_overlaps(None, None, b)     # no stats → keep
+    assert file_overlaps("a", "z", b)       # incomparable types → keep
+
+
+# ---------------------------------------------------------------------------
+# end-to-end on a distributed table
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def sorted_table(spark, mpp):
+    tbl = mpp.create_distributed_table(
+        "m", "k INT, v INT, grp INT", "grp", 4, sort_column="v"
+    )
+    # three range-disjoint ingests → 3 file generations per bucket with
+    # disjoint v ranges (the time-partitioned-ingest pattern)
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS INT) AS v", "CAST(id % 17 AS INT) AS grp"
+    )
+    for lo in (0, 100, 200):
+        tbl.insert(df.where(f"v >= {lo} AND v < {lo + 100}"))
+    return tbl
+
+
+def test_sorted_scan_matches_full_scan(sorted_table):
+    got = rows(sorted_table.scan(where="v >= 150 AND v < 160"), "k")
+    assert [r[1] for r in got] == list(range(150, 160))
+    assert sorted_table.last_file_skip is not None
+    kept, total = sorted_table.last_file_skip
+    assert total == 12 and kept <= 4  # one generation of files survives
+
+
+def test_zonemap_composes_with_bucket_pruning(sorted_table):
+    got = rows(sorted_table.scan(where="grp = 3 AND v BETWEEN 100 AND 199"), "k")
+    assert [r[1] for r in got] == [105, 122, 139, 156, 173, 190]  # v % 17 == 3
+    kept, total = sorted_table.last_file_skip
+    assert kept <= 1  # one bucket × one file generation
+
+
+def test_unparseable_predicate_skips_nothing(sorted_table):
+    got = rows(sorted_table.scan(where="v + 0 >= 290"), "k")
+    assert len(got) == 10
+    assert sorted_table.last_file_skip is None  # no bounds → no zonemap pass
+
+
+def test_empty_result_when_all_files_skipped(sorted_table):
+    got = rows(sorted_table.scan(where="v > 1000"))
+    assert got == []
+
+
+def test_ddl_sort_by_round_trip(spark, mpp):
+    mpp.sql(
+        "CREATE TABLE s(a INT, d DATE) PARTITION BY (a) WITH BUCKETS 2 SORT BY (d)"
+    )
+    assert mpp.catalog.get("s").sort_column == "d"
+    mpp.sql("INSERT INTO s VALUES (1, DATE '2024-01-01'), (2, DATE '2024-06-01')")
+    got = rows(mpp.sql("SELECT a FROM s WHERE d >= DATE '2024-03-01'"))
+    assert got == [(2,)]
+
+
+def test_sort_by_rejects_unknown_or_colocated(mpp):
+    with pytest.raises(ValueError):
+        mpp.create_distributed_table("x1", "a INT", "a", 2, sort_column="nope")
+    with pytest.raises(ValueError):
+        mpp.create_distributed_table(
+            "x2", "a INT", "a", 2, colocated=True, sort_column="a"
+        )
+
+
+def test_explain_reports_file_skip(sorted_table):
+    text = sorted_table.explain(where="v BETWEEN 0 AND 50")
+    assert "Files: " in text
+
+
+def test_compact_preserves_clustering(sorted_table):
+    sorted_table.compact()
+    got = rows(sorted_table.scan(where="v >= 10 AND v < 12"), "k")
+    assert [r[1] for r in got] == [10, 11]
+    # after compact each bucket is one file covering its full value range —
+    # only buckets provably missing [10, 12) may still be skipped
+    kept, total = sorted_table.last_file_skip
+    assert total == 4 and 1 <= kept <= 4
