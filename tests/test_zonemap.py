@@ -144,3 +144,88 @@ def test_compact_preserves_clustering(sorted_table):
     # only buckets provably missing [10, 12) may still be skipped
     kept, total = sorted_table.last_file_skip
     assert total == 4 and 1 <= kept <= 4
+
+
+# ---------------------------------------------------------------------------
+# property-based soundness: a skipped file can never contain a matching row
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    _comparisons = st.sampled_from(["=", "<", "<=", ">", ">="])
+    _vals = st.integers(min_value=-50, max_value=50)
+
+    @st.composite
+    def _conjuncts(draw):
+        kind = draw(st.sampled_from(["cmp", "cmp_flipped", "between", "noise"]))
+        v = draw(_vals)
+        if kind == "cmp":
+            return f"v {draw(_comparisons)} {v}"
+        if kind == "cmp_flipped":
+            return f"{v} {draw(_comparisons)} v"
+        if kind == "between":
+            hi = draw(_vals)
+            return f"v BETWEEN {min(v, hi)} AND {max(v, hi)}"
+        return draw(
+            st.sampled_from(
+                [f"other = {v}", f"other BETWEEN {v} AND {v + 3}", f"f(v) > {v}"]
+            )
+        )
+
+    def _row_matches(where: str, v: int) -> bool:
+        """Brute-force evaluation of the conjunctive predicate for column v.
+        Exact for every v-conjunct; noise conjuncts (other columns,
+        functions) evaluate True — the most permissive reading, which is
+        exactly what soundness must survive."""
+        import re as _re
+
+        ok = True
+        # v BETWEEN a AND b handled whole, then removed so the AND splitter
+        # can't cut it apart
+        def _btw(m):
+            nonlocal ok
+            ok &= int(m.group(1)) <= v <= int(m.group(2))
+            return "1 = 1"
+
+        where = _re.sub(r"\bv BETWEEN (-?\d+) AND (-?\d+)", _btw, where)
+        for conj in _re.split(r"\bAND\b", where):
+            conj = conj.strip()
+            m = _re.fullmatch(r"v (=|<|<=|>|>=) (-?\d+)", conj)
+            if m:
+                op, lit = m.group(1), int(m.group(2))
+                ok &= eval(f"v {'==' if op == '=' else op} lit")
+                continue
+            m = _re.fullmatch(r"(-?\d+) (=|<|<=|>|>=) v", conj)
+            if m:
+                lit, op = int(m.group(1)), m.group(2)
+                ok &= eval(f"lit {'==' if op == '=' else op} v")
+                continue
+            # noise conjunct → True
+        return ok
+
+    @given(
+        conjs=st.lists(_conjuncts(), min_size=1, max_size=4),
+        fmin=_vals,
+        fspan=st.integers(min_value=0, max_value=20),
+        probe=st.integers(min_value=0, max_value=20),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_skipped_file_has_no_matching_row(conjs, fmin, fspan, probe):
+        where = " AND ".join(conjs)
+        bounds = sort_bounds(where, "v")
+        if bounds is None:
+            return  # no skipping — trivially sound
+        fmax = fmin + fspan
+        v = fmin + (probe % (fspan + 1))  # a row value inside the file
+        if not file_overlaps(fmin, fmax, bounds):
+            # file skipped → NO v in [fmin, fmax] may satisfy the predicate
+            assert not _row_matches(where, v), (where, fmin, fmax, v)
