@@ -288,3 +288,48 @@ register(
         """,
     ),
 )
+
+
+# Fixed-bin value histogram per event type — the monitoring primitive for
+# value-distribution drift. Bin id is floor(value/step) clamped to the last
+# bucket: pure integer-exact expressions, one map-side-combined groupBy;
+# at any scale the shuffle carries #types x #bins rows.
+register(
+    "events_value_histogram",
+    Query(
+        spark="""
+            SELECT event_type,
+                   CAST(least(floor(value / 25.0), 19) AS INT) AS bin,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bin_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+    ),
+)
+
+
+# Sketch surface: HyperLogLog++ distinct counts and t-digest-style quantile
+# estimates. At 100 TB these replace exact DISTINCT/percentile shuffles with
+# constant-size mergeable state per group (HLL registers / quantile
+# summaries) — merge is max/merge-based, so results are partitioning- and
+# order-independent (deterministic), but they are estimates: no cross-engine
+# oracle exists (DuckDB's approx sketches differ), so this is a rows-only
+# gate entry and tests/test_sketches.py asserts error bounds vs the exact
+# answers instead.
+register(
+    "sketch_approx_stats",
+    Query(
+        spark="""
+            SELECT event_type,
+                   approx_count_distinct(user_id) AS approx_users,
+                   CAST(approx_percentile(value, 0.5) AS DOUBLE) AS approx_p50,
+                   CAST(approx_percentile(value, 0.99) AS DOUBLE) AS approx_p99
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        oracle=None,
+    ),
+)

@@ -156,3 +156,22 @@ def test_triangle_join_is_equi_join(spark):
     or cartesian anywhere in the triangle plan is quadratic at scale."""
     p = plan_text(run_spark_query("graph_triangle_count", spark, SF_DIR))
     assert "CartesianProduct" not in p, p
+
+
+def test_dynamic_partition_pruning_on_partitioned_source(spark, tmp_path):
+    """A Hive-partitioned fact joined to a filtered dim must plan dynamic
+    partition pruning: the dim's filter result prunes fact partitions at
+    runtime, so the fact scan reads only matching directories — at 100 TB
+    this is the difference between scanning one nation's partition and all
+    of them."""
+    fact_path = str(tmp_path / "customer_by_nation")
+    load_table(spark, SF_DIR, "customer").write.partitionBy("c_nationkey").parquet(
+        fact_path
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = load_table(spark, SF_DIR, "nation").where(F.col("n_name") == "FRANCE")
+    joined = fact.join(dim, fact.c_nationkey == dim.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    p = plan_text(joined)
+    assert "dynamicpruning" in p.lower(), p
