@@ -59,6 +59,15 @@ def _swap_buckets(table: DistributedTable, tmp_path: str, bucket_ids: list[int])
     shutil.rmtree(tmp_path, ignore_errors=True)
 
 
+def _rewrite_sort_cols(table: DistributedTable) -> list[str]:
+    """COW rewrites preserve SORT BY clustering (zone maps stay tight after
+    UPDATE/DELETE); unsorted tables just cluster by bucket."""
+    cols = [BUCKET_COL]
+    if table.meta.sort_column:
+        cols.append(table.meta.sort_column)
+    return cols
+
+
 def update(
     table: DistributedTable,
     assignments: dict[str, str],
@@ -96,6 +105,7 @@ def update(
     (
         df.select(*out_cols)
         .repartition(len(ids), BUCKET_COL)
+        .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
@@ -132,6 +142,7 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
     (
         df.where(~pred)
         .repartition(len(ids), BUCKET_COL)
+        .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(tmp)

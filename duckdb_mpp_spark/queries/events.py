@@ -333,3 +333,76 @@ register(
         oracle=None,
     ),
 )
+
+
+# Regular-grid resampling with forward fill — the time-series alignment
+# primitive (metrics dashboards, feature matrices at fixed cadence). The
+# 6-hour grid is generated per event type (sequence + explode — rows =
+# #types x #grid-points, never data-sized), each observation is bucketed to
+# its grid cell by one map-side-combined groupBy, and gaps forward-fill with
+# last_value(IGNORE NULLS) over a per-type window ordered by the grid —
+# partitioned by type, so the window shuffle is keyed and bounded. The
+# decimal cell aggregate keeps the filled values engine-exact.
+register(
+    "events_resample_ffill",
+    Query(
+        spark="""
+            WITH grid AS (
+              SELECT t.event_type, g.slot
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   LATERAL (
+                     SELECT explode(sequence(
+                       TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-30 18:00:00',
+                       INTERVAL 6 HOURS)) AS slot
+                   ) g
+            ),
+            cells AS (
+              SELECT event_type,
+                     to_timestamp(floor(unix_timestamp(ts) / 21600) * 21600) AS slot,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+              FROM events
+              GROUP BY 1, 2
+            )
+            SELECT g.event_type, g.slot,
+                   COALESCE(c.n, 0) AS n,
+                   last_value(c.cell_value, true) OVER (
+                     PARTITION BY g.event_type ORDER BY g.slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS ffill_value
+            FROM grid g LEFT JOIN cells c
+              ON c.event_type = g.event_type AND c.slot = g.slot
+            ORDER BY 1, 2
+        """,
+        oracle="""
+            WITH grid AS (
+              SELECT t.event_type, g.slot
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   (
+                     SELECT unnest(generate_series(
+                       TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-30 18:00:00',
+                       INTERVAL 6 HOUR)) AS slot
+                   ) g
+            ),
+            cells AS (
+              SELECT event_type,
+                     to_timestamp(floor(epoch(ts) / 21600) * 21600) AS slot,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+              FROM events
+              GROUP BY 1, 2
+            )
+            SELECT g.event_type, g.slot,
+                   COALESCE(c.n, 0) AS n,
+                   last_value(c.cell_value IGNORE NULLS) OVER (
+                     PARTITION BY g.event_type ORDER BY g.slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS ffill_value
+            FROM grid g LEFT JOIN cells c
+              ON c.event_type = g.event_type AND c.slot = g.slot
+            ORDER BY 1, 2
+        """,
+    ),
+)

@@ -229,3 +229,19 @@ if _HAVE_HYP:
         if not file_overlaps(fmin, fmax, bounds):
             # file skipped → NO v in [fmin, fmax] may satisfy the predicate
             assert not _row_matches(where, v), (where, fmin, fmax, v)
+
+
+def test_dml_rewrite_preserves_clustering(sorted_table, mpp):
+    """COW UPDATE on a SORT BY table re-clusters rewritten buckets, so zone
+    maps stay selective after DML."""
+    from duckdb_mpp_spark import dml
+
+    # prunable predicate → only grp=3's bucket is rewritten; other buckets
+    # keep their 3 range-disjoint generations
+    dml.update(sorted_table, {"k": "k + 1000"}, "grp = 3 AND v = 156")
+    got = rows(sorted_table.scan(where="v >= 156 AND v < 158"), "v")
+    assert [r[0] for r in got] == [1156, 157]
+    # zone maps must still skip: unrewritten buckets' off-range generations
+    # are provably disjoint from the narrow scan
+    kept, total = sorted_table.last_file_skip
+    assert kept < total
