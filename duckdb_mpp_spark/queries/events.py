@@ -406,3 +406,71 @@ register(
         """,
     ),
 )
+
+
+# Per-user behavioral features — the feature-store primitive for training
+# tables: activity counts/value totals, exact inter-event cadence (integer
+# epoch seconds; the division is one double op), and the latest event type
+# picked by a deterministic (ts, event_id) ordering. One groupBy + one
+# keyed window, both partitioned by user — at any scale the shuffles carry
+# per-user rows, and the two branches join on the same user key.
+register(
+    "events_user_features",
+    Query(
+        spark="""
+            WITH agg AS (
+              SELECT user_id,
+                     COUNT(*) AS n_events,
+                     COUNT(DISTINCT event_type) AS n_types,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                     CASE WHEN COUNT(*) > 1
+                          THEN round((unix_micros(CAST(MAX(ts) AS TIMESTAMP))
+                                      - unix_micros(CAST(MIN(ts) AS TIMESTAMP)))
+                                     / 1000000.0 / CAST(COUNT(*) - 1 AS DOUBLE), 6)
+                     END AS avg_gap_sec
+              FROM events GROUP BY user_id
+            ),
+            latest AS (
+              SELECT user_id, event_type AS last_type
+              FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+              ) WHERE rn = 1
+            )
+            SELECT a.user_id, a.n_events, a.n_types, a.total_value,
+                   a.avg_gap_sec, l.last_type
+            FROM agg a JOIN latest l USING (user_id)
+            ORDER BY a.user_id
+        """,
+        oracle="""
+            WITH agg AS (
+              SELECT user_id,
+                     COUNT(*) AS n_events,
+                     COUNT(DISTINCT event_type) AS n_types,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                     CASE WHEN COUNT(*) > 1
+                          THEN round((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                                     / 1000000.0 / CAST(COUNT(*) - 1 AS DOUBLE), 6)
+                     END AS avg_gap_sec
+              FROM events GROUP BY user_id
+            ),
+            latest AS (
+              SELECT user_id, event_type AS last_type
+              FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+              ) WHERE rn = 1
+            )
+            SELECT a.user_id, a.n_events, a.n_types, a.total_value,
+                   a.avg_gap_sec, l.last_type
+            FROM agg a JOIN latest l USING (user_id)
+            ORDER BY a.user_id
+        """,
+    ),
+)

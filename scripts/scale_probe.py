@@ -164,6 +164,52 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
             shingles(docs), lsh_candidate_pairs(minhash_bands(docs))
         ).where(F.col("jaccard") >= 0.5),
     )
+    from duckdb_mpp_spark.operators.graph import triangle_counts
+    from duckdb_mpp_spark.operators.substrings import duplicated_span_stats
+
+    run("substring_spans", lambda: duplicated_span_stats(docs))
+    run(
+        "graph_triangles",
+        lambda: triangle_counts(
+            lsh_candidate_pairs(minhash_bands(docs)).localCheckpoint(eager=False)
+        ),
+    )
+    return out
+
+
+def bench_zonemap(spark) -> dict[str, float]:
+    """A/B at sf≈1: identical date-sliced ingests into a SORT BY table vs a
+    plain table; the same one-month scan. The delta is exactly the file-level
+    zone-map skip (both layouts still get Spark's row-group pruning)."""
+    import tempfile
+
+    from duckdb_mpp_spark.mpp import MppSession
+
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="probe_zm_"))
+    od = spark.read.parquet(f"{DST}/orders.parquet")
+    slices = (
+        ("1992-01-01", "1995-01-01"),
+        ("1995-01-01", "1997-01-01"),
+        ("1997-01-01", "1999-01-01"),
+    )
+    where = (
+        "o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1996-01-01'"
+    )
+    out = {}
+    for name, sort in (("orders_zm", "o_orderdate"), ("orders_plain", None)):
+        tbl = mpp.create_distributed_table(
+            name, od.schema, "o_custkey", 12, sort_column=sort
+        )
+        for lo, hi in slices:
+            tbl.insert(od.where(f"o_orderdate >= '{lo}' AND o_orderdate < '{hi}'"))
+        tbl.scan(where=where).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tbl.scan(where=where).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_scan"] = round(best, 3)
+    out["zonemap_speedup"] = round(out["orders_plain_scan"] / out["orders_zm_scan"], 2)
     return out
 
 
@@ -180,6 +226,7 @@ def main() -> None:
     ratios = {
         n: round(big[n] / small[n] / REPLICAS, 2) for n in small
     }  # 1.0 = perfectly linear
+    zm = bench_zonemap(spark)
     print(
         json.dumps(
             {
@@ -187,6 +234,7 @@ def main() -> None:
                 "sf1_sec": big,
                 "per_row_ratio_vs_linear": ratios,
                 "replicas": REPLICAS,
+                "zonemap_ab_sf1": zm,
             }
         )
     )
