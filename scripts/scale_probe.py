@@ -107,20 +107,24 @@ DOCS_BIG = "/tmp/mpp_scale_docs10"
 
 
 def replicate_documents(spark) -> None:
-    """Document replicas for the dedup probes. Each replica's texts get a
-    replica-tag token spliced between every pair of words, so shingles (and
-    therefore minhashes, bands, candidate pairs) are DISJOINT across
-    replicas while the within-replica duplicate structure is preserved
-    exactly. Output and join fan-out then scale linearly in replicas by
-    construction — the probe measures the engine's scaling, not a
-    data-dependent pair explosion. The 1-replica baseline gets the same
-    transformation (tag r0) so per-doc token counts are comparable."""
+    """Document replicas for the dedup probes. Every WORD is prefixed with a
+    replica tag (``hello`` → ``zz3hello``), so shingles (and therefore
+    minhashes, bands, candidate pairs) are DISJOINT across replicas while
+    the within-replica duplicate structure — and the per-doc token count —
+    is preserved exactly. Output and join fan-out then scale linearly in
+    replicas by construction. (An earlier version spliced tag TOKENS between
+    words; the resulting ``zz<i> <stopword> zz<i>`` shingles were shared by
+    most docs in a replica, correlated the minhash minima, and collapsed LSH
+    buckets into an artifact graph ~100× denser than the real corpus's —
+    23M candidate pairs, max degree 3.4k — which made the verify/triangle
+    probes measure the artifact, not the operator.) The 1-replica baseline
+    gets the same transformation (tag zz0) so both scales are comparable."""
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
 
     def tagged(i: int):
         return docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * span)).withColumn(
-            "text", F.regexp_replace("text", " ", f" zz{i} ")
+            "text", F.regexp_replace("text", "(^| )", f"$1zz{i}")
         )
 
     for path, n in ((DOCS_SMALL, 1), (DOCS_BIG, REPLICAS)):
@@ -148,12 +152,12 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
 
     def run(name, mk):
         mk().write.format("noop").mode("overwrite").save()  # warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            mk().write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
+        # one timed rep after warmup: these pipelines rebuild the whole
+        # LSH/shingle DAG per execution, so min-of-N doubles a minutes-long
+        # probe for noise reduction the ratio doesn't need
+        t0 = time.perf_counter()
+        mk().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
@@ -168,12 +172,22 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
     from duckdb_mpp_spark.operators.substrings import duplicated_span_stats
 
     run("substring_spans", lambda: duplicated_span_stats(docs))
-    run(
-        "graph_triangles",
-        lambda: triangle_counts(
-            lsh_candidate_pairs(minhash_bands(docs)).localCheckpoint(eager=False)
-        ),
-    )
+
+    # Triangles over the VERIFIED near-dup graph (jaccard >= 0.5), not raw
+    # candidate pairs: the replica tagging correlates minhashes through hot
+    # "zz<i> <stopword> zz<i>" shingles, so raw LSH buckets here are an
+    # artifact ~100x denser than a real corpus's (23M pairs, max degree
+    # 3.4k at 10x) and triangle fan-out on them measures the artifact, not
+    # the operator. The verified graph has the density a real similarity
+    # graph has; end-to-end cost stays dominated by the (linear) LSH+verify
+    # stages it composes.
+    def verified_triangles():
+        pairs = jaccard_verify(
+            shingles(docs), lsh_candidate_pairs(minhash_bands(docs))
+        ).where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        return triangle_counts(pairs.localCheckpoint(eager=False))
+
+    run("graph_triangles_verified", verified_triangles)
     return out
 
 
@@ -209,35 +223,40 @@ def bench_zonemap(spark) -> dict[str, float]:
             tbl.scan(where=where).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[f"{name}_scan"] = round(best, 3)
+        if sort and tbl.last_file_skip:
+            kept, total = tbl.last_file_skip
+            out["zm_files_kept"], out["zm_files_total"] = kept, total
     out["zonemap_speedup"] = round(out["orders_plain_scan"] / out["orders_zm_scan"], 2)
     return out
 
 
 def main() -> None:
+    # parts: "core" (TPC-H shapes), "docs" (dedup/graph/substring),
+    # "zonemap" (SORT BY A/B) — run separately to keep each under a CI/
+    # driver time budget; default runs everything.
+    parts = set(sys.argv[1:]) or {"core", "docs", "zonemap"}
     spark = get_spark(app_name="scale-probe")
-    replicate(spark)
-    small = bench(spark, SRC)
-    big = bench(spark, DST)
-    replicate_documents(spark)
-    dsmall = bench_dedup(spark, DOCS_SMALL)
-    dbig = bench_dedup(spark, DOCS_BIG)
-    small.update(dsmall)
-    big.update(dbig)
-    ratios = {
-        n: round(big[n] / small[n] / REPLICAS, 2) for n in small
-    }  # 1.0 = perfectly linear
-    zm = bench_zonemap(spark)
-    print(
-        json.dumps(
-            {
-                "sf0.1_sec": small,
-                "sf1_sec": big,
-                "per_row_ratio_vs_linear": ratios,
-                "replicas": REPLICAS,
-                "zonemap_ab_sf1": zm,
-            }
-        )
-    )
+    small: dict[str, float] = {}
+    big: dict[str, float] = {}
+    result: dict[str, object] = {"replicas": REPLICAS}
+    if parts & {"core", "zonemap"}:
+        replicate(spark)
+    if "core" in parts:
+        small.update(bench(spark, SRC))
+        big.update(bench(spark, DST))
+    if "docs" in parts:
+        replicate_documents(spark)
+        small.update(bench_dedup(spark, DOCS_SMALL))
+        big.update(bench_dedup(spark, DOCS_BIG))
+    if small:
+        result["sf0.1_sec"] = small
+        result["sf1_sec"] = big
+        result["per_row_ratio_vs_linear"] = {
+            n: round(big[n] / small[n] / REPLICAS, 2) for n in small
+        }  # 1.0 = perfectly linear
+    if "zonemap" in parts:
+        result["zonemap_ab_sf1"] = bench_zonemap(spark)
+    print(json.dumps(result))
     for p in (DST, DOCS_SMALL, DOCS_BIG):
         shutil.rmtree(p, ignore_errors=True)
 
