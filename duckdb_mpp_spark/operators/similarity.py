@@ -626,3 +626,97 @@ def _register_centroids():
 
 
 _register_centroids()
+
+
+def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
+    """Nearest-centroid classification: assign every vector to the class
+    centroid minimizing exact squared L2 distance, and report the per-
+    (true label, assigned label) confusion counts -- the evaluation loop of
+    a nearest-centroid classifier over the `class_centroids` output.
+
+    Scale + determinism shape:
+    - centroids (labels x dims rows -- KBs at any corpus size) come from the
+      map-side-combined aggregate and BROADCAST to the assignment join; the
+      corpus is never shuffled for assignment.
+    - each squared-difference term is rounded to 9 decimals and summed as
+      DECIMAL(28,9) -- decimal addition is associative, so any partition
+      order gives bit-identical distances, and the argmin (ties broken by
+      smaller label) matches the DuckDB oracle exactly. A raw double sum
+      would be reduction-order-dependent and flaky under repartitioning.
+    """
+    cent = class_centroids(emb).select(
+        F.col("label").alias("c_label"), "dim", "centroid"
+    )
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    term = F.round(
+        (F.col("x").cast("double") - F.col("centroid"))
+        * (F.col("x").cast("double") - F.col("centroid")),
+        9,
+    ).cast("decimal(28,9)")
+    d2 = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(term).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    assigned = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned"))
+    )
+    return (
+        assigned.groupBy("label", "assigned")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "assigned")
+    )
+
+
+def _register_centroid_assign():
+    def assign_fn(spark, sf_dir):
+        return nearest_centroid_assign(load_table(spark, sf_dir, "embeddings"))
+
+    register(
+        "ann_centroid_assign",
+        Query(
+            spark=assign_fn,
+            oracle=f"""
+            WITH e AS (
+              SELECT vec_id, label, CAST(t.i - 1 AS INT) AS dim,
+                     CAST(embedding[t.i] AS DOUBLE) AS x,
+                     CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {CENTROID_QSCALE})
+                          AS BIGINT) AS vq
+              FROM embeddings, generate_series(1, {DIM}) t(i)
+            ),
+            cent AS (
+              SELECT label AS c_label, dim,
+                     round(CAST(SUM(vq) AS DOUBLE)
+                           / (COUNT(*) * CAST({CENTROID_QSCALE} AS DOUBLE)), 6)
+                       AS centroid
+              FROM e GROUP BY 1, 2
+            ),
+            d2 AS (
+              SELECT e.vec_id, e.label, c.c_label,
+                     SUM(CAST(round((e.x - c.centroid) * (e.x - c.centroid), 9)
+                              AS DECIMAL(28,9))) AS d2
+              FROM e JOIN cent c USING (dim)
+              GROUP BY 1, 2, 3
+            ),
+            assigned AS (
+              SELECT vec_id, label, c_label AS assigned,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC
+                     ) AS rn
+              FROM d2
+            )
+            SELECT label, assigned, COUNT(*) AS n
+            FROM assigned WHERE rn = 1
+            GROUP BY 1, 2
+            ORDER BY label, assigned
+            """,
+        ),
+    )
+
+
+_register_centroid_assign()

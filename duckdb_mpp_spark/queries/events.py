@@ -318,21 +318,26 @@ register(
 # oracle exists (DuckDB's approx sketches differ), so this is a rows-only
 # gate entry and tests/test_sketches.py asserts error bounds vs the exact
 # answers instead.
-register(
-    "sketch_approx_stats",
-    Query(
-        spark="""
-            SELECT event_type,
-                   approx_count_distinct(user_id) AS approx_users,
-                   CAST(approx_percentile(value, 0.5) AS DOUBLE) AS approx_p50,
-                   CAST(approx_percentile(value, 0.99) AS DOUBLE) AS approx_p99
-            FROM events
-            GROUP BY event_type
-            ORDER BY event_type
-        """,
-        oracle=None,
-    ),
-)
+def _sketch_fn(spark, sf_dir):
+    # callable (not shared-dialect text) so oracle_sql() is genuinely None:
+    # DuckDB has no matching sketch functions and estimates would not
+    # hash-match anyway — the driver records the rows-only check, and
+    # tests/test_sketches.py holds the estimates to explicit error bounds.
+    from duckdb_mpp_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type,
+               approx_count_distinct(user_id) AS approx_users,
+               CAST(approx_percentile(value, 0.5) AS DOUBLE) AS approx_p50,
+               CAST(approx_percentile(value, 0.99) AS DOUBLE) AS approx_p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """)
+
+
+register("sketch_approx_stats", Query(spark=_sketch_fn, oracle=None))
 
 
 # Regular-grid resampling with forward fill — the time-series alignment
