@@ -40,6 +40,8 @@ HEADLINE = [
     "events_sessionization",
     "asof_join_events_orders",
     "events_cohort_retention",
+    "events_user_features",
+    "events_resample_ffill",
     # distributed-table layer: timed as split phases (mpp_bucketed_insert /
     # mpp_pruned_scan) in bench_mpp_split() so DML and pruning perf
     # regressions are visible independently round-over-round
