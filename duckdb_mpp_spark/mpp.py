@@ -669,15 +669,23 @@ class MppSession:
             tbl = self.table(name)
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
             # The view embeds ONLY the derived __bucket predicate (directory
-            # pruning); the user's WHERE is applied by spark.sql itself.
+            # pruning) and, for SORT BY tables, the zone-map-skipped file
+            # list; the user's WHERE is applied in full by spark.sql itself,
+            # so both remain pure optimizations.
             if where and len(names) == 1 and not tbl.meta.colocated:
-                df = tbl.scan(where=None, keep_bucket=True) if tbl._has_data() else tbl._empty_df(True)
+                quals = self._table_qualifiers(query, name)
+                df = None
+                if tbl._has_data():
+                    df = tbl._zonemap_read(where, aliases, quals)
+                    if df is None:
+                        df = tbl.scan(where=None, keep_bucket=True)
+                else:
+                    df = tbl._empty_df(True)
                 from duckdb_mpp_spark.pruning import bucket_predicate_for_where
 
                 pred = bucket_predicate_for_where(
                     where, tbl.meta.partition_column, tbl._part_type_ddl,
-                    tbl.meta.buckets, aliases,
-                    qualifiers=self._table_qualifiers(query, name),
+                    tbl.meta.buckets, aliases, qualifiers=quals,
                 )
                 if pred and tbl._has_data():
                     df = df.where(pred)
@@ -711,6 +719,13 @@ class MppSession:
             header.append(f"Shards: {len(ids)}/{tbl.meta.buckets}")
             if where:
                 header.append(f"Filter: {where}")
+            if tbl.meta.sort_column and where:
+                tbl._zonemap_read(
+                    where, aliases, self._table_qualifiers(query, name)
+                )
+                if tbl.last_file_skip is not None:
+                    k, n = tbl.last_file_skip
+                    header.append(f"Files: {k}/{n}")
         df = self.spark.sql(query)
         plan = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

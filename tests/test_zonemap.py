@@ -245,3 +245,17 @@ def test_dml_rewrite_preserves_clustering(sorted_table, mpp):
     # are provably disjoint from the narrow scan
     kept, total = sorted_table.last_file_skip
     assert kept < total
+
+
+def test_frontdoor_select_uses_zonemap_and_explain_reports_files(spark, mpp):
+    mpp.sql(
+        "CREATE TABLE fd(a INT, v INT) PARTITION BY (a) WITH BUCKETS 2 SORT BY (v)"
+    )
+    df = spark.range(200).selectExpr("CAST(id % 7 AS INT) AS a", "CAST(id AS INT) AS v")
+    tbl = mpp.table("fd")
+    for lo in (0, 100):
+        tbl.insert(df.where(f"v >= {lo} AND v < {lo + 100}"))
+    got = rows(mpp.sql("SELECT v FROM fd WHERE v >= 150 AND v < 153"))
+    assert sorted(r[0] for r in got) == [150, 151, 152]
+    text = mpp.sql("EXPLAIN SELECT v FROM fd WHERE v >= 150 AND v < 153")
+    assert "Files: 2/4" in text, text
