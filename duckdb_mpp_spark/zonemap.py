@@ -171,6 +171,32 @@ def sort_bounds(
                 b.tighten_hi(v, False)
             elif op == "<=":
                 b.tighten_hi(v, True)
+        # col IN (lit, lit, ...) → [min, max] envelope (files outside the
+        # envelope can't contain any listed value; exact membership is left
+        # to the engine's filter)
+        elif (
+            len(conj) >= 4
+            and _is_col(conj[0], sort_col, quals)
+            and conj[1][0] == "word"
+            and conj[1][1].upper() == "IN"
+            and conj[2][0] == "lparen"
+            and conj[-1][0] == "rparen"
+        ):
+            vals = []
+            for k, v in conj[3:-1]:
+                if k == "comma":
+                    continue
+                pv = _parse_literal_value(k, v)
+                if pv is None:
+                    vals = None  # non-literal element → no envelope
+                    break
+                vals.append(pv)
+            if vals:
+                try:
+                    b.tighten_lo(min(vals), True)
+                    b.tighten_hi(max(vals), True)
+                except TypeError:
+                    pass  # mixed-type list → incomparable, ignore
         # col BETWEEN a AND b (kept whole by the splitter)
         elif (
             len(conj) == 5

@@ -166,10 +166,15 @@ if _HAVE_HYP:
 
     @st.composite
     def _conjuncts(draw):
-        kind = draw(st.sampled_from(["cmp", "cmp_flipped", "between", "noise"]))
+        kind = draw(
+            st.sampled_from(["cmp", "cmp_flipped", "between", "in", "noise"])
+        )
         v = draw(_vals)
         if kind == "cmp":
             return f"v {draw(_comparisons)} {v}"
+        if kind == "in":
+            vals = draw(st.lists(_vals, min_size=1, max_size=4))
+            return f"v IN ({', '.join(map(str, vals))})"
         if kind == "cmp_flipped":
             return f"{v} {draw(_comparisons)} v"
         if kind == "between":
@@ -197,6 +202,13 @@ if _HAVE_HYP:
             return "1 = 1"
 
         where = _re.sub(r"\bv BETWEEN (-?\d+) AND (-?\d+)", _btw, where)
+
+        def _in(m):
+            nonlocal ok
+            ok &= v in {int(x) for x in m.group(1).split(",")}
+            return "1 = 1"
+
+        where = _re.sub(r"\bv IN \(([-\d, ]+)\)", _in, where)
         for conj in _re.split(r"\bAND\b", where):
             conj = conj.strip()
             m = _re.fullmatch(r"v (=|<|<=|>|>=) (-?\d+)", conj)
@@ -259,3 +271,12 @@ def test_frontdoor_select_uses_zonemap_and_explain_reports_files(spark, mpp):
     assert sorted(r[0] for r in got) == [150, 151, 152]
     text = mpp.sql("EXPLAIN SELECT v FROM fd WHERE v >= 150 AND v < 153")
     assert "Files: 2/4" in text, text
+
+
+def test_bounds_in_list_envelope():
+    b = sort_bounds("v IN (7, 3, 12)", "v")
+    assert (b.lo, b.hi) == (3, 12)
+    # non-literal element → no envelope from this conjunct
+    assert sort_bounds("v IN (3, x)", "v") is None
+    # other column's IN must not constrain
+    assert sort_bounds("w IN (3, 5)", "v") is None
