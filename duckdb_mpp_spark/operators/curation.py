@@ -221,7 +221,8 @@ register(
             FROM documents
           ) t
         )
-        SELECT split, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        SELECT split, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM tagged GROUP BY split, source
         ORDER BY split, source
         """,

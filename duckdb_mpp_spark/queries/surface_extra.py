@@ -134,8 +134,8 @@ register(
             )
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(CAST(dirty AS BIGINT)) AS n_removed,
-                   SUM(CAST(NOT dirty AS BIGINT)) AS n_kept,
+                   CAST(SUM(CAST(dirty AS BIGINT)) AS BIGINT) AS n_removed,
+                   CAST(SUM(CAST(NOT dirty AS BIGINT)) AS BIGINT) AS n_kept,
                    MIN(CASE WHEN NOT dirty THEN doc_id END) AS first_kept_doc
             FROM d GROUP BY source ORDER BY source
         """,
@@ -191,9 +191,9 @@ register(
               FROM embeddings
             )
             SELECT label, COUNT(*) AS n,
-                   SUM(n_pos) AS sum_n_pos,
-                   SUM(q_l1) AS sum_q_l1,
-                   SUM(q_revdot) AS sum_q_revdot
+                   CAST(SUM(n_pos) AS BIGINT) AS sum_n_pos,
+                   CAST(SUM(q_l1) AS BIGINT) AS sum_q_l1,
+                   CAST(SUM(q_revdot) AS BIGINT) AS sum_q_revdot
             FROM p GROUP BY label ORDER BY label
         """,
     ),

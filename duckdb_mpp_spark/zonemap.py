@@ -223,7 +223,10 @@ def _coerce(stat, bound):
     if stat is None or bound is None:
         return None
     if isinstance(stat, (int, float)) and isinstance(bound, (int, float)):
-        return float(stat), float(bound)
+        # compare as-is: Python's int/float comparison is exact, while a
+        # float cast collapses distinct int64 values above 2^53 and could
+        # prove a false "disjoint"
+        return stat, bound
     if isinstance(stat, bytes):
         try:
             stat = stat.decode("utf-8")
@@ -234,17 +237,35 @@ def _coerce(stat, bound):
     if isinstance(stat, _dt.datetime) and isinstance(bound, _dt.datetime):
         return stat, bound
     if isinstance(stat, _dt.date) and isinstance(bound, _dt.date):
-        # normalize datetime vs date mixes
-        if isinstance(stat, _dt.datetime) != isinstance(bound, _dt.datetime):
-            s = stat if not isinstance(stat, _dt.datetime) else stat.date()
-            bb = bound if not isinstance(bound, _dt.datetime) else bound.date()
-            return s, bb
+        # datetime vs date mixes: promote the pure-date side to a midnight
+        # datetime — Spark casts DATE to TIMESTAMP at 00:00, so this is the
+        # value the engine actually compares. Truncating the datetime side
+        # to a date instead is UNSOUND for the lo/fmax check: a file with
+        # fmax 2024-01-02 23:00 truncates to 2024-01-02 == lo and an
+        # exclusive `ts > DATE '2024-01-02'` would skip it even though its
+        # intraday rows satisfy the predicate.
+        if isinstance(stat, _dt.datetime) and not isinstance(bound, _dt.datetime):
+            return stat, _dt.datetime.combine(bound, _dt.time.min)
+        if isinstance(bound, _dt.datetime) and not isinstance(stat, _dt.datetime):
+            return _dt.datetime.combine(stat, _dt.time.min), bound
         return stat, bound
     if isinstance(stat, str) and isinstance(bound, _dt.date):
+        # same promotion rule for string-typed stats: a datetime-shaped stat
+        # string must not be truncated to its date prefix on the lo side
         try:
-            return _dt.date.fromisoformat(stat[:10]), (
-                bound.date() if isinstance(bound, _dt.datetime) else bound
-            )
+            s = stat.strip()
+            if len(s) > 10:
+                sdt = _dt.datetime.fromisoformat(s)
+                bdt = (
+                    bound
+                    if isinstance(bound, _dt.datetime)
+                    else _dt.datetime.combine(bound, _dt.time.min)
+                )
+                return sdt, bdt
+            sd = _dt.date.fromisoformat(s)
+            if isinstance(bound, _dt.datetime):
+                return _dt.datetime.combine(sd, _dt.time.min), bound
+            return sd, bound
         except ValueError:
             return None
     if isinstance(stat, _dt.date) and isinstance(bound, str):

@@ -58,6 +58,48 @@ def test_bounds_date_literals():
     assert b.hi == datetime.date(1995, 1, 1) and not b.hi_inclusive
 
 
+def test_datetime_stat_vs_date_bound_not_truncated():
+    """ADVICE r2 (high): a DATE literal bound compares against a TIMESTAMP
+    column at midnight (Spark's cast), so a datetime footer stat must be
+    compared at datetime resolution. Truncating fmax 2024-01-02 23:00 to the
+    date 2024-01-02 made `ts > DATE '2024-01-02'` skip a file whose intraday
+    rows satisfy the predicate."""
+    b = sort_bounds("ts > DATE '2024-01-02'", "ts")
+    assert file_overlaps(
+        datetime.datetime(2024, 1, 2, 1), datetime.datetime(2024, 1, 2, 23), b
+    )
+    # a file entirely before midnight IS provably disjoint
+    assert not file_overlaps(
+        datetime.datetime(2024, 1, 1, 0), datetime.datetime(2024, 1, 1, 23), b
+    )
+    # inclusive bound: rows at exactly midnight qualify, intraday too
+    b = sort_bounds("ts >= DATE '2024-01-02'", "ts")
+    assert file_overlaps(
+        datetime.datetime(2024, 1, 2, 1), datetime.datetime(2024, 1, 2, 23), b
+    )
+    # string-typed stats with datetime shape: same promotion, no [:10] cut
+    b = sort_bounds("ts > DATE '2024-01-02'", "ts")
+    assert file_overlaps("2024-01-02 01:00:00", "2024-01-02 23:00:00", b)
+    # DATE column vs TIMESTAMP literal: date stat promotes to midnight
+    b = sort_bounds("d > TIMESTAMP '2024-01-02 05:00:00'", "d")
+    assert not file_overlaps(
+        datetime.date(2024, 1, 1), datetime.date(2024, 1, 2), b
+    )
+    assert file_overlaps(datetime.date(2024, 1, 2), datetime.date(2024, 1, 3), b)
+
+
+def test_large_int_bounds_compared_exactly():
+    """ADVICE r2 (low): int64 stats above 2^53 must not collapse under a
+    float cast — two distinct ints rounding to the same float could prove a
+    false 'disjoint'."""
+    lo = 2**55 + 1
+    b = sort_bounds(f"v > {lo}", "v")
+    assert b.lo == lo and not b.lo_inclusive
+    # fmax = lo+1 > lo: file overlaps; float(lo+1) == float(lo) would skip it
+    assert file_overlaps(2**55 - 10, lo + 1, b)
+    assert not file_overlaps(2**55 - 10, lo, b)
+
+
 def test_file_overlaps_is_conservative():
     b = Bounds(lo=10, lo_inclusive=True, hi=20, hi_inclusive=False)
     assert not file_overlaps(1, 9, b)       # entirely below
