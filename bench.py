@@ -123,6 +123,15 @@ def main() -> None:
         materialize(tbl.scan(where="o_custkey IN (1, 2, 3) OR o_custkey = 77"))
         if timings is not None:
             timings["mpp_pruned_scan"] = round(time.perf_counter() - t0, 4)
+        # COW UPDATE: single-pass rewrite (matched count observed on the
+        # write job itself) over the pruned bucket — regressions in the
+        # DML read-once contract show up here.
+        from duckdb_mpp_spark import dml
+
+        t0 = time.perf_counter()
+        dml.update(tbl, {"o_orderpriority": "'X-BENCH'"}, "o_custkey = 42")
+        if timings is not None:
+            timings["mpp_update"] = round(time.perf_counter() - t0, 4)
         # Zone-map file skipping: SORT BY table, three range-disjoint
         # ingests, date-range scan touches one generation of files.
         t_s = mpp.create_distributed_table(

@@ -12,8 +12,11 @@ table and rewriting k/n of it.
 
 Counts: both ops return the summed matched-row count, matching the
 reference's single BIGINT result (``mpp_physical_update.cpp:105-107``). The
-count pass scans only the pruned buckets with the predicate pushed down —
-equivalent to the per-shard count the reference's remote UPDATE pays.
+count comes from an ``Observation`` on the rewrite job itself (the same
+pattern as ``DistributedTable.insert``), so the surviving buckets are read
+exactly ONCE per DML — no separate count pass. When the predicate matches
+nothing the rewritten temp dir is discarded and the table is left untouched
+(no spurious file-generation churn, rowids stay stable).
 
 Semantics matched deliberately:
 - Updating the partition column does NOT re-route rows to new buckets —
@@ -35,6 +38,7 @@ import re
 import shutil
 import uuid
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from duckdb_mpp_spark.table import BUCKET_COL, DistributedTable
@@ -57,6 +61,19 @@ def _swap_buckets(table: DistributedTable, tmp_path: str, bucket_ids: list[int])
         if os.path.exists(src):
             os.replace(src, dst)
     shutil.rmtree(tmp_path, ignore_errors=True)
+    table.refresh_manifest()
+
+
+def _observed_matched(obs: Observation, df, pred) -> int:
+    """Read the matched-row metric off the rewrite job. When Catalyst (or
+    AQE's empty-relation propagation) proves the rewrite output empty it
+    drops the CollectMetrics node with the rest of the subtree and the
+    metrics row comes back schema-less — fall back to a direct count, which
+    only happens when the surviving-rows side was degenerate anyway."""
+    try:
+        return int(obs.get["matched"])
+    except Exception:
+        return df.where(pred).count()
 
 
 def _rewrite_sort_cols(table: DistributedTable) -> list[str]:
@@ -83,9 +100,6 @@ def update(
         df = df.where(F.col(BUCKET_COL).isin(ids))
 
     pred = F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
-    matched = df.where(pred).count()
-    if matched == 0:
-        return 0
 
     out_cols = []
     for field in meta.schema.fields:
@@ -101,15 +115,26 @@ def update(
             out_cols.append(F.col(field.name))
     out_cols.append(F.col(BUCKET_COL))
 
+    obs = Observation()
     tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
     (
-        df.select(*out_cols)
+        df.observe(
+            obs,
+            F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("matched"),
+        )
+        .select(*out_cols)
         .repartition(len(ids), BUCKET_COL)
         .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
     )
+    matched = _observed_matched(obs, df, pred)
+    if matched == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 0
     _swap_buckets(table, tmp, ids)
     return matched
 
@@ -123,29 +148,40 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
 
     if where is None:
         # delete-all: count then drop every bucket dir — no rewrite needed
-        total = table.scan().count()
+        # row count from the manifest — metadata-only, no scan job
+        total = sum(e["rows"] for e in table.refresh_manifest().values())
         for b in range(meta.buckets):
             d = os.path.join(table.path, f"{BUCKET_COL}={b}")
             if os.path.exists(d):
                 shutil.rmtree(d)
+        table.refresh_manifest()
         return total
 
     df = table.scan(where=None, keep_bucket=True)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
     pred = F.coalesce(F.expr(where), F.lit(False))
-    matched = df.where(pred).count()
-    if matched == 0:
-        return 0
-
+    obs = Observation()
     tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
     (
-        df.where(~pred)
+        # observe BEFORE the anti-filter so the metric counts matched
+        # (deleted) rows while the write keeps the survivors — one read
+        df.observe(
+            obs,
+            F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("matched"),
+        )
+        .where(~pred)
         .repartition(len(ids), BUCKET_COL)
         .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
     )
+    matched = _observed_matched(obs, df, pred)
+    if matched == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 0
     _swap_buckets(table, tmp, ids)
     return matched
