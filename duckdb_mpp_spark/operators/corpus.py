@@ -135,7 +135,14 @@ def contamination_overlap(
 
     Per-doc totals are the expression ``size(array_distinct(grams))`` —
     no second shuffle over the shingle stream."""
-    bench_sh = shingles(benchmark, id_col, text_col).select("sh").distinct()
+    bench_sh = (
+        # 64-bit gram keys: smaller broadcast table, bigint join keys, and
+        # the count_distinct shuffle moves 8 bytes per surviving gram
+        # instead of the raw ~40-byte string (collision odds 2^-64-scale)
+        shingles(benchmark, id_col, text_col)
+        .select(F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )
     ws = tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_WORDS - 1), F.lit(1))),
@@ -151,6 +158,7 @@ def contamination_overlap(
     totals = docs.select(F.col(id_col), F.size(F.array_distinct(grams)).alias("n_shingles"))
     hits = (
         shingles(docs, id_col, text_col)
+        .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
         .join(F.broadcast(bench_sh), "sh")
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_contaminated"))

@@ -52,8 +52,14 @@ def duplicated_span_stats(
     fraction.
 
     Three key-partitioned shuffles, each algorithm-required: (doc, gram)
-    occurrence counts; gram → #docs; per-doc rollup after the gram join."""
-    g = shingles(df, id_col, text_col, k=k)
+    occurrence counts; gram → #docs; per-doc rollup after the gram join.
+    The gram is collapsed to a 64-bit xxhash64 key BEFORE the first shuffle:
+    an 8-word gram string averages ~40 bytes, so hashing cuts shuffle bytes
+    ~5× while exact-match semantics are preserved up to 2^-64-scale
+    collisions (the same trade minhash makes)."""
+    g = shingles(df, id_col, text_col, k=k).select(
+        id_col, F.xxhash64("sh").alias("sh")
+    )
     per = g.groupBy(id_col, "sh").agg(F.count("*").alias("occ"))
     docs_per_gram = per.groupBy("sh").agg(F.count("*").alias("n_docs"))
     dup_occ = F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(F.lit(0))
