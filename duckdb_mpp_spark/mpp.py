@@ -262,6 +262,11 @@ class MppSession:
         self.catalog = MppCatalog(warehouse)
         self._txn_depth = 0
         self._txn_created: list[str] = []
+        # per-table (kept, total) zone-map file-skip stats of the most
+        # recent _register_views_for_query pass — EXPLAIN reads these
+        # instead of re-running the skipping decision (table() binds a
+        # fresh DistributedTable per call, so the stats live here)
+        self.last_file_skip: dict[str, tuple[int, int]] = {}
 
     # -- python API -------------------------------------------------------
     def create_distributed_table(
@@ -656,6 +661,7 @@ class MppSession:
     def _register_views_for_query(self, query: str) -> list[str]:
         names = self._distributed_tables_in(query)
         where = self._where_text(query)
+        self.last_file_skip = {}
         # rowid pseudo-column (reference projects DuckDB's shard-local rowid,
         # mpp_table_scan.cpp:310-322): exposed on the view only when the
         # query references it, mirroring DuckDB's expose-on-reference rule.
@@ -677,6 +683,8 @@ class MppSession:
                 df = None
                 if tbl._has_data():
                     df = tbl._zonemap_read(where, aliases, quals)
+                    if tbl.last_file_skip is not None:
+                        self.last_file_skip[name] = tbl.last_file_skip
                     if df is None:
                         df = tbl.scan(where=None, keep_bucket=True)
                 else:
@@ -719,13 +727,11 @@ class MppSession:
             header.append(f"Shards: {len(ids)}/{tbl.meta.buckets}")
             if where:
                 header.append(f"Filter: {where}")
-            if tbl.meta.sort_column and where:
-                tbl._zonemap_read(
-                    where, aliases, self._table_qualifiers(query, name)
-                )
-                if tbl.last_file_skip is not None:
-                    k, n = tbl.last_file_skip
-                    header.append(f"Files: {k}/{n}")
+            if name in self.last_file_skip:
+                # stats computed once, during view registration — no second
+                # zone-map pass (ADVICE r2)
+                k, n = self.last_file_skip[name]
+                header.append(f"Files: {k}/{n}")
         df = self.spark.sql(query)
         plan = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_mpp_spark import manifest as _manifest_mod
 from duckdb_mpp_spark.catalog import MppCatalog, TableMeta
 from duckdb_mpp_spark.pruning import (
     bucket_predicate_for_where,
@@ -69,6 +70,15 @@ class DistributedTable:
         if with_bucket:
             df = df.withColumn(BUCKET_COL, F.lit(None).cast("int"))
         return df
+
+    def refresh_manifest(self) -> dict[str, dict]:
+        """Reconcile the per-file metadata manifest (rows + sort-column
+        min/max) with the data files on disk; footers are opened only for
+        files added since the last refresh (see manifest.py). Called eagerly
+        by every write path so scans are metadata-read-only."""
+        return _manifest_mod.refresh(
+            self.path, BUCKET_COL, self.meta.sort_column
+        )
 
     def route(self, df: DataFrame) -> DataFrame:
         """Append the bucket-id column (the reference's hash-partitioning
@@ -132,6 +142,7 @@ class DistributedTable:
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
         )
+        self.refresh_manifest()
         return int(obs.get["cnt"])
 
     # -- read path --------------------------------------------------------
@@ -182,9 +193,13 @@ class DistributedTable:
         Like bucket pruning this is an optimization, never a filter: the
         full ``where`` is still applied by Catalyst, so a too-wide file set
         is only wasted IO, and files lacking stats are always kept. The
-        footer pass is O(#files) driver metadata work (at warehouse scale
-        the same min/max belongs in a manifest, à la Iceberg/Delta — the
-        skipping decision is identical)."""
+        min/max come from the persisted manifest (manifest.py) — one
+        metadata read per scan, no per-file footer opens (the Iceberg/Delta
+        shape; survives millions of files).
+
+        ``last_file_skip = (kept, total)`` counts only files in NON-pruned
+        buckets, so ``Files: k/n`` measures zone-map skipping alone and
+        composes with (rather than double-counts) ``Shards: k/n``."""
         if not (self.meta.sort_column and where):
             return None
         from duckdb_mpp_spark import zonemap
@@ -194,47 +209,33 @@ class DistributedTable:
         )
         if bounds is None:
             return None
-        bucket_ids = self.pruned_bucket_ids(where, aliases, qualifiers)
+        bucket_ids = set(self.pruned_bucket_ids(where, aliases, qualifiers))
         total, kept = 0, []
-        for b in range(self.meta.buckets):
-            d = os.path.join(self.path, f"{BUCKET_COL}={b}")
-            if not os.path.isdir(d):
+        for rel, ent in sorted(self.refresh_manifest().items()):
+            b = int(rel.split("=", 1)[1].split("/", 1)[0])
+            if b not in bucket_ids:
                 continue
-            for fname in sorted(os.listdir(d)):
-                if not fname.endswith(".parquet"):
-                    continue
-                total += 1
-                if b not in bucket_ids:
-                    continue
-                fp = os.path.join(d, fname)
-                mn, mx = zonemap.file_sort_stats(fp, self.meta.sort_column)
-                if mn is None or zonemap.file_overlaps(mn, mx, bounds):
-                    kept.append(fp)
+            total += 1
+            mn = _manifest_mod._dec(ent["min"])
+            mx = _manifest_mod._dec(ent["max"])
+            if mn is None or zonemap.file_overlaps(mn, mx, bounds):
+                kept.append(os.path.join(self.path, rel))
         self.last_file_skip = (len(kept), total)
         if not kept:
             return self._empty_df(with_bucket=True)
         return self.spark.read.option("basePath", self.path).parquet(*kept)
 
     def _file_rowid_offsets(self) -> list[tuple[str, int]]:
-        """Per-file starting rowid: cumulative parquet-footer row counts over
-        lexicographically ordered files within each bucket directory.
-        Metadata-only — O(#files) footer reads, no data scan (a 100 TB
-        deployment distributes the footer listing the same way Spark's file
-        index distributes file listing)."""
-        import pyarrow.parquet as pq
-
+        """Per-file starting rowid: cumulative row counts over
+        lexicographically ordered files within each bucket directory. Row
+        counts come from the persisted manifest (manifest.py) — a single
+        metadata read, no per-file footer opens."""
         out = []
-        for b in range(self.meta.buckets):
-            d = os.path.join(self.path, f"{BUCKET_COL}={b}")
-            if not os.path.isdir(d):
-                continue
-            off = 0
-            for fname in sorted(os.listdir(d)):
-                if not fname.endswith(".parquet"):
-                    continue
-                fpath = os.path.join(d, fname)
-                out.append(("file:" + fpath, off))
-                off += pq.ParquetFile(fpath).metadata.num_rows
+        off = {}
+        for rel, ent in sorted(self.refresh_manifest().items()):
+            bucket = rel.split("/", 1)[0]
+            out.append(("file:" + os.path.join(self.path, rel), off.get(bucket, 0)))
+            off[bucket] = off.get(bucket, 0) + ent["rows"]
         return out
 
     def scan_with_rowid(
@@ -377,4 +378,5 @@ class DistributedTable:
                 _os.replace(src, dst)
                 rewritten += 1
         _shutil.rmtree(tmp, ignore_errors=True)
+        self.refresh_manifest()
         return rewritten
