@@ -42,8 +42,10 @@ def test_sketch_error_bounds(spark):
 
 
 def test_sketches_deterministic_across_partitionings(spark):
-    """HLL registers merge by max and quantile summaries by merge — results
-    must not depend on partitioning (retry/speculation safety)."""
+    """HLL registers merge by max — approx_count_distinct is exactly
+    partitioning-invariant (retry/speculation safety). Quantile summaries
+    are NOT guaranteed merge-invariant once compressed (ADVICE r2), so the
+    percentile halves assert a tolerance, not equality."""
     a = run_spark_query("sketch_approx_stats", spark, SF_DIR).collect()
     ev = load_table(spark, SF_DIR, "events").repartition(13)
     b = (
@@ -56,4 +58,9 @@ def test_sketches_deterministic_across_partitionings(spark):
         .orderBy("event_type")
         .collect()
     )
-    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r["event_type"] for r in a] == [r["event_type"] for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["approx_users"] == rb["approx_users"]  # HLL: exact invariance
+        for c in ("approx_p50", "approx_p99"):
+            spread = max(abs(ra["approx_p99"] - ra["approx_p50"]), 1.0)
+            assert abs(ra[c] - rb[c]) <= 0.05 * spread
