@@ -133,19 +133,34 @@ _R2_VERIFIED: frozenset[str] = frozenset(
 )
 
 
+# Rows whose r2 check was red (oracle SUM type artifacts, fixed in e3d748e):
+# they need a fresh green row more than anything already verified, so they
+# re-verify immediately after the never-checked batch tier.
+_R2_RED: frozenset[str] = frozenset(
+    {
+        "pipeline_train_test_split",
+        "curation_blocklist_filter",
+        "higher_order_array_fns",
+    }
+)
+
+
 def _registry_names_prioritized() -> list[str]:
     """Registry names in driver-check priority order (see tier comment
-    above): never-verified batch first, never-verified streaming second,
+    above): never-verified batch first, previously-red rows next (their
+    oracle fixes need a green row this round), never-verified streaming,
     then the stalest verified slice (r1-only) for re-verification, then the
     freshest (r2)."""
 
     def prio(n: str) -> int:
-        if n in _R2_VERIFIED:
-            return 3
-        if n in _R1_VERIFIED:
-            return 2
-        if n.startswith("streaming_"):
+        if n in _R2_RED:
             return 1
+        if n in _R2_VERIFIED:
+            return 4
+        if n in _R1_VERIFIED:
+            return 3
+        if n.startswith("streaming_"):
+            return 2
         return 0  # never driver-checked (incl. queries new this round)
 
     return sorted(REGISTRY, key=prio)  # stable: registry order within tiers
