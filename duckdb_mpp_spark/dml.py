@@ -26,14 +26,17 @@ Semantics matched deliberately:
 - ``DEFAULT`` in a SET list resolves to the column's declared default or
   NULL (``ResolveDefaults``, ``src/execution/mpp_physical_insert.cpp:150-181``).
 
-Atomicity: rewrite to a temp dir, then per-bucket directory swap. Single
-writer assumed — the reference's remote DML is not transactional either
-(SURVEY §2.A17).
+Atomicity: rewrite to a temp dir, ingest the staged files as new immutable
+data files, then publish ONE new snapshot replacing the affected buckets'
+file lists (table._commit_replace / manifest.commit). The publish is a
+conditional-put of a single manifest file — object-store-safe, no directory
+renames — and the base-version check surfaces write-write conflicts instead
+of silently losing a concurrent writer's commit (optimistic concurrency;
+the reference's remote DML is not transactional at all, SURVEY §2.A17).
 """
 
 from __future__ import annotations
 
-import os
 import re
 import shutil
 import uuid
@@ -50,18 +53,17 @@ def _resolve_default(table: DistributedTable, colname: str) -> str:
     return table.meta.defaults.get(colname, "NULL")
 
 
-def _swap_buckets(table: DistributedTable, tmp_path: str, bucket_ids: list[int]) -> None:
-    """Replace each affected real bucket dir with its rewritten version.
-    A bucket with no surviving rows (dir absent in tmp) is removed."""
-    for b in bucket_ids:
-        src = os.path.join(tmp_path, f"{BUCKET_COL}={b}")
-        dst = os.path.join(table.path, f"{BUCKET_COL}={b}")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        if os.path.exists(src):
-            os.replace(src, dst)
-    shutil.rmtree(tmp_path, ignore_errors=True)
-    table.refresh_manifest()
+def _commit_rewrite(
+    table: DistributedTable, tmp_path: str, bucket_ids: list[int], base: int
+) -> None:
+    """Ingest the staged rewrite and publish the snapshot that swaps the
+    affected buckets' files. A bucket with no surviving rows simply has no
+    files in the new snapshot."""
+    try:
+        new_entries = table._ingest_staged(tmp_path)
+    finally:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+    table._commit_replace(bucket_ids, new_entries, base)
 
 
 def _observed_matched(obs: Observation, df, pred) -> int:
@@ -93,7 +95,8 @@ def update(
     """``UPDATE t SET col=expr,... [WHERE pred]`` → matched-row count."""
     meta = table.meta
     ids = table.pruned_bucket_ids(where)
-    if not table._has_data() or not ids:
+    base, snap_files = table.snapshot()
+    if not snap_files or not ids:
         return 0
     df = table.scan(where=None, keep_bucket=True)
     if len(ids) < meta.buckets:
@@ -135,7 +138,7 @@ def update(
     if matched == 0:
         shutil.rmtree(tmp, ignore_errors=True)
         return 0
-    _swap_buckets(table, tmp, ids)
+    _commit_rewrite(table, tmp, ids, base)
     return matched
 
 
@@ -143,18 +146,17 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
     """``DELETE FROM t [WHERE pred]`` → deleted-row count."""
     meta = table.meta
     ids = table.pruned_bucket_ids(where)
-    if not table._has_data() or not ids:
+    base, snap_files = table.snapshot()
+    if not snap_files or not ids:
         return 0
 
     if where is None:
-        # delete-all: count then drop every bucket dir — no rewrite needed
-        # row count from the manifest — metadata-only, no scan job
-        total = sum(e["rows"] for e in table.refresh_manifest().values())
-        for b in range(meta.buckets):
-            d = os.path.join(table.path, f"{BUCKET_COL}={b}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        table.refresh_manifest()
+        # delete-all: metadata-only — count from the snapshot and publish
+        # an empty one. No scan job, no file deletion (vacuum reclaims).
+        total = sum(e["rows"] for e in snap_files.values())
+        from duckdb_mpp_spark import manifest as _manifest_mod
+
+        _manifest_mod.commit(table.path, {}, base)
         return total
 
     df = table.scan(where=None, keep_bucket=True)
@@ -183,5 +185,5 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
     if matched == 0:
         shutil.rmtree(tmp, ignore_errors=True)
         return 0
-    _swap_buckets(table, tmp, ids)
+    _commit_rewrite(table, tmp, ids, base)
     return matched

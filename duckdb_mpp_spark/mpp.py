@@ -449,6 +449,17 @@ class MppSession:
         if dm and self.catalog.exists(_ident(dm.group("name"))):
             return self._describe(_ident(dm.group("name")))
 
+        # VACUUM t — reclaim data files unreferenced by the current snapshot
+        # (COW leftovers / crashed writers) and prune the commit log; returns
+        # the number of files removed. Physical deletion is deliberately
+        # decoupled from the DML commit itself (table._commit_replace).
+        vm = re.match(r"^\s*VACUUM\s+(?P<name>[\w.\"]+)\s*$", stripped, re.IGNORECASE)
+        if vm and self.catalog.exists(_ident(vm.group("name"))):
+            name = _ident(vm.group("name"))
+            if self.catalog.get(name).colocated:
+                return 0  # Spark-managed bucketed storage; nothing to reclaim
+            return self.table(name).vacuum()
+
         if upper.startswith("EXPLAIN"):
             inner = stripped[len("EXPLAIN"):].strip()
             return self.explain(inner)
@@ -681,8 +692,9 @@ class MppSession:
             if where and len(names) == 1 and not tbl.meta.colocated:
                 quals = self._table_qualifiers(query, name)
                 df = None
-                if tbl._has_data():
-                    df = tbl._zonemap_read(where, aliases, quals)
+                snap_files = tbl.snapshot_files()
+                if snap_files:
+                    df = tbl._zonemap_read(where, aliases, quals, snap_files)
                     if tbl.last_file_skip is not None:
                         self.last_file_skip[name] = tbl.last_file_skip
                     if df is None:

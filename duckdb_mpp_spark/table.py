@@ -19,10 +19,18 @@ Layout: ``<warehouse>/<name>_<oid>/__bucket=<i>/part-*.parquet``
   (``src/execution/mpp_physical_insert.cpp``) wholesale. Row count comes from
   an ``Observation`` on the write job itself (no second pass over the data).
 
+Commit protocol (manifest.py): data files are immutable and the versioned
+snapshot manifest is the source of truth — every write stages new files,
+then publishes a new snapshot via conditional-put; every read plans from the
+current snapshot's explicit file list. No reader ever depends on a directory
+listing or an atomic rename, which is what makes COW DML safe on an object
+store and gives readers snapshot isolation against concurrent rewrites.
+
 Scale notes (100 TB): a bucket is a *directory*, not a file — writes can
 produce many files per bucket, so intra-bucket parallelism survives any data
 size; pruning cost is O(#buckets) metadata; inserts are a single hash
-shuffle, identical to what any Spark groupBy pays.
+shuffle, identical to what any Spark groupBy pays; scan planning is one
+snapshot read (no filesystem listing).
 """
 
 from __future__ import annotations
@@ -60,10 +68,7 @@ class DistributedTable:
         return dtype.simpleString()
 
     def _has_data(self) -> bool:
-        for _, _, files in os.walk(self.path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return bool(self.snapshot_files())
 
     def _empty_df(self, with_bucket: bool = False) -> DataFrame:
         df = self.spark.createDataFrame([], self.meta.schema)
@@ -71,14 +76,87 @@ class DistributedTable:
             df = df.withColumn(BUCKET_COL, F.lit(None).cast("int"))
         return df
 
-    def refresh_manifest(self) -> dict[str, dict]:
-        """Reconcile the per-file metadata manifest (rows + sort-column
-        min/max) with the data files on disk; footers are opened only for
-        files added since the last refresh (see manifest.py). Called eagerly
-        by every write path so scans are metadata-read-only."""
-        return _manifest_mod.refresh(
-            self.path, BUCKET_COL, self.meta.sort_column
-        )
+    # -- snapshot state ----------------------------------------------------
+    def snapshot(self) -> tuple[int, dict[str, dict]]:
+        """Current committed snapshot ``(version, {relpath: {rows,min,max}})``
+        — the single source of truth for which data files are live and for
+        their plan-time footer stats (manifest.py)."""
+        return _manifest_mod.load(self.path, BUCKET_COL, self.meta.sort_column)
+
+    def snapshot_files(self) -> dict[str, dict]:
+        return self.snapshot()[1]
+
+    def _read_files(self, rels) -> DataFrame | None:
+        """Scan an explicit snapshot file list (``basePath`` keeps the
+        ``__bucket`` partition column derivable from the paths). None when
+        the list is empty — callers substitute their empty frame."""
+        paths = [os.path.join(self.path, rel) for rel in sorted(rels)]
+        if not paths:
+            return None
+        return self.spark.read.option("basePath", self.path).parquet(*paths)
+
+    def _ingest_staged(self, tmp_path: str) -> dict[str, dict]:
+        """Move a staged write's data files into the table's bucket layout
+        under commit-unique names and return their manifest entries (one
+        footer read per NEW file — commit-time, never scan-time). On an
+        object store this per-file move is the standard rename-less
+        committer pattern; the files stay invisible until the snapshot
+        referencing them is published."""
+        import uuid as _uuid
+
+        tag = _uuid.uuid4().hex[:8]
+        entries: dict[str, dict] = {}
+        for rel in _manifest_mod._list_data_files(tmp_path, BUCKET_COL):
+            bdir, fname = rel.split("/", 1)
+            os.makedirs(os.path.join(self.path, bdir), exist_ok=True)
+            new_rel = f"{bdir}/c{tag}-{fname}"
+            os.replace(
+                os.path.join(tmp_path, rel), os.path.join(self.path, new_rel)
+            )
+            entries[new_rel] = _manifest_mod.file_entry(
+                os.path.join(self.path, new_rel), self.meta.sort_column
+            )
+        return entries
+
+    def _commit_append(
+        self, new_entries: dict[str, dict], base: int, files: dict[str, dict]
+    ) -> None:
+        """Publish snapshot ∪ new files. ``(base, files)`` must be the
+        snapshot read BEFORE the staged files were ingested (otherwise an
+        empty-log bootstrap would already have absorbed them). Appends
+        commute, so a concurrent head move just means rebase-and-retry."""
+        while True:
+            try:
+                _manifest_mod.commit(self.path, {**files, **new_entries}, base)
+                return
+            except _manifest_mod.CommitConflict:
+                base, files = self.snapshot()
+
+    def _commit_replace(
+        self, bucket_ids: list[int], new_entries: dict[str, dict], base: int
+    ) -> None:
+        """Publish a COW rewrite: the affected buckets' old files leave the
+        snapshot, the staged files enter. The base version pins optimistic
+        concurrency — if another writer committed since this rewrite read
+        its input, the rewrite is stale and the conflict surfaces instead of
+        silently losing the other write. Old files become unreferenced
+        garbage but are NOT deleted here — in-flight readers planned on the
+        previous snapshot still hold their file lists; physical deletion is
+        deferred to an explicit ``vacuum()`` (SQL: ``VACUUM t``), which at
+        scale runs behind a retention window."""
+        rewritten = {f"{BUCKET_COL}={b}/" for b in bucket_ids}
+        _, files = self.snapshot()
+        survivors = {
+            rel: ent
+            for rel, ent in files.items()
+            if not any(rel.startswith(p) for p in rewritten)
+        }
+        _manifest_mod.commit(self.path, {**survivors, **new_entries}, base)
+
+    def vacuum(self, keep_commits: int = 1) -> int:
+        """Physically delete data files no current snapshot references and
+        prune the commit log; returns files removed (see manifest.vacuum)."""
+        return _manifest_mod.vacuum(self.path, BUCKET_COL, keep_commits)
 
     def route(self, df: DataFrame) -> DataFrame:
         """Append the bucket-id column (the reference's hash-partitioning
@@ -125,7 +203,15 @@ class DistributedTable:
     def insert(self, df: DataFrame) -> int:
         """Bucket-routed append; returns inserted row count (the reference's
         single BIGINT result row, src/execution/mpp_physical_insert.cpp:215-221).
+
+        Stage → ingest → commit: the write job lands in a temp dir, files
+        move to commit-unique final names, then one snapshot publish makes
+        them visible atomically. A failed/crashed insert leaves only
+        unreferenced orphans (vacuumable), never a half-visible append.
         """
+        import shutil as _shutil
+        import uuid as _uuid
+
         routed = self.route(self._aligned_for_insert(df))
         # One shuffle so each bucket directory is written by few tasks (no
         # small-file explosion when every input task holds every bucket).
@@ -137,12 +223,13 @@ class DistributedTable:
             routed = routed.sortWithinPartitions(BUCKET_COL, self.meta.sort_column)
         obs = Observation()
         routed = routed.observe(obs, F.count(F.lit(1)).alias("cnt"))
-        (
-            routed.write.mode("append")
-            .partitionBy(BUCKET_COL)
-            .parquet(self.path)
-        )
-        self.refresh_manifest()
+        tmp = self.path + f".stage-{_uuid.uuid4().hex[:8]}"
+        base, files = self.snapshot()  # before ingest — see _commit_append
+        try:
+            routed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            self._commit_append(self._ingest_staged(tmp), base, files)
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
         return int(obs.get["cnt"])
 
     # -- read path --------------------------------------------------------
@@ -154,17 +241,19 @@ class DistributedTable:
         keep_bucket: bool = False,
         qualifiers: set[str] | None = None,
     ) -> DataFrame:
-        """Bucket-pruned scan. ``where`` is applied in full by Catalyst; the
-        derived ``__bucket`` predicate only narrows which directories the
-        file index lists (pruning is an optimization, never a filter)."""
-        if not self._has_data():
+        """Bucket-pruned scan planned from the current snapshot's file list.
+        ``where`` is applied in full by Catalyst; the derived ``__bucket``
+        predicate only narrows which partition directories the file index
+        keeps (pruning is an optimization, never a filter)."""
+        snap_files = self.snapshot_files()
+        if not snap_files:
             df = self._empty_df(with_bucket=keep_bucket)
             if where:
                 df = df.where(where)
             return df.select(*(columns or [f.name for f in self.meta.schema.fields]))
-        df = self._zonemap_read(where, aliases, qualifiers)
+        df = self._zonemap_read(where, aliases, qualifiers, snap_files)
         if df is None:
-            df = self.spark.read.parquet(self.path)
+            df = self._read_files(snap_files)
         bucket_pred = bucket_predicate_for_where(
             where, self.meta.partition_column, self._part_type_ddl,
             self.meta.buckets, aliases, qualifiers or {self.meta.name},
@@ -183,6 +272,7 @@ class DistributedTable:
         where: str | None,
         aliases: set[str] | None,
         qualifiers: set[str] | None,
+        snap_files: dict[str, dict],
     ) -> DataFrame | None:
         """Zone-map file skipping for SORT BY tables: derive conservative
         bounds on the sort column from ``where``, keep only files whose
@@ -193,7 +283,7 @@ class DistributedTable:
         Like bucket pruning this is an optimization, never a filter: the
         full ``where`` is still applied by Catalyst, so a too-wide file set
         is only wasted IO, and files lacking stats are always kept. The
-        min/max come from the persisted manifest (manifest.py) — one
+        min/max come from the committed snapshot (manifest.py) — one
         metadata read per scan, no per-file footer opens (the Iceberg/Delta
         shape; survives millions of files).
 
@@ -211,7 +301,7 @@ class DistributedTable:
             return None
         bucket_ids = set(self.pruned_bucket_ids(where, aliases, qualifiers))
         total, kept = 0, []
-        for rel, ent in sorted(self.refresh_manifest().items()):
+        for rel, ent in sorted(snap_files.items()):
             b = int(rel.split("=", 1)[1].split("/", 1)[0])
             if b not in bucket_ids:
                 continue
@@ -219,20 +309,20 @@ class DistributedTable:
             mn = _manifest_mod._dec(ent["min"])
             mx = _manifest_mod._dec(ent["max"])
             if mn is None or zonemap.file_overlaps(mn, mx, bounds):
-                kept.append(os.path.join(self.path, rel))
+                kept.append(rel)
         self.last_file_skip = (len(kept), total)
         if not kept:
             return self._empty_df(with_bucket=True)
-        return self.spark.read.option("basePath", self.path).parquet(*kept)
+        return self._read_files(kept)
 
     def _file_rowid_offsets(self) -> list[tuple[str, int]]:
         """Per-file starting rowid: cumulative row counts over
-        lexicographically ordered files within each bucket directory. Row
-        counts come from the persisted manifest (manifest.py) — a single
+        lexicographically ordered snapshot files within each bucket. Row
+        counts come from the committed snapshot (manifest.py) — a single
         metadata read, no per-file footer opens."""
         out = []
         off = {}
-        for rel, ent in sorted(self.refresh_manifest().items()):
+        for rel, ent in sorted(self.snapshot_files().items()):
             bucket = rel.split("/", 1)[0]
             out.append(("file:" + os.path.join(self.path, rel), off.get(bucket, 0)))
             off[bucket] = off.get(bucket, 0) + ent["rows"]
@@ -254,16 +344,20 @@ class DistributedTable:
         Like DuckDB rowids, values are stable across reads but NOT across
         copy-on-write rewrites (UPDATE/DELETE/compact)."""
         base_cols = columns or [f.name for f in self.meta.schema.fields]
-        if not self._has_data():
+        snap_files = self.snapshot_files()
+        if not snap_files:
             df = self._empty_df().withColumn("rowid", F.lit(None).cast("bigint"))
             if where:
                 df = df.where(where)
             return df.select("rowid", *base_cols)
-        offsets = self.spark.createDataFrame(
-            self._file_rowid_offsets(), "__fp string, __off long"
-        )
+        out, off = [], {}
+        for rel, ent in sorted(snap_files.items()):
+            bucket = rel.split("/", 1)[0]
+            out.append(("file:" + os.path.join(self.path, rel), off.get(bucket, 0)))
+            off[bucket] = off.get(bucket, 0) + ent["rows"]
+        offsets = self.spark.createDataFrame(out, "__fp string, __off long")
         df = (
-            self.spark.read.parquet(self.path)
+            self._read_files(snap_files)
             .withColumn("__fp", F.col("_metadata.file_path"))
             .withColumn("__ri", F.col("_metadata.row_index"))
             .join(F.broadcast(offsets), "__fp")
@@ -313,34 +407,20 @@ class DistributedTable:
         and small-file monitoring (the reference exposes shard placement in
         ``__mpp_system.shards`` but no sizes; at 100 TB you watch this to
         decide when to ``compact()`` and whether the partition column is
-        skewed)."""
+        skewed). Entirely snapshot-metadata-driven — no scan job, no
+        directory listing."""
         import os as _os
 
-        rows = []
-        for b in range(self.meta.buckets):
-            d = _os.path.join(self.path, f"{BUCKET_COL}={b}")
-            files = (
-                [f for f in _os.listdir(d) if f.endswith(".parquet")]
-                if _os.path.isdir(d)
-                else []
-            )
-            size = sum(_os.path.getsize(_os.path.join(d, f)) for f in files)
-            rows.append((b, len(files), size))
-        meta_df = self.spark.createDataFrame(
-            rows, "bucket int, n_files int, total_bytes long"
-        )
-        if not self._has_data():
-            return meta_df.withColumn("n_rows", F.lit(0).cast("long"))
-        counts = (
-            self.spark.read.parquet(self.path)
-            .groupBy(F.col(BUCKET_COL).cast("int").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-        )
-        return (
-            meta_df.join(counts, "bucket", "left")
-            .select("bucket", "n_files", "total_bytes", F.coalesce("n_rows", F.lit(0)).alias("n_rows"))
-            .orderBy("bucket")
-        )
+        stats = {b: [0, 0, 0] for b in range(self.meta.buckets)}
+        for rel, ent in self.snapshot_files().items():
+            b = int(rel.split("=", 1)[1].split("/", 1)[0])
+            stats[b][0] += 1
+            stats[b][1] += _os.path.getsize(_os.path.join(self.path, rel))
+            stats[b][2] += ent["rows"]
+        return self.spark.createDataFrame(
+            [(b, s[0], s[1], s[2]) for b, s in sorted(stats.items())],
+            "bucket int, n_files int, total_bytes long, n_rows long",
+        ).orderBy("bucket")
 
     def compact(self, target_files_per_bucket: int = 1) -> int:
         """Rewrite every non-empty bucket directory down to
@@ -348,35 +428,34 @@ class DistributedTable:
         per insert — the COW small-file problem). Same temp-dir + atomic
         swap as DML; returns the number of buckets rewritten. At 100 TB run
         per-bucket (or per-bucket-range) compactions incrementally; the
-        bucket directory is the natural unit of isolation."""
-        import os as _os
+        bucket is the natural unit of isolation. Same stage → ingest →
+        snapshot-publish commit as DML: readers on the old snapshot keep a
+        consistent view, no directory renames."""
         import shutil as _shutil
         import uuid as _uuid
 
-        if not self._has_data():
+        base, snap_files = self.snapshot()
+        if not snap_files:
             return 0
-        df = self.spark.read.parquet(self.path)
+        df = self._read_files(snap_files)
         tmp = self.path + f".compact-{_uuid.uuid4().hex[:8]}"
         n_parts = max(self.meta.buckets * target_files_per_bucket, 1)
         sort_cols = [BUCKET_COL] + (
             [self.meta.sort_column] if self.meta.sort_column else []
         )
-        (
-            df.repartition(n_parts, BUCKET_COL)
-            .sortWithinPartitions(*sort_cols)  # re-clusters SORT BY tables
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(tmp)
+        try:
+            (
+                df.repartition(n_parts, BUCKET_COL)
+                .sortWithinPartitions(*sort_cols)  # re-clusters SORT BY tables
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(tmp)
+            )
+            new_entries = self._ingest_staged(tmp)
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+        rewritten = {rel.split("/", 1)[0] for rel in new_entries}
+        self._commit_replace(
+            sorted(int(b.split("=", 1)[1]) for b in rewritten), new_entries, base
         )
-        rewritten = 0
-        for b in range(self.meta.buckets):
-            src = _os.path.join(tmp, f"{BUCKET_COL}={b}")
-            dst = _os.path.join(self.path, f"{BUCKET_COL}={b}")
-            if _os.path.exists(src):
-                if _os.path.exists(dst):
-                    _shutil.rmtree(dst)
-                _os.replace(src, dst)
-                rewritten += 1
-        _shutil.rmtree(tmp, ignore_errors=True)
-        self.refresh_manifest()
-        return rewritten
+        return len(rewritten)
