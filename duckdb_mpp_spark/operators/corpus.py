@@ -62,13 +62,24 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.size("t").alias("n_tokens"),
         F.size(F.array_distinct("t")).alias("n_distinct"),
     )
-    grams = F.expr(
-        "CASE WHEN size(t) > 1 THEN transform(sequence(1, size(t) - 1), "
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
-        "ELSE array() END"
-    )
+    # bigram assembly via explode(sequence) + concat_ws stays in whole-stage
+    # codegen; a transform(...) higher-order lambda evaluates interpreted
+    # (same measured trade as operators/dedup.shingles).
     bgc = (
-        base.select(id_col, F.explode(grams).alias("bg"))
+        base.where(F.size("t") > 1)
+        .select(
+            id_col,
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+            ).alias("bg"),
+        )
         .groupBy(id_col, "bg")
         .agg(F.count("*").alias("c"))
     )
