@@ -142,6 +142,69 @@ def update(
     return matched
 
 
+def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
+    """MERGE-style upsert: input rows REPLACE existing rows with equal
+    ``key_cols``; non-matching input rows append — all in ONE snapshot
+    commit, so readers see either the pre-merge or the post-merge table,
+    never a half-applied mix (the daily-crawl dedup-merge step of a
+    training-data pipeline, built directly on the snapshot-commit protocol).
+
+    Requirements, both MPP-shape-honest:
+    - the partition column must be among ``key_cols`` — routing then makes
+      matching strictly bucket-local, so only buckets that receive input
+      rows are rewritten (the same pruning win COW DML gets); without it a
+      match could live in a bucket the merge never looks at;
+    - input keys are assumed unique (dedupe upstream) — with duplicates,
+      all duplicates land (same as a blind append would).
+
+    Returns the number of input rows applied. Work: one pass over the input
+    for bucket discovery (O(#buckets) driver metadata), one staged rewrite
+    of affected buckets anti-joined on the (broadcastable) input keys.
+    """
+    meta = table.meta
+    if meta.partition_column not in key_cols:
+        raise ValueError(
+            f"upsert key {key_cols} must include the partition column "
+            f"{meta.partition_column!r} (bucket-local matching)"
+        )
+    for c in key_cols:
+        if c not in [f.name for f in meta.schema.fields]:
+            raise ValueError(f"unknown key column {c!r}")
+
+    base, _ = table.snapshot()
+    new_rows = table.route(table._aligned_for_insert(df))
+    ids = sorted(
+        r[0] for r in new_rows.select(BUCKET_COL).distinct().collect()
+    )
+    if not ids:
+        return 0
+
+    existing = table.scan(where=None, keep_bucket=True)
+    if len(ids) < meta.buckets:
+        existing = existing.where(F.col(BUCKET_COL).isin(ids))
+    # anti-join on the input's key set; AQE broadcasts it when the batch is
+    # small (the common daily-merge case) and falls back to a key-partitioned
+    # join for huge batches — don't force either.
+    survivors = existing.join(
+        new_rows.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+
+    obs = Observation()
+    staged = survivors.unionByName(
+        new_rows.observe(obs, F.count(F.lit(1)).cast("long").alias("applied"))
+    )
+    tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
+    (
+        staged.repartition(len(ids), BUCKET_COL)
+        .sortWithinPartitions(*_rewrite_sort_cols(table))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(tmp)
+    )
+    _commit_rewrite(table, tmp, ids, base)
+    return int(obs.get["applied"])
+
+
 def delete(table: DistributedTable, where: str | None = None) -> int:
     """``DELETE FROM t [WHERE pred]`` → deleted-row count."""
     meta = table.meta

@@ -215,20 +215,39 @@ def load(
     return commit(table_path, files, base), files
 
 
+def load_version(table_path: str, version: int) -> dict[str, dict]:
+    """Snapshot at an explicit version — time travel. Raises if that commit
+    has been vacuumed away (or never existed)."""
+    try:
+        with open(_version_file(table_path, version)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        raise ValueError(
+            f"no snapshot v{version} for {table_path} "
+            f"(existing: {_list_versions(table_path) or 'none'})"
+        ) from None
+
+
 def vacuum(table_path: str, bucket_col: str, keep_commits: int = 1) -> int:
-    """Delete data files not referenced by the current snapshot (COW
-    leftovers, crashed-writer orphans) and commit files older than the
-    newest ``keep_commits``. Returns the number of data files removed.
+    """Prune the commit log to the newest ``keep_commits`` versions, then
+    delete data files referenced by NONE of the retained snapshots (COW
+    leftovers, crashed-writer orphans). Returns data files removed.
+    ``keep_commits`` is the time-travel retention: versions older than that
+    stop being readable (the Delta/Iceberg vacuum trade).
 
     Single-writer-safe by construction; with concurrent readers you would
     add a retention window (only vacuum files unreferenced for > T), which
     is a policy knob, not a protocol change."""
-    _, files = load(table_path, bucket_col, None)
+    load(table_path, bucket_col, None)  # materialize a bootstrap commit if needed
+    versions = _list_versions(table_path)
+    for v in versions[: -max(keep_commits, 1)]:
+        os.unlink(_version_file(table_path, v))
+    live: set[str] = set()
+    for v in versions[-max(keep_commits, 1):]:
+        live.update(load_version(table_path, v))
     removed = 0
     for rel in _list_data_files(table_path, bucket_col):
-        if rel not in files:
+        if rel not in live:
             os.unlink(os.path.join(table_path, rel))
             removed += 1
-    for v in _list_versions(table_path)[: -max(keep_commits, 1)]:
-        os.unlink(_version_file(table_path, v))
     return removed

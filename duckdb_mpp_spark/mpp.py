@@ -303,6 +303,14 @@ class MppSession:
     def insert_df(self, name: str, df: DataFrame) -> int:
         return self.table(name).insert(df)
 
+    def upsert(self, name: str, df: DataFrame, key_cols: list[str]) -> int:
+        """MERGE-style upsert (see dml.upsert): key-matched rows replaced,
+        others appended, one atomic snapshot commit."""
+        self._reject_colocated_dml(name, "UPSERT")
+        from duckdb_mpp_spark import dml as _dml_mod
+
+        return _dml_mod.upsert(self.table(name), df, key_cols)
+
     def master_add_node(self, host: str, port: int) -> None:
         """Compat shim (src/function/master_add_node.cpp) — Spark manages its
         own executors; the node registry only feeds the metadata views."""

@@ -268,6 +268,103 @@ register(
 )
 
 
+def _upsert_scan(spark, sf_dir):
+    """MERGE-style upsert (dml.upsert): base load, then one batch that both
+    UPDATES existing keys (o_orderkey % 12 ∈ {0,4,8} minus the %3=0 holes)
+    and INSERTS new ones (%3 = 0 rows absent from the base load), applied as
+    ONE snapshot commit. The oracle states the merge result with a CASE over
+    the raw fixture — a hash match proves replaced-not-duplicated, appended-
+    not-lost, and untouched rows bit-identical."""
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = mpp.create_distributed_table("orders_up", orders.schema, "o_custkey", 12)
+    tbl.insert(orders.where("o_orderkey % 3 != 0"))
+    from pyspark.sql import functions as F
+
+    batch = orders.where("o_orderkey % 4 = 0").withColumns(
+        {
+            "o_orderpriority": F.lit("X-UPSERT"),
+            # ×2 is exact in binary FP — bit-identical across engines
+            "o_totalprice": F.col("o_totalprice") * 2,
+        }
+    )
+    n = mpp.upsert("orders_up", batch, ["o_custkey", "o_orderkey"])
+    assert n > 0
+    return tbl.scan().orderBy("o_orderkey")
+
+
+register(
+    "mpp_upsert_scan",
+    Query(
+        spark=_upsert_scan,
+        oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 4 = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 4 = 0
+                    THEN 'X-UPSERT' ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 3 != 0 OR o_orderkey % 4 = 0
+        ORDER BY o_orderkey
+        """,
+    ),
+)
+
+
+def _time_travel(spark, sf_dir):
+    """Snapshot time travel: three commits (two range-disjoint inserts, one
+    DELETE), then aggregates of the SAME table read AS OF versions 1..3.
+    Every commit is a full snapshot, so a historical read is just planning
+    from an older file list — no log replay. The oracle recomputes each
+    version's aggregate from the raw fixture with the matching predicates;
+    a hash match proves historical reads are exact, not approximations."""
+    from pyspark.sql import functions as F
+
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = mpp.create_distributed_table("orders_tt", orders.schema, "o_custkey", 8)
+    tbl.insert(orders.where("o_orderdate < DATE '1995-01-01'"))     # v1
+    tbl.insert(orders.where("o_orderdate >= DATE '1995-01-01'"))    # v2
+    mpp.sql("DELETE FROM orders_tt WHERE o_orderstatus = 'F'")      # v3
+
+    def agg_at(v):
+        return (
+            tbl.scan(version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "total_price")
+        )
+
+    return agg_at(1).unionByName(agg_at(2)).unionByName(agg_at(3)).orderBy("version")
+
+
+register(
+    "mpp_time_travel",
+    Query(
+        spark=_time_travel,
+        oracle="""
+        SELECT 1 AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        UNION ALL
+        SELECT 2, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 3, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderstatus != 'F'
+        ORDER BY version
+        """,
+    ),
+)
+
+
 def _ddl_frontdoor(spark, sf_dir):
     """Full DDL lifecycle through the SQL front door TEXT — the reference's
     custom-parser path (src/parser/mpp_parser_extension.cpp:43-96) plus the

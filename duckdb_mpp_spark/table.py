@@ -83,8 +83,21 @@ class DistributedTable:
         their plan-time footer stats (manifest.py)."""
         return _manifest_mod.load(self.path, BUCKET_COL, self.meta.sort_column)
 
-    def snapshot_files(self) -> dict[str, dict]:
+    def snapshot_files(self, version: int | None = None) -> dict[str, dict]:
+        """Current snapshot's files, or — time travel — the files of an
+        explicit committed ``version`` (readable until vacuumed past)."""
+        if version is not None:
+            return _manifest_mod.load_version(self.path, version)
         return self.snapshot()[1]
+
+    def history(self) -> list[tuple[int, int, int]]:
+        """Commit history: (version, n_files, n_rows) per retained
+        snapshot, oldest first — metadata only."""
+        out = []
+        for v in _manifest_mod._list_versions(self.path):
+            files = _manifest_mod.load_version(self.path, v)
+            out.append((v, len(files), sum(e["rows"] for e in files.values())))
+        return out
 
     def _read_files(self, rels) -> DataFrame | None:
         """Scan an explicit snapshot file list (``basePath`` keeps the
@@ -240,12 +253,15 @@ class DistributedTable:
         aliases: set[str] | None = None,
         keep_bucket: bool = False,
         qualifiers: set[str] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Bucket-pruned scan planned from the current snapshot's file list.
-        ``where`` is applied in full by Catalyst; the derived ``__bucket``
-        predicate only narrows which partition directories the file index
-        keeps (pruning is an optimization, never a filter)."""
-        snap_files = self.snapshot_files()
+        """Bucket-pruned scan planned from the current snapshot's file list
+        (or a historical one: ``version`` = time travel, free because every
+        commit is a full snapshot). ``where`` is applied in full by
+        Catalyst; the derived ``__bucket`` predicate only narrows which
+        partition directories the file index keeps (pruning is an
+        optimization, never a filter)."""
+        snap_files = self.snapshot_files(version)
         if not snap_files:
             df = self._empty_df(with_bucket=keep_bucket)
             if where:
