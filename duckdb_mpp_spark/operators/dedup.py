@@ -43,17 +43,20 @@ SHINGLE_WORDS = 3
 # ---------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Hash-groupBy exact dedup: one row per input with its duplicate-group
-    size and whether it is the kept representative (min id)."""
-    h = F.md5(F.col(text_col))
-    groups = (
-        df.select(h.alias("h"), F.col(id_col))
-        .groupBy("h")
-        .agg(F.count("*").alias("group_size"), F.min(id_col).alias("keeper"))
-    )
+    """Exact dedup on the content hash: one row per input with its
+    duplicate-group size and whether it is the kept representative (min id).
+
+    Group stats are COUNT/MIN over a window on the hash — ONE shuffle of
+    (hash, id) and one corpus scan; the groupBy + self-join formulation
+    scans and shuffles the corpus twice (the join-vs-window trade measured
+    in operators/substrings.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
     return (
-        df.withColumn("h", h)
-        .join(groups, "h")
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("keeper", F.min(id_col).over(w))
         .select(
             id_col,
             "group_size",
@@ -442,7 +445,11 @@ def _register():
 
     def jaccard_fn(spark, sf_dir):
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-        sh = shingles(docs)
+        # 64-bit gram keys into the verify joins — ~5× fewer shuffle bytes
+        # than raw gram strings, set semantics preserved to 2^-64 collisions
+        # (the substrings.py / minhash trade; oracle parity is on the
+        # resulting Jaccard scores, which are identical).
+        sh = shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
         pairs = lsh_candidate_pairs(minhash_bands(docs))
         return (
             jaccard_verify(sh, pairs)
