@@ -54,7 +54,11 @@ def _resolve_default(table: DistributedTable, colname: str) -> str:
 
 
 def _commit_rewrite(
-    table: DistributedTable, tmp_path: str, bucket_ids: list[int], base: int
+    table: DistributedTable,
+    tmp_path: str,
+    bucket_ids: list[int],
+    base: int,
+    base_files: dict[str, dict],
 ) -> None:
     """Ingest the staged rewrite and publish the snapshot that swaps the
     affected buckets' files. A bucket with no surviving rows simply has no
@@ -63,7 +67,7 @@ def _commit_rewrite(
         new_entries = table._ingest_staged(tmp_path)
     finally:
         shutil.rmtree(tmp_path, ignore_errors=True)
-    table._commit_replace(bucket_ids, new_entries, base)
+    table._commit_replace(bucket_ids, new_entries, base, base_files)
 
 
 def _observed_matched(obs: Observation, df, pred) -> int:
@@ -138,7 +142,7 @@ def update(
     if matched == 0:
         shutil.rmtree(tmp, ignore_errors=True)
         return 0
-    _commit_rewrite(table, tmp, ids, base)
+    _commit_rewrite(table, tmp, ids, base, snap_files)
     return matched
 
 
@@ -171,11 +175,14 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         if c not in [f.name for f in meta.schema.fields]:
             raise ValueError(f"unknown key column {c!r}")
 
-    base, _ = table.snapshot()
+    base, snap_files = table.snapshot()
     new_rows = table.route(table._aligned_for_insert(df))
-    ids = sorted(
-        r[0] for r in new_rows.select(BUCKET_COL).distinct().collect()
-    )
+    # one O(#buckets) job yields both the affected-bucket set and the
+    # applied count (no Observation: foreachBatch + AQE empty-relation
+    # propagation can plan CollectMetrics away and leave .get blocking)
+    per_bucket = new_rows.groupBy(BUCKET_COL).count().collect()
+    ids = sorted(r[0] for r in per_bucket)
+    applied = sum(r[1] for r in per_bucket)
     if not ids:
         return 0
 
@@ -189,10 +196,7 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         new_rows.select(*key_cols).distinct(), key_cols, "left_anti"
     )
 
-    obs = Observation()
-    staged = survivors.unionByName(
-        new_rows.observe(obs, F.count(F.lit(1)).cast("long").alias("applied"))
-    )
+    staged = survivors.unionByName(new_rows)
     tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
     (
         staged.repartition(len(ids), BUCKET_COL)
@@ -201,8 +205,8 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
     )
-    _commit_rewrite(table, tmp, ids, base)
-    return int(obs.get["applied"])
+    _commit_rewrite(table, tmp, ids, base, snap_files)
+    return applied
 
 
 def delete(table: DistributedTable, where: str | None = None) -> int:
@@ -248,5 +252,5 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
     if matched == 0:
         shutil.rmtree(tmp, ignore_errors=True)
         return 0
-    _commit_rewrite(table, tmp, ids, base)
+    _commit_rewrite(table, tmp, ids, base, snap_files)
     return matched

@@ -117,7 +117,26 @@ register(
     ),
 )
 
-from duckdb_mpp_spark.streaming import streaming_ingest_distributed  # noqa: E402
+from duckdb_mpp_spark.streaming import (  # noqa: E402
+    streaming_ingest_distributed,
+    streaming_upsert_distributed,
+)
+
+register(
+    "streaming_mpp_upsert",
+    Query(
+        spark=streaming_upsert_distributed,
+        oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 256) AS BIGINT)) AS DOUBLE) / 256
+                 AS total_value_q
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+    ),
+)
 
 register(
     "streaming_mpp_ingest",

@@ -332,3 +332,64 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously maintained per-user aggregate table via streaming
+    MERGE: each micro-batch's per-user (count, quantized value sum) is
+    combined with the table's current totals and applied with
+    ``dml.upsert`` — one atomic snapshot commit per batch, so a reader
+    between batches always sees a complete, consistent aggregate.
+
+    Deterministic under ANY micro-batch split because the merge is a sum
+    (commutative/associative); value sums are pre-quantized to exact
+    integers (floor(value·256)), so results are bit-identical to the batch
+    oracle. This is the standard continuous-rollup recipe (foreachBatch +
+    idempotent-able MERGE) that plain append sinks can't express."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from duckdb_mpp_spark.mpp import MppSession
+
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_stream_upsert_"))
+    mpp.sql(
+        "CREATE TABLE user_totals(user_id BIGINT NOT NULL, n_events BIGINT, "
+        "total_q BIGINT) PARTITION BY (user_id) WITH BUCKETS 8"
+    )
+    tbl = mpp.table("user_totals")
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+
+    def merge_batch(batch, _id):
+        agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.floor(F.col("value") * 256).cast("long")).alias("q_new"),
+        )
+        cur = tbl.scan().withColumnsRenamed(
+            {"n_events": "n_old", "total_q": "q_old"}
+        )
+        merged = (
+            agg.join(cur, "user_id", "left")
+            .select(
+                "user_id",
+                (F.coalesce("n_old", F.lit(0)) + F.col("n_new")).alias("n_events"),
+                (F.coalesce("q_old", F.lit(0)) + F.col("q_new")).alias("total_q"),
+            )
+        )
+        mpp.upsert("user_totals", merged, ["user_id"])
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mpp_upsert_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return mpp.sql(
+        """
+        SELECT user_id, n_events,
+               CAST(total_q AS DOUBLE) / 256 AS total_value_q
+        FROM user_totals
+        ORDER BY user_id
+        """
+    )

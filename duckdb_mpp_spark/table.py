@@ -146,7 +146,11 @@ class DistributedTable:
                 base, files = self.snapshot()
 
     def _commit_replace(
-        self, bucket_ids: list[int], new_entries: dict[str, dict], base: int
+        self,
+        bucket_ids: list[int],
+        new_entries: dict[str, dict],
+        base: int,
+        base_files: dict[str, dict],
     ) -> None:
         """Publish a COW rewrite: the affected buckets' old files leave the
         snapshot, the staged files enter. The base version pins optimistic
@@ -156,12 +160,15 @@ class DistributedTable:
         garbage but are NOT deleted here — in-flight readers planned on the
         previous snapshot still hold their file lists; physical deletion is
         deferred to an explicit ``vacuum()`` (SQL: ``VACUUM t``), which at
-        scale runs behind a retention window."""
+        scale runs behind a retention window.
+
+        ``(base, base_files)`` must be the snapshot read BEFORE the staged
+        files were ingested (a post-ingest load on an empty commit log
+        would bootstrap-absorb them — same contract as _commit_append)."""
         rewritten = {f"{BUCKET_COL}={b}/" for b in bucket_ids}
-        _, files = self.snapshot()
         survivors = {
             rel: ent
-            for rel, ent in files.items()
+            for rel, ent in base_files.items()
             if not any(rel.startswith(p) for p in rewritten)
         }
         _manifest_mod.commit(self.path, {**survivors, **new_entries}, base)
@@ -266,7 +273,10 @@ class DistributedTable:
             df = self._empty_df(with_bucket=keep_bucket)
             if where:
                 df = df.where(where)
-            return df.select(*(columns or [f.name for f in self.meta.schema.fields]))
+            out_cols = columns or [f.name for f in self.meta.schema.fields]
+            if keep_bucket:
+                out_cols = out_cols + [BUCKET_COL]
+            return df.select(*out_cols)
         df = self._zonemap_read(where, aliases, qualifiers, snap_files)
         if df is None:
             df = self._read_files(snap_files)
@@ -472,6 +482,9 @@ class DistributedTable:
             _shutil.rmtree(tmp, ignore_errors=True)
         rewritten = {rel.split("/", 1)[0] for rel in new_entries}
         self._commit_replace(
-            sorted(int(b.split("=", 1)[1]) for b in rewritten), new_entries, base
+            sorted(int(b.split("=", 1)[1]) for b in rewritten),
+            new_entries,
+            base,
+            snap_files,
         )
         return len(rewritten)

@@ -102,3 +102,23 @@ def test_stream_into_distributed_table(spark, tmp_path):
     want = batch_events.where(F.col("user_id") == one_user).count()
     assert got == want
     assert "Shards: 1/8" in tbl.explain(where=f"user_id = {one_user}")
+
+
+def test_streaming_upsert_matches_batch_aggregate(spark):
+    """foreachBatch + dml.upsert continuous rollup must equal the batch
+    per-user aggregate regardless of micro-batch split (sums commute; value
+    sums pre-quantized to exact integers)."""
+    from duckdb_mpp_spark.sources import load_table
+
+    got = S.streaming_upsert_distributed(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 256).cast("long")).cast("double") / 256)
+            .alias("total_value_q"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value_q"]
+    assert _rows(got, *cols) == _rows(want, *cols)
