@@ -556,6 +556,21 @@ class MppSession:
             flags=re.IGNORECASE,
         )
 
+    def _extract_time_travel(self, query: str) -> tuple[str, dict[str, int]]:
+        """Strip ``<table> VERSION AS OF <n>`` clauses (Delta-style time
+        travel syntax) and return the pinned version per table; the view for
+        a pinned table is then registered from that snapshot."""
+        versions: dict[str, int] = {}
+        for name in self.catalog._tables:
+            pat = rf"\b({re.escape(name)})\s+VERSION\s+AS\s+OF\s+(\d+)\b"
+
+            def repl(m, _n=name):
+                versions[_n] = int(m.group(2))
+                return m.group(1)
+
+            query = re.sub(pat, repl, query, flags=re.IGNORECASE)
+        return query, versions
+
     def _distributed_tables_in(self, query: str) -> list[str]:
         found = []
         for name in self.catalog._tables:
@@ -677,7 +692,10 @@ class MppSession:
             for kind, val in toks
         )
 
-    def _register_views_for_query(self, query: str) -> list[str]:
+    def _register_views_for_query(
+        self, query: str, versions: dict[str, int] | None = None
+    ) -> list[str]:
+        versions = versions or {}
         names = self._distributed_tables_in(query)
         where = self._where_text(query)
         self.last_file_skip = {}
@@ -692,6 +710,12 @@ class MppSession:
             return names
         for name in names:
             tbl = self.table(name)
+            if name in versions:
+                # version-pinned read (time travel): plain snapshot scan —
+                # Catalyst still pushes filters; pruning shortcuts target
+                # the live head only
+                tbl.scan(version=versions[name]).createOrReplaceTempView(name)
+                continue
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
             # The view embeds ONLY the derived __bucket predicate (directory
             # pruning) and, for SORT BY tables, the zone-map-skipped file
@@ -725,16 +749,18 @@ class MppSession:
 
     def _run_select(self, query: str) -> DataFrame:
         query = self._substitute_system_views(query)
+        query, versions = self._extract_time_travel(query)
         query = self._rewrite_where_aliases(query)
-        self._register_views_for_query(query)
+        self._register_views_for_query(query, versions)
         return self.spark.sql(query)
 
     def explain(self, query: str) -> str:
         """Reference-style EXPLAIN: Shards: k/n for the (single) distributed
         table plus the Spark formatted physical plan."""
         query = self._substitute_system_views(query)
+        query, versions = self._extract_time_travel(query)
         query = self._rewrite_where_aliases(query)
-        names = self._register_views_for_query(query)
+        names = self._register_views_for_query(query, versions)
         header = []
         where = self._where_text(query)
         for name in names:

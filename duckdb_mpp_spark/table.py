@@ -116,9 +116,10 @@ class DistributedTable:
         committer pattern; the files stay invisible until the snapshot
         referencing them is published."""
         import uuid as _uuid
+        from concurrent.futures import ThreadPoolExecutor
 
         tag = _uuid.uuid4().hex[:8]
-        entries: dict[str, dict] = {}
+        new_rels = []
         for rel in _manifest_mod._list_data_files(tmp_path, BUCKET_COL):
             bdir, fname = rel.split("/", 1)
             os.makedirs(os.path.join(self.path, bdir), exist_ok=True)
@@ -126,10 +127,18 @@ class DistributedTable:
             os.replace(
                 os.path.join(tmp_path, rel), os.path.join(self.path, new_rel)
             )
-            entries[new_rel] = _manifest_mod.file_entry(
-                os.path.join(self.path, new_rel), self.meta.sort_column
+            new_rels.append(new_rel)
+        # footer reads are I/O-bound and independent — read them in parallel
+        # (pyarrow releases the GIL); a large commit's metadata pass is then
+        # bounded by storage latency, not file count × latency
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            stats = pool.map(
+                lambda r: _manifest_mod.file_entry(
+                    os.path.join(self.path, r), self.meta.sort_column
+                ),
+                new_rels,
             )
-        return entries
+        return dict(zip(new_rels, stats))
 
     def _commit_append(
         self, new_entries: dict[str, dict], base: int, files: dict[str, dict]

@@ -95,6 +95,21 @@ def test_vacuum_respects_retained_history(spark, mpp):
     assert [r[0] for r in rows(tbl.scan(), "k")] == [2, 11]
 
 
+def test_sql_version_as_of(spark, mpp):
+    """Time travel through the SQL front door: `FROM t VERSION AS OF n`."""
+    mpp.sql("CREATE TABLE tv(k INT, grp INT) PARTITION BY (grp) WITH BUCKETS 4")
+    mpp.sql("INSERT INTO tv VALUES (1, 1), (2, 2)")   # v1
+    mpp.sql("DELETE FROM tv WHERE k = 1")             # v2
+    assert [r[0] for r in rows(mpp.sql("SELECT k FROM tv VERSION AS OF 1"), "k")] == [1, 2]
+    assert [r[0] for r in rows(mpp.sql("SELECT k FROM tv VERSION AS OF 2"), "k")] == [2]
+    assert [r[0] for r in rows(mpp.sql("SELECT k FROM tv"), "k")] == [2]
+    # joins against the live head still work alongside a pinned read
+    got = mpp.sql(
+        "SELECT a.k FROM (SELECT k FROM tv VERSION AS OF 1) a WHERE a.k = 1"
+    ).collect()
+    assert [r[0] for r in got] == [1]
+
+
 def test_manifest_load_version_missing(mpp):
     tbl = mpp.create_distributed_table("mv", "k INT", "k", 2)
     with pytest.raises(ValueError, match="no snapshot v9"):
