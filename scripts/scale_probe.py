@@ -230,16 +230,74 @@ def bench_zonemap(spark) -> dict[str, float]:
     return out
 
 
+def bench_storage(spark) -> dict[str, float]:
+    """Snapshot-storage probe at sf≈1: is upsert really bucket-local?
+
+    Builds a 16-bucket distributed table from the replicated orders, then
+    times (a) an upsert whose batch hits ONE bucket, (b) a COW UPDATE with
+    an unprunable predicate (all 16 buckets rewritten). If the merge is
+    bucket-local, (a)/(b) ≈ 1/#buckets plus fixed job cost. Also reports
+    snapshot-load time (scan planning metadata) on the multi-file table."""
+    import tempfile
+
+    from duckdb_mpp_spark import dml
+    from duckdb_mpp_spark.mpp import MppSession
+
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_probe_"))
+    orders = spark.read.parquet(f"{DST}/orders.parquet")
+    tbl = mpp.create_distributed_table("orders_st", orders.schema, "o_custkey", 16)
+    tbl.insert(orders)
+
+    def rewritten_bytes(before: dict, after: dict) -> int:
+        return sum(
+            os.path.getsize(os.path.join(tbl.path, rel))
+            for rel in set(after) - set(before)
+        )
+
+    batch = (
+        orders.where("o_custkey = 42")  # one partition value → one bucket
+        .withColumn("o_orderpriority", F.lit("X-PROBE"))
+    )
+    pre = tbl.snapshot_files()
+    t0 = time.perf_counter()
+    dml.upsert(tbl, batch, ["o_custkey", "o_orderkey"])
+    t_upsert = time.perf_counter() - t0
+    mid = tbl.snapshot_files()
+    upsert_bytes = rewritten_bytes(pre, mid)
+
+    t0 = time.perf_counter()
+    dml.update(tbl, {"o_orderpriority": "'Y-PROBE'"}, "o_orderkey % 2 = 0")
+    t_full = time.perf_counter() - t0
+    full_bytes = rewritten_bytes(mid, tbl.snapshot_files())
+
+    t0 = time.perf_counter()
+    n_files = len(tbl.snapshot_files())
+    t_meta = time.perf_counter() - t0
+    # At sf≈1 both walls are fixed-job-overhead-bound (~1–2 s regardless);
+    # the locality win is the BYTES ratio — upsert rewrites 1/16 of the
+    # table, and at 100 TB wall time follows bytes, not job count.
+    return {
+        "upsert_one_bucket_sec": round(t_upsert, 3),
+        "cow_update_all_buckets_sec": round(t_full, 3),
+        "upsert_rewritten_mb": round(upsert_bytes / 1e6, 1),
+        "full_update_rewritten_mb": round(full_bytes / 1e6, 1),
+        "bytes_ratio": round(upsert_bytes / max(full_bytes, 1), 3),
+        "snapshot_load_sec": round(t_meta, 4),
+        "snapshot_files": n_files,
+    }
+
+
 def main() -> None:
     # parts: "core" (TPC-H shapes), "docs" (dedup/graph/substring),
-    # "zonemap" (SORT BY A/B) — run separately to keep each under a CI/
-    # driver time budget; default runs everything.
-    parts = set(sys.argv[1:]) or {"core", "docs", "zonemap"}
+    # "zonemap" (SORT BY A/B), "storage" (snapshot commit/upsert locality)
+    # — run separately to keep each under a CI/driver time budget; default
+    # runs everything.
+    parts = set(sys.argv[1:]) or {"core", "docs", "zonemap", "storage"}
     spark = get_spark(app_name="scale-probe")
     small: dict[str, float] = {}
     big: dict[str, float] = {}
     result: dict[str, object] = {"replicas": REPLICAS}
-    if parts & {"core", "zonemap"}:
+    if parts & {"core", "zonemap", "storage"}:
         replicate(spark)
     if "core" in parts:
         small.update(bench(spark, SRC))
@@ -256,6 +314,8 @@ def main() -> None:
         }  # 1.0 = perfectly linear
     if "zonemap" in parts:
         result["zonemap_ab_sf1"] = bench_zonemap(spark)
+    if "storage" in parts:
+        result["storage_sf1"] = bench_storage(spark)
     print(json.dumps(result))
     for p in (DST, DOCS_SMALL, DOCS_BIG):
         shutil.rmtree(p, ignore_errors=True)
