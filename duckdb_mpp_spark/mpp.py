@@ -556,6 +556,82 @@ class MppSession:
             flags=re.IGNORECASE,
         )
 
+    def _rewrite_qualify(self, query: str) -> str:
+        """DuckDB dialect: rewrite a top-level ``QUALIFY <pred>`` (window
+        filter, inherited by the reference from DuckDB) into
+        ``SELECT * EXCEPT (__qualify) FROM (<select with pred as a column>)
+        WHERE __qualify`` — Spark has no QUALIFY clause. Window functions
+        (and lateral select-alias references) are legal in a select list,
+        so hoisting the predicate there preserves semantics exactly.
+        Subquery-nested QUALIFY is not rewritten (top-level scan only)."""
+        q = _find_keyword_top_level(query, "QUALIFY")
+        if q < 0:
+            return query
+        pstart = q + len("QUALIFY")
+        pend = len(query)
+        for kw in ("ORDER", "LIMIT", "WINDOW"):
+            k = _find_keyword_top_level(query, kw, pstart)
+            if 0 <= k < pend:
+                pend = k
+        pred = query[pstart:pend].strip()
+        head, tail = query[:q].rstrip(), query[pend:]
+        fidx = _find_keyword_top_level(head, "FROM")
+        if fidx < 0:
+            return query
+        inner = f"{head[:fidx].rstrip()}, ({pred}) AS __qualify {head[fidx:]}"
+        return (
+            f"SELECT * EXCEPT (__qualify) FROM ({inner}) AS __qualify_sub "
+            f"WHERE __qualify {tail}"
+        )
+
+    _DISTINCT_ON_RE = re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+    def _rewrite_distinct_on(self, query: str) -> str:
+        """DuckDB dialect: ``SELECT DISTINCT ON (keys) list FROM ... ORDER
+        BY o`` keeps the first row per key group under ``o`` — rewritten to
+        a ROW_NUMBER window filtered to 1 (Spark has no DISTINCT ON).
+        Requires a top-level ORDER BY (same determinism DuckDB needs) whose
+        columns appear in the select list."""
+        m = self._DISTINCT_ON_RE.match(query)
+        if not m:
+            return query
+        # find the keys' matching close paren (scanner-aware)
+        depth, i = 0, m.end() - 1
+        while i < len(query):
+            if query[i] == "(":
+                depth += 1
+            elif query[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        keys = query[m.end(): i]
+        rest = query[i + 1:]
+        oidx = _find_keyword_top_level(rest, "ORDER")
+        if oidx < 0:
+            raise NotImplementedError(
+                "DISTINCT ON requires a top-level ORDER BY"
+            )
+        body, order_tail = rest[:oidx].rstrip(), rest[oidx:]
+        lidx = _find_keyword_top_level(order_tail, "LIMIT")
+        order_by = re.sub(
+            r"^ORDER\s+BY\s+",
+            "",
+            order_tail[: lidx if lidx >= 0 else len(order_tail)].strip(),
+            flags=re.IGNORECASE,
+        )
+        fidx = _find_keyword_top_level(body, "FROM")
+        if fidx < 0:
+            return query
+        inner = (
+            f"SELECT {body[:fidx].strip()}, ROW_NUMBER() OVER "
+            f"(PARTITION BY {keys} ORDER BY {order_by}) AS __rn {body[fidx:]}"
+        )
+        return (
+            f"SELECT * EXCEPT (__rn) FROM ({inner}) AS __distinct_on_sub "
+            f"WHERE __rn = 1 {order_tail}"
+        )
+
     def _extract_time_travel(self, query: str) -> tuple[str, dict[str, int]]:
         """Strip ``<table> VERSION AS OF <n>`` clauses (Delta-style time
         travel syntax) and return the pinned version per table; the view for
@@ -750,6 +826,8 @@ class MppSession:
     def _run_select(self, query: str) -> DataFrame:
         query = self._substitute_system_views(query)
         query, versions = self._extract_time_travel(query)
+        query = self._rewrite_qualify(query)
+        query = self._rewrite_distinct_on(query)
         query = self._rewrite_where_aliases(query)
         self._register_views_for_query(query, versions)
         return self.spark.sql(query)
@@ -759,6 +837,8 @@ class MppSession:
         table plus the Spark formatted physical plan."""
         query = self._substitute_system_views(query)
         query, versions = self._extract_time_travel(query)
+        query = self._rewrite_qualify(query)
+        query = self._rewrite_distinct_on(query)
         query = self._rewrite_where_aliases(query)
         names = self._register_views_for_query(query, versions)
         header = []

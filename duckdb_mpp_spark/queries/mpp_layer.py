@@ -365,6 +365,66 @@ register(
 )
 
 
+def _qualify_frontdoor(spark, sf_dir):
+    """DuckDB's QUALIFY clause (window filter) through the SQL front door —
+    the engine rewrites it to a hoisted window column + WHERE
+    (MppSession._rewrite_qualify); the oracle runs the IDENTICAL statement
+    natively in DuckDB, so a hash match is direct dialect parity."""
+    mpp, _ = _bucketed_orders(spark, sf_dir, "orders_q")
+    return mpp.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders_q
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) <= 2
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
+register(
+    "mpp_qualify_frontdoor",
+    Query(
+        spark=_qualify_frontdoor,
+        oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) <= 2
+        ORDER BY o_custkey, o_orderkey
+        """,
+    ),
+)
+
+
+def _distinct_on_frontdoor(spark, sf_dir):
+    """DuckDB's DISTINCT ON through the SQL front door — rewritten to a
+    ROW_NUMBER()=1 window filter; oracle runs DISTINCT ON natively."""
+    mpp, _ = _bucketed_orders(spark, sf_dir, "orders_do")
+    return mpp.sql(
+        """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderdate, o_orderkey
+        FROM orders_do
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """
+    )
+
+
+register(
+    "mpp_distinct_on_frontdoor",
+    Query(
+        spark=_distinct_on_frontdoor,
+        oracle="""
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderdate, o_orderkey
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """,
+    ),
+)
+
+
 def _ddl_frontdoor(spark, sf_dir):
     """Full DDL lifecycle through the SQL front door TEXT — the reference's
     custom-parser path (src/parser/mpp_parser_extension.cpp:43-96) plus the

@@ -143,3 +143,49 @@ def test_salt_is_deterministic_expression(spark):
     a = sorted(tuple(r) for r in salted.collect())
     b = sorted(tuple(r) for r in salted.collect())
     assert a == b
+
+
+# -- DuckDB dialect rewrites: QUALIFY / DISTINCT ON ---------------------------
+
+def _dialect_table(spark, mpp):
+    mpp.sql("CREATE TABLE dq(k INT, grp INT, v INT) PARTITION BY (grp) WITH BUCKETS 4")
+    mpp.sql(
+        "INSERT INTO dq VALUES (1,1,30),(2,1,20),(3,1,10),(4,2,5),(5,2,50),(6,3,7)"
+    )
+
+
+def test_qualify_rewrite(spark, mpp):
+    _dialect_table(spark, mpp)
+    got = mpp.sql(
+        "SELECT k, grp, v FROM dq "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC, k) = 1 "
+        "ORDER BY grp"
+    ).collect()
+    assert [(r.k, r.grp, r.v) for r in got] == [(1, 1, 30), (5, 2, 50), (6, 3, 7)]
+    # __qualify helper column must not leak into the output schema
+    assert [c for c in got[0].asDict()] == ["k", "grp", "v"]
+
+
+def test_qualify_with_limit(spark, mpp):
+    _dialect_table(spark, mpp)
+    got = mpp.sql(
+        "SELECT k, grp FROM dq "
+        "QUALIFY RANK() OVER (PARTITION BY grp ORDER BY v) <= 1 "
+        "ORDER BY grp LIMIT 2"
+    ).collect()
+    assert [(r.k, r.grp) for r in got] == [(3, 1), (4, 2)]
+
+
+def test_distinct_on_rewrite(spark, mpp):
+    _dialect_table(spark, mpp)
+    got = mpp.sql(
+        "SELECT DISTINCT ON (grp) grp, v, k FROM dq ORDER BY grp, v, k"
+    ).collect()
+    assert [(r.grp, r.v, r.k) for r in got] == [(1, 10, 3), (2, 5, 4), (3, 7, 6)]
+    assert [c for c in got[0].asDict()] == ["grp", "v", "k"]
+
+
+def test_distinct_on_requires_order_by(spark, mpp):
+    _dialect_table(spark, mpp)
+    with pytest.raises(NotImplementedError, match="ORDER BY"):
+        mpp.sql("SELECT DISTINCT ON (grp) grp, v FROM dq")
