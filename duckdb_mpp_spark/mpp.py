@@ -31,10 +31,11 @@ RETURNING, ON CONFLICT, CREATE TABLE AS, ALTER TABLE.
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -468,6 +469,9 @@ class MppSession:
                 return 0  # Spark-managed bucketed storage; nothing to reclaim
             return self.table(name).vacuum()
 
+        if re.match(r"^\s*COPY\b", stripped, re.IGNORECASE):
+            return self._run_copy(stripped)
+
         if upper.startswith("EXPLAIN"):
             inner = stripped[len("EXPLAIN"):].strip()
             return self.explain(inner)
@@ -822,6 +826,72 @@ class MppSession:
                 df = tbl.scan()
             df.createOrReplaceTempView(name)
         return names
+
+    _COPY_OPTS_RE = re.compile(r"\(\s*(?P<opts>[^)]*)\)\s*$")
+
+    @staticmethod
+    def _copy_format(path: str, opts: str) -> tuple[str, dict[str, str]]:
+        """(spark format, reader/writer options) from a COPY options list /
+        file extension. DuckDB defaults COPY to CSV-with-header unless the
+        extension or FORMAT says otherwise."""
+        m = re.search(r"\bFORMAT\s+'?(\w+)'?", opts, re.IGNORECASE)
+        fmt = (m.group(1) if m else os.path.splitext(path)[1].lstrip(".") or "csv").lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise NotImplementedError(f"COPY format {fmt!r} not supported")
+        options: dict[str, str] = {}
+        if fmt == "csv":
+            header = "true"
+            hm = re.search(r"\bHEADER\s+(\w+)", opts, re.IGNORECASE)
+            if hm:
+                header = "true" if hm.group(1).lower() in ("true", "1", "on") else "false"
+            options = {"header": header, "inferSchema": "true"}
+        return fmt, options
+
+    def _run_copy(self, stripped: str):
+        """DuckDB's COPY statement (inherited surface the reference keeps):
+        ``COPY <table|(query)> TO '<path>' [(opts)]`` exports (the target is
+        a directory of part files — the Spark-native shape; parallel
+        writers, any scale), ``COPY <table> FROM '<path>' [(opts)]``
+        imports through the bucketed insert path. Both return the row
+        count, like DuckDB."""
+        to_idx = _find_keyword_top_level(stripped, "TO")
+        from_idx = _find_keyword_top_level(stripped, "FROM")
+        body = stripped[len("COPY"):].strip()
+
+        if to_idx > 0 and (from_idx < 0 or to_idx < from_idx):
+            src = stripped[len("COPY"):to_idx].strip()
+            rest = stripped[to_idx + 2:].strip()
+            pm = re.match(r"^'(?P<path>[^']+)'\s*(?P<opts>.*)$", rest, re.DOTALL)
+            if not pm:
+                raise ValueError(f"COPY TO: cannot parse target in {stripped!r}")
+            path, opts = pm.group("path"), pm.group("opts")
+            fmt, options = self._copy_format(path, opts)
+            if src.startswith("("):
+                df = self._run_select(src[1:-1].strip())
+            else:
+                df = self._run_select(f"SELECT * FROM {src}")
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).cast("long").alias("n"))
+            w = df.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", options.get("header", "true"))
+            w.save(path)
+            return int(obs.get["n"])
+
+        if from_idx > 0:
+            name = _ident(stripped[len("COPY"):from_idx].strip())
+            rest = stripped[from_idx + 4:].strip()
+            pm = re.match(r"^'(?P<path>[^']+)'\s*(?P<opts>.*)$", rest, re.DOTALL)
+            if not pm:
+                raise ValueError(f"COPY FROM: cannot parse source in {stripped!r}")
+            path, opts = pm.group("path"), pm.group("opts")
+            fmt, options = self._copy_format(path, opts)
+            reader = self.spark.read.format(fmt)
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            return self.table(name).insert(reader.load(path))
+
+        raise ValueError(f"unsupported COPY statement: {stripped!r}")
 
     def _run_select(self, query: str) -> DataFrame:
         query = self._substitute_system_views(query)

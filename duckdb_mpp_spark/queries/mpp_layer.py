@@ -365,6 +365,41 @@ register(
 )
 
 
+def _copy_roundtrip(spark, sf_dir):
+    """DuckDB's COPY statement (inherited SQL surface): export a filtered
+    distributed table with ``COPY t TO '<dir>' (FORMAT PARQUET)``, import
+    the files into a second table with ``COPY t2 FROM``, and scan the
+    result — proving both directions preserve rows/types exactly. The
+    export target is a directory of part files (the Spark-native parallel-
+    writer shape; documented divergence from DuckDB's single file)."""
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    orders = load_table(spark, sf_dir, "orders")
+    tbl = mpp.create_distributed_table("orders_cp", orders.schema, "o_custkey", 8)
+    tbl.insert(orders)
+    out = tempfile.mkdtemp(prefix="mpp_copy_") + "/export.parquet"
+    n = mpp.sql(
+        f"COPY (SELECT * FROM orders_cp WHERE o_custkey <= 100) TO '{out}' (FORMAT PARQUET)"
+    )
+    assert n > 0
+    mpp.create_distributed_table("orders_cp2", orders.schema, "o_custkey", 8)
+    n2 = mpp.sql(f"COPY orders_cp2 FROM '{out}' (FORMAT PARQUET)")
+    assert n2 == n
+    return mpp.table("orders_cp2").scan().orderBy("o_orderkey")
+
+
+register(
+    "mpp_copy_roundtrip",
+    Query(
+        spark=_copy_roundtrip,
+        oracle=f"""
+        SELECT {ORDER_COLS} FROM orders
+        WHERE o_custkey <= 100
+        ORDER BY o_orderkey
+        """,
+    ),
+)
+
+
 def _qualify_frontdoor(spark, sf_dir):
     """DuckDB's QUALIFY clause (window filter) through the SQL front door —
     the engine rewrites it to a hoisted window column + WHERE

@@ -189,3 +189,22 @@ def test_distinct_on_requires_order_by(spark, mpp):
     _dialect_table(spark, mpp)
     with pytest.raises(NotImplementedError, match="ORDER BY"):
         mpp.sql("SELECT DISTINCT ON (grp) grp, v FROM dq")
+
+
+# -- COPY TO / FROM -----------------------------------------------------------
+
+def test_copy_to_csv_and_back(spark, mpp, tmp_path):
+    mpp.sql("CREATE TABLE ct(k INT, v TEXT) PARTITION BY (k) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO ct VALUES (1,'a'),(2,'b'),(3,'c')")
+    out = str(tmp_path / "export.csv")
+    assert mpp.sql(f"COPY ct TO '{out}'") == 3  # csv-with-header default
+    mpp.sql("CREATE TABLE ct2(k INT, v TEXT) PARTITION BY (k) WITH BUCKETS 2")
+    assert mpp.sql(f"COPY ct2 FROM '{out}'") == 3
+    got = sorted(tuple(r) for r in mpp.sql("SELECT * FROM ct2").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_copy_unknown_format_rejected(spark, mpp, tmp_path):
+    mpp.sql("CREATE TABLE cf(k INT) PARTITION BY (k) WITH BUCKETS 2")
+    with pytest.raises(NotImplementedError, match="format"):
+        mpp.sql(f"COPY cf TO '{tmp_path}/x.avro'")
