@@ -132,6 +132,17 @@ def main() -> None:
         dml.update(tbl, {"o_orderpriority": "'X-BENCH'"}, "o_custkey = 42")
         if timings is not None:
             timings["mpp_update"] = round(time.perf_counter() - t0, 4)
+        # MERGE-style upsert: one-bucket batch → bucket-local rewrite + one
+        # snapshot commit (regressions in merge locality show up here)
+        from pyspark.sql import functions as _F
+
+        batch = orders.where("o_custkey = 42").withColumn(
+            "o_orderpriority", _F.lit("X-UPSERT")
+        )
+        t0 = time.perf_counter()
+        dml.upsert(tbl, batch, ["o_custkey", "o_orderkey"])
+        if timings is not None:
+            timings["mpp_upsert"] = round(time.perf_counter() - t0, 4)
         # Zone-map file skipping: SORT BY table, three range-disjoint
         # ingests, date-range scan touches one generation of files.
         t_s = mpp.create_distributed_table(

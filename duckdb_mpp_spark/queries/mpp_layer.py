@@ -242,8 +242,8 @@ register(
 
 def _compact_scan(spark, sf_dir):
     """Small-file compaction: two inserts accumulate two file sets per
-    bucket; compact() rewrites each bucket to one file (atomic dir swap,
-    same isolation as COW DML) and the pruned scan still returns exactly
+    bucket; compact() rewrites each bucket to one file (snapshot-publish
+    commit, same isolation as COW DML) and the pruned scan still returns exactly
     the inserted rows — compaction changes layout, never content."""
     mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
     orders = load_table(spark, sf_dir, "orders")

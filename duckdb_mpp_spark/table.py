@@ -458,14 +458,14 @@ class DistributedTable:
         ).orderBy("bucket")
 
     def compact(self, target_files_per_bucket: int = 1) -> int:
-        """Rewrite every non-empty bucket directory down to
+        """Rewrite every non-empty bucket down to
         ``target_files_per_bucket`` files (appends accumulate one file set
-        per insert — the COW small-file problem). Same temp-dir + atomic
-        swap as DML; returns the number of buckets rewritten. At 100 TB run
-        per-bucket (or per-bucket-range) compactions incrementally; the
-        bucket is the natural unit of isolation. Same stage → ingest →
-        snapshot-publish commit as DML: readers on the old snapshot keep a
-        consistent view, no directory renames."""
+        per insert — the COW small-file problem); returns the number of
+        buckets rewritten. At 100 TB run per-bucket (or per-bucket-range)
+        compactions incrementally; the bucket is the natural unit of
+        isolation. Same stage → ingest → snapshot-publish commit as DML:
+        readers on the old snapshot keep a consistent view, no directory
+        renames."""
         import shutil as _shutil
         import uuid as _uuid
 
