@@ -507,3 +507,30 @@ def _register() -> None:
 
 
 _register()
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training order)
+# ---------------------------------------------------------------------------
+
+# Training-order shuffle: a seeded md5 over the key is a deterministic
+# pseudorandom permutation — reproducible across engines/retries, unlike
+# rand(). ROW_NUMBER over the hash order is one global range-partitioned
+# sort (Spark samples ranges, sorts within partitions — the standard
+# at-scale permutation; no driver materialization). doc_id tiebreak makes
+# the order total even under md5 collisions.
+_GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(concat('epoch-42:', doc_id)), doc_id
+       ) AS BIGINT) - 1 AS pos
+FROM documents
+ORDER BY pos
+"""
+
+
+def _register_shuffle():
+    register("pipeline_global_shuffle", Query(_GLOBAL_SHUFFLE_SQL))
+
+
+_register_shuffle()

@@ -706,3 +706,78 @@ register(
         """,
     ),
 )
+
+
+def cluster_keep_best(spark, sf_dir: str) -> DataFrame:
+    """Canonical selection: within each near-dup cluster keep the HIGHEST-
+    QUALITY document, not the smallest id — the step that turns dedup
+    analysis into a curated corpus (pairs → components → pick one winner
+    per component by the Gopher-style composite quality score, ties to the
+    lower doc_id). One extra window over the (tiny) labels table beyond
+    ``cluster_assign``; quality is a pure per-row expression joined in, so
+    the pipeline adds no corpus-sized shuffle."""
+    from pyspark.sql import Window
+
+    from duckdb_mpp_spark.operators.text import quality_features
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    labels = connected_components(pairs, docs)
+    q = quality_features(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .join(q, "doc_id")
+        .withColumn("rank_in_cluster", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.round("quality_score", 6).alias("quality_score"),
+            (F.col("rank_in_cluster") == 1).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _register_keep_best():
+    from duckdb_mpp_spark.operators.text import duck_quality_cte
+
+    oracle = (
+        _DUCK_BANDS.replace("WITH", "WITH RECURSIVE", 1)
+        + f""",
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lab FROM documents
+          UNION
+          SELECT e.dst AS node, r.lab
+          FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        cluster AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        {duck_quality_cte()}
+        SELECT c.node AS doc_id, c.cluster_id,
+               round(q.quality_score, 6) AS quality_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.cluster_id
+                 ORDER BY q.quality_score DESC, c.node ASC
+               ) = 1 AS kept
+        FROM cluster c JOIN q ON q.doc_id = c.node
+        ORDER BY doc_id
+        """
+    )
+    # the quality CTE is named `q` for brevity in the join above
+    oracle = oracle.replace("quality AS (", "q AS (", 1)
+    register("dedup_cluster_keep_best", Query(spark=cluster_keep_best, oracle=oracle))
+
+
+_register_keep_best()

@@ -148,6 +148,24 @@ def _register_token_stats():
     register("text_token_stats", Query(spark=spark_fn, oracle=oracle))
 
 
+def duck_quality_cte(name: str = "quality") -> str:
+    """DuckDB CTE text ``<name> AS (SELECT doc_id, quality_score FROM …)``
+    mirroring :func:`quality_features`'s composite score — reused by every
+    oracle that ranks documents by quality (same float ops in the same
+    order, so the doubles are bit-identical across engines)."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""{name} AS (
+      SELECT doc_id,
+             0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
+                         / greatest(len(ws), 1) * 5.0, 1.0)
+           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
+           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
+             AS quality_score
+      FROM (SELECT doc_id, text, {_duck_tokens()} AS ws FROM documents)
+    )"""
+
+
 def _register_quality():
     def spark_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
