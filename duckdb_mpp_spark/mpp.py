@@ -472,6 +472,10 @@ class MppSession:
         if re.match(r"^\s*COPY\b", stripped, re.IGNORECASE):
             return self._run_copy(stripped)
 
+        sm = re.match(r"^\s*SUMMARIZE\s+(?P<name>[\w.\"]+)\s*$", stripped, re.IGNORECASE)
+        if sm and self.catalog.exists(_ident(sm.group("name"))):
+            return self._summarize(_ident(sm.group("name")))
+
         if upper.startswith("EXPLAIN"):
             inner = stripped[len("EXPLAIN"):].strip()
             return self.explain(inner)
@@ -826,6 +830,44 @@ class MppSession:
                 df = tbl.scan()
             df.createOrReplaceTempView(name)
         return names
+
+    def _summarize(self, name: str) -> DataFrame:
+        """DuckDB's ``SUMMARIZE t`` (inherited surface): one row per column
+        with min / max / distinct count / null count / row count. EXACT
+        variant — DuckDB's approx_unique is replaced by a true distinct
+        count so the result is engine-deterministic (and oracle-checkable);
+        all columns are computed in ONE aggregation pass over the table
+        (every stat is a parallel aggregate; no per-column scans)."""
+        tbl = self.table(name)
+        df = tbl.scan()
+        aggs = []
+        for f in tbl.meta.schema.fields:
+            c = F.col(f.name)
+            aggs += [
+                F.min(c).cast("string").alias(f"{f.name}__min"),
+                F.max(c).cast("string").alias(f"{f.name}__max"),
+                F.count_distinct(c).alias(f"{f.name}__distinct"),
+                F.count(F.when(c.isNull(), 1)).alias(f"{f.name}__nulls"),
+                F.count(F.lit(1)).alias(f"{f.name}__count"),
+            ]
+        row = df.agg(*aggs).collect()[0]  # one row — O(#columns) driver data
+        out = [
+            (
+                f.name,
+                f.dataType.simpleString(),
+                row[f"{f.name}__min"],
+                row[f"{f.name}__max"],
+                row[f"{f.name}__distinct"],
+                row[f"{f.name}__nulls"],
+                row[f"{f.name}__count"],
+            )
+            for f in tbl.meta.schema.fields
+        ]
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, column_type string, min string, max string, "
+            "n_distinct long, null_count long, count long",
+        )
 
     _COPY_OPTS_RE = re.compile(r"\(\s*(?P<opts>[^)]*)\)\s*$")
 

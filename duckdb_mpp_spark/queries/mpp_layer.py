@@ -400,6 +400,53 @@ register(
 )
 
 
+def _summarize_frontdoor(spark, sf_dir):
+    """DuckDB's SUMMARIZE through the front door — exact-stat variant (true
+    distinct counts instead of approx_unique, so the oracle can state the
+    identical rows). Gate table carries int/string/timestamp columns only:
+    double→string rendering differs between engines, and the point here is
+    the statement surface + one-pass aggregation, not float formatting."""
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    tbl = mpp.create_distributed_table("orders_sm", orders.schema, "o_custkey", 8)
+    tbl.insert(orders)
+    return mpp.sql("SUMMARIZE orders_sm")
+
+
+register(
+    "mpp_summarize",
+    Query(
+        spark=_summarize_frontdoor,
+        oracle="""
+        SELECT 'o_orderkey' AS column_name, 'bigint' AS column_type,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               COUNT(*) - COUNT(o_orderkey) AS null_count,
+               COUNT(*) AS count
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', 'bigint',
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+               COUNT(DISTINCT o_custkey), COUNT(*) - COUNT(o_custkey), COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', 'string',
+               MIN(o_orderstatus), MAX(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus), COUNT(*) - COUNT(o_orderstatus), COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', 'timestamp_ntz',
+               CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR),
+               COUNT(DISTINCT o_orderdate), COUNT(*) - COUNT(o_orderdate), COUNT(*)
+        FROM orders
+        """,
+    ),
+)
+
+
 def _qualify_frontdoor(spark, sf_dir):
     """DuckDB's QUALIFY clause (window filter) through the SQL front door —
     the engine rewrites it to a hoisted window column + WHERE
