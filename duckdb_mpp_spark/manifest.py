@@ -168,10 +168,15 @@ def commit(table_path: str, files: dict[str, dict], base_version: int) -> int:
         raise CommitConflict(
             f"snapshot head is v{head}, commit based on v{base_version}"
         )
+    import uuid
+
     cdir = _commits_path(table_path)
     os.makedirs(cdir, exist_ok=True)
     new_version = base_version + 1
-    tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{new_version}")
+    # tmp name unique per ATTEMPT (not per pid+version): two same-process
+    # writers racing one version must not overwrite each other's staged
+    # content before the link — the loser must lose with ITS OWN file intact
+    tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(files, f)
         f.flush()

@@ -114,3 +114,46 @@ def test_manifest_load_version_missing(mpp):
     tbl = mpp.create_distributed_table("mv", "k INT", "k", 2)
     with pytest.raises(ValueError, match="no snapshot v9"):
         manifest.load_version(tbl.path, 9)
+
+
+def test_upsert_null_keys_append(spark, mpp):
+    """NULL never equals NULL in a join, so NULL-key input rows APPEND
+    rather than replace — the standard SQL MERGE matching semantics,
+    documented here so the behavior is a contract, not an accident."""
+    tbl = mpp.create_distributed_table("nk", "k INT, grp INT", "grp", 2)
+    tbl.insert(spark.createDataFrame([(None, None), (1, 1)], "k INT, grp INT"))
+    dml.upsert(
+        tbl, spark.createDataFrame([(None, None)], "k INT, grp INT"), ["grp", "k"]
+    )
+    vals = sorted((r[0] or -1) for r in rows(tbl.scan()))
+    assert vals == [-1, -1, 1]  # NULL-key row appended, not replaced
+
+
+def test_concurrent_commits_race_one_winner(mpp):
+    """Two writers publishing against the same base: the conditional-put
+    must let exactly one claim each version — no lost updates, no torn
+    state. (Threads share the commit directory like two drivers sharing an
+    object-store prefix.)"""
+    import threading
+
+    tbl = mpp.create_distributed_table("race", "k INT", "k", 2)
+    base = manifest.current_version(tbl.path)
+    results = []
+
+    def attempt(tag):
+        try:
+            v = manifest.commit(tbl.path, {tag: {"rows": 1, "min": None, "max": None}}, base)
+            results.append(("ok", tag, v))
+        except manifest.CommitConflict:
+            results.append(("conflict", tag, None))
+
+    ts = [threading.Thread(target=attempt, args=(f"__bucket=0/f{i}.parquet",)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    winners = [r for r in results if r[0] == "ok"]
+    assert len(winners) == 1  # exactly one writer claimed v(base+1)
+    assert manifest.current_version(tbl.path) == base + 1
+    # the committed snapshot is exactly the winner's content
+    assert set(manifest.load_version(tbl.path, base + 1)) == {winners[0][1]}
