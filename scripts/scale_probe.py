@@ -164,8 +164,10 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
     run("dedup_lsh_pairs", lambda: lsh_candidate_pairs(minhash_bands(docs)))
     run(
         "dedup_jaccard",
+        # 64-bit gram keys into the verify joins, mirroring the gate query
         lambda: jaccard_verify(
-            shingles(docs), lsh_candidate_pairs(minhash_bands(docs))
+            shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh")),
+            lsh_candidate_pairs(minhash_bands(docs)),
         ).where(F.col("jaccard") >= 0.5),
     )
     from duckdb_mpp_spark.operators.graph import triangle_counts

@@ -139,8 +139,10 @@ def test_concurrent_commits_race_one_winner(mpp):
     tbl = mpp.create_distributed_table("race", "k INT", "k", 2)
     base = manifest.current_version(tbl.path)
     results = []
+    gate = threading.Barrier(4)  # maximize overlap inside commit()
 
     def attempt(tag):
+        gate.wait()
         try:
             v = manifest.commit(tbl.path, {tag: {"rows": 1, "min": None, "max": None}}, base)
             results.append(("ok", tag, v))
