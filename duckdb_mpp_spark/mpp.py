@@ -454,6 +454,24 @@ class MppSession:
                 [(n,) for n in names], T.StructType([T.StructField("name", T.StringType(), False)])
             )
 
+        # DESCRIBE HISTORY t — the commit log as rows (Delta-style), one per
+        # retained snapshot; feeds `VERSION AS OF` version discovery.
+        hm = re.match(
+            r"^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(?P<name>[\w.\"]+)\s*$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if hm and self.catalog.exists(_ident(hm.group("name"))):
+            name = _ident(hm.group("name"))
+            if self.catalog.get(name).colocated:
+                raise NotImplementedError(
+                    "DESCRIBE HISTORY is not supported on COLOCATED tables"
+                )
+            return self.spark.createDataFrame(
+                self.table(name).history(),
+                "version long, n_files long, n_rows long",
+            )
+
         dm = re.match(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?P<name>[\w.\"]+)\s*$", stripped, re.IGNORECASE)
         if dm and self.catalog.exists(_ident(dm.group("name"))):
             return self._describe(_ident(dm.group("name")))

@@ -159,3 +159,11 @@ def test_concurrent_commits_race_one_winner(mpp):
     assert manifest.current_version(tbl.path) == base + 1
     # the committed snapshot is exactly the winner's content
     assert set(manifest.load_version(tbl.path, base + 1)) == {winners[0][1]}
+
+
+def test_describe_history_sql(spark, mpp):
+    mpp.sql("CREATE TABLE dh(k INT, grp INT) PARTITION BY (grp) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO dh VALUES (1, 1)")
+    mpp.sql("INSERT INTO dh VALUES (2, 2), (3, 3)")
+    got = [tuple(r) for r in mpp.sql("DESCRIBE HISTORY dh").orderBy("version").collect()]
+    assert [(v, n) for v, _f, n in got] == [(1, 1), (2, 3)]
