@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_tfidf_keywords",
     "graph_triangle_count",
+    "pipeline_global_shuffle",
     # streaming runtime
     "streaming_hourly_agg",
 ]
