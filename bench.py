@@ -193,9 +193,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        materialize(run_spark_query(name, spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # min-of-2 timed reps: run-to-run variance on a shared box is ±30%;
+        # the minimum is the steady-state cost a scheduler would see
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(run_spark_query(name, spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     if not extra:
         bench_mpp_split(timings)
 
