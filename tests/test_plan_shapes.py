@@ -175,3 +175,26 @@ def test_dynamic_partition_pruning_on_partitioned_source(spark, tmp_path):
     )
     p = plan_text(joined)
     assert "dynamicpruning" in p.lower(), p
+
+
+@pytest.mark.parametrize(
+    # (query, max explodes, max corpus scans) — tfidf keeps a second scan,
+    # but it is the projection-pruned 1-row corpus COUNT, not a re-explode
+    "name,gen_limit,scan_limit",
+    [
+        ("dedup_substring_spans", 1, 1),
+        ("text_tfidf_keywords", 1, 2),
+        ("dedup_exact", 0, 1),
+    ],
+)
+def test_single_pipeline_no_duplicate_subtree(spark, name, gen_limit, scan_limit):
+    """The r3 window rewrites must stay single-pipeline: document-frequency
+    via COUNT over a window, never a groupBy + self-join that makes Spark
+    evaluate the tokenize/explode subtree once per join branch (measured
+    2-5x at sf0.1). Guard = the physical plan explodes the corpus at most
+    once and never re-scans it beyond the declared metadata passes."""
+    p = plan_text(run_spark_query(name, spark, SF_DIR))
+    # ") Generate" = the formatted plan's node-detail header (each node
+    # renders twice: once in the tree, once in the detail section)
+    assert p.count(") Generate") <= gen_limit, p
+    assert p.count("documents.parquet") <= scan_limit, p
