@@ -26,7 +26,7 @@ def _df(spark, rows):
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23, 91])
+@pytest.mark.parametrize("seed", [7, 23, 91, 137, 404])
 def test_random_op_sequence_matches_model(spark, mpp, seed):
     rng = random.Random(seed)
     tbl = mpp.create_distributed_table(
