@@ -480,7 +480,12 @@ _register()
 # k-means coarse quantizer (real IVF training, iterative DataFrame ops)
 # ---------------------------------------------------------------------------
 
-def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    inertia_log: list | None = None,
+) -> DataFrame:
     """Lloyd's k-means over the embedding column, pure DataFrame ops.
 
     Per iteration: broadcast the k centroids, assign each vector to its
@@ -507,6 +512,15 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     centroids = init.localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _assign(emb, centroids)
+        if inertia_log is not None:
+            # J(assign_t, centroids_t) — one scalar per iteration, used by
+            # the gate's Lloyd-monotonicity invariant. The assignment is
+            # checkpointed so the inertia read and the centroid update share
+            # one evaluation instead of re-running the broadcast argmin.
+            assigned = assigned.localCheckpoint(eager=True)
+            inertia_log.append(
+                assigned.agg(F.sum("d2")).collect()[0][0] or 0.0
+            )
         centroids = (
             assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
@@ -540,22 +554,65 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def _register_kmeans():
     def ivf_kmeans_fn(spark, sf_dir):
+        """Gate: iterative float means are not SQL-oracle-expressible
+        bit-exactly, so the gate emits what IS exact — the corpus row count
+        (oracle: COUNT(*)) plus Lloyd's-algorithm invariants as booleans,
+        which the DuckDB oracle states as literal TRUE rows:
+
+        - every vector assigned to exactly one cluster,
+        - at most k clusters in use,
+        - all per-assignment inertia non-negative,
+        - inertia monotone non-increasing across iterations (Lloyd's
+          guarantee, with a small epsilon absorbing the 6-decimal centroid
+          rounding).
+
+        The estimators themselves are unchanged; tests/test_kmeans.py keeps
+        the tighter per-seed algebraic contracts. The handful of collect()s
+        here are 1-row/k-row convergence scalars (documented engine
+        convention), never data-sized."""
         emb = load_table(spark, sf_dir, "embeddings")
-        centroids = kmeans_fit(emb, k=8, iters=3)
-        assigned = _assign(emb, centroids)
-        return (
-            assigned.groupBy("cluster_id")
-            .agg(
-                F.count("*").alias("n_members"),
-                F.sum(F.round("d2", 6).cast("decimal(18,6)")).cast("double").alias("inertia"),
-            )
-            .orderBy("cluster_id")
+        log: list = []
+        centroids = kmeans_fit(emb, k=8, iters=3, inertia_log=log)
+        final = (
+            _assign(emb, centroids)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n"), F.sum("d2").alias("inertia"))
+            .collect()
+        )
+        n_vectors = emb.count()
+        n_assigned = sum(r["n"] for r in final)
+        final_inertia = sum(r["inertia"] for r in final)
+        seq = log + [final_inertia]
+        monotone = all(
+            seq[i] * (1 + 1e-9) + 1e-2 >= seq[i + 1] for i in range(len(seq) - 1)
+        )
+        row = (
+            n_vectors,
+            n_assigned == n_vectors,
+            len(final) <= 8,
+            all(r["inertia"] >= 0 for r in final) and all(v >= 0 for v in seq),
+            monotone,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_vectors bigint, all_assigned boolean, k_ok boolean, "
+            "inertia_nonneg boolean, inertia_monotone boolean",
         )
 
-    # iterative float means are not SQL-oracle-expressible bit-exactly;
-    # the driver records the (weaker) rows-only check, and
-    # tests/test_kmeans.py asserts the algebraic invariants instead.
-    register("ann_ivf_kmeans", Query(spark=ivf_kmeans_fn, oracle=None))
+    register(
+        "ann_ivf_kmeans",
+        Query(
+            spark=ivf_kmeans_fn,
+            oracle="""
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                       TRUE AS all_assigned,
+                       TRUE AS k_ok,
+                       TRUE AS inertia_nonneg,
+                       TRUE AS inertia_monotone
+                FROM embeddings
+            """,
+        ),
+    )
 
 
 _register_kmeans()

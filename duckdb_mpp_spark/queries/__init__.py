@@ -77,11 +77,11 @@ def _ensure_loaded() -> None:
 
 # Driver-verification bookkeeping.  The driver checks the first ~50 entries
 # of queries() per round, so ordering IS the verification schedule:
-#   tier 0 — never driver-checked, batch (cheap, new information per query)
-#   tier 1 — never driver-checked, streaming (wall-clock heavy micro-batches;
-#            still ahead of re-verification so they finally get rows)
-#   tier 2 — verified in round 1 only (stalest green rows → re-verify first)
-#   tier 3 — verified in round 2 (freshest; re-verified only if budget allows)
+#   tier 0 — never driver-GREEN (new queries + the two reformulated
+#            ex-no_oracle gates: they need their first green row)
+#   tier 1 — verified in round 1 only (stalest green rows → re-verify first)
+#   tier 2 — verified in round 2, not since
+#   tier 3 — verified in round 3 (freshest; re-verified only if budget allows)
 # Rotation: each round, fold the new CORRECTNESS_r{N} names into the
 # freshest tier and demote the previous round's set one tier.
 _R1_VERIFIED: frozenset[str] = frozenset(
@@ -133,34 +133,58 @@ _R2_VERIFIED: frozenset[str] = frozenset(
 )
 
 
-# Rows whose r2 check was red (oracle SUM type artifacts, fixed in e3d748e):
-# they need a fresh green row more than anything already verified, so they
-# re-verify immediately after the never-checked batch tier.
-_R2_RED: frozenset[str] = frozenset(
+# The 50 queries CORRECTNESS_r03.json recorded (mirror of that file's keys).
+_R3_VERIFIED: frozenset[str] = frozenset(
     {
-        "pipeline_train_test_split",
-        "curation_blocklist_filter",
-        "higher_order_array_fns",
+        "mpp_upsert_scan", "mpp_time_travel", "mpp_copy_roundtrip",
+        "mpp_summarize", "mpp_qualify_frontdoor", "mpp_distinct_on_frontdoor",
+        "mpp_ddl_frontdoor", "mpp_txn_rollback", "dedup_incremental",
+        "dedup_cluster_keep_best", "text_repetition_stats",
+        "text_contamination_overlap", "text_pii_redaction",
+        "pipeline_sequence_packing", "sampling_weighted_domains",
+        "sampling_stratified_exact", "pipeline_global_shuffle",
+        "graph_triangle_count", "multimodal_decode_sgm", "ann_quantized_topk",
+        "embedding_class_centroids", "ann_centroid_assign",
+        "dedup_substring_spans", "text_tfidf_keywords",
+        "pipeline_train_test_split", "curation_blocklist_filter",
+        "higher_order_array_fns", "streaming_hourly_agg",
+        "streaming_session_windows", "streaming_dedup_distinct",
+        "streaming_static_join_agg", "streaming_stateful_running_totals",
+        "streaming_stream_stream_join", "streaming_mpp_upsert",
+        "streaming_mpp_ingest", "filter_pushdown_scan", "q01_pricing_summary",
+        "q03_shipping_priority", "q04_order_priority",
+        "q05_local_supplier_volume", "q06_forecast_revenue",
+        "q07_volume_shipping", "q09_product_profit", "q10_returned_items",
+        "q12_priority_shipping", "q13_customer_distribution",
+        "q14_promo_effect", "q15_top_supplier", "q16_parts_suppliers",
+        "q17_small_quantity_revenue",
     }
+)
+
+
+# Reformulated this round from no_oracle to exact invariant rows
+# (VERDICT r3 "Next round" #2) — they have never had a green driver row,
+# so they verify ahead of everything already green.
+_NEVER_GREEN: frozenset[str] = frozenset(
+    {"ann_ivf_kmeans", "sketch_approx_stats"}
 )
 
 
 def _registry_names_prioritized() -> list[str]:
     """Registry names in driver-check priority order (see tier comment
-    above): never-verified batch first, previously-red rows next (their
-    oracle fixes need a green row this round), never-verified streaming,
-    then the stalest verified slice (r1-only) for re-verification, then the
-    freshest (r2)."""
+    above): never-green first (new queries + the reformulated ex-no_oracle
+    gates), then the stalest verified slice (r1-only — the core SQL
+    surface), then r2-only, then the freshest (r3)."""
 
     def prio(n: str) -> int:
-        if n in _R2_RED:
-            return 1
-        if n in _R2_VERIFIED:
-            return 4
-        if n in _R1_VERIFIED:
+        if n in _NEVER_GREEN:
+            return 0
+        if n in _R3_VERIFIED:
             return 3
-        if n.startswith("streaming_"):
+        if n in _R2_VERIFIED:
             return 2
+        if n in _R1_VERIFIED:
+            return 1
         return 0  # never driver-checked (incl. queries new this round)
 
     return sorted(REGISTRY, key=prio)  # stable: registry order within tiers

@@ -310,34 +310,50 @@ register(
 )
 
 
-# Sketch surface: HyperLogLog++ distinct counts and t-digest-style quantile
+# Sketch surface: HyperLogLog++ distinct counts and quantile-summary
 # estimates. At 100 TB these replace exact DISTINCT/percentile shuffles with
 # constant-size mergeable state per group (HLL registers / quantile
 # summaries) — merge is max/merge-based, so results are partitioning- and
-# order-independent (deterministic), but they are estimates: no cross-engine
-# oracle exists (DuckDB's approx sketches differ), so this is a rows-only
-# gate entry and tests/test_sketches.py asserts error bounds vs the exact
-# answers instead.
-def _sketch_fn(spark, sf_dir):
-    # callable (not shared-dialect text) so oracle_sql() is genuinely None:
-    # DuckDB has no matching sketch functions and estimates would not
-    # hash-match anyway — the driver records the rows-only check, and
-    # tests/test_sketches.py holds the estimates to explicit error bounds.
-    from duckdb_mpp_spark.sources import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT event_type,
-               approx_count_distinct(user_id) AS approx_users,
-               CAST(approx_percentile(value, 0.5) AS DOUBLE) AS approx_p50,
-               CAST(approx_percentile(value, 0.99) AS DOUBLE) AS approx_p99
-        FROM events
-        GROUP BY event_type
-        ORDER BY event_type
-    """)
-
-
-register("sketch_approx_stats", Query(spark=_sketch_fn, oracle=None))
+# order-independent (deterministic). Raw estimates have no cross-engine
+# oracle (DuckDB's sketches differ bit-wise), so the GATE emits what IS
+# exactly oracle-expressible: the exact distinct count per group plus
+# per-sketch accuracy verdicts as booleans — Spark checks each estimate
+# against the exact answer computed in the same query, DuckDB states the
+# expected verdicts as literal TRUE. Both engines' sketches are
+# deterministic functions of the data, so the verdicts are stable rows,
+# not flaky assertions. tests/test_sketches.py keeps the tighter
+# error-bound contracts.
+register(
+    "sketch_approx_stats",
+    Query(
+        spark="""
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   (abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                      <= greatest(CAST(COUNT(DISTINCT user_id) * 0.05 AS BIGINT), 10))
+                     AS users_ok,
+                   (CAST(approx_percentile(value, 0.5) AS DOUBLE)
+                      BETWEEN percentile(value, 0.40) AND percentile(value, 0.60))
+                     AS p50_ok,
+                   (CAST(approx_percentile(value, 0.99) AS DOUBLE)
+                      BETWEEN percentile(value, 0.95) AND CAST(MAX(value) AS DOUBLE))
+                     AS p99_ok
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        oracle="""
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS users_ok,
+                   TRUE AS p50_ok,
+                   TRUE AS p99_ok
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+    ),
+)
 
 
 # Regular-grid resampling with forward fill — the time-series alignment
