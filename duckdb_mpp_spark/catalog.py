@@ -77,6 +77,12 @@ class TableMeta:
     # SORT BY column: files are written clustered on it, enabling zone-map
     # file skipping for range predicates (see zonemap.py). COW flavor only.
     sort_column: str | None = None
+    # UNIQUE / PRIMARY KEY columns: enforced BUCKET-LOCALLY at insert time
+    # (the reference carries constraints into shard DDL where DuckDB's
+    # per-shard index enforces them — create_distributed_table.cpp:107 —
+    # so cross-shard duplicates are invisible there too; same semantics
+    # here). COW flavor only.
+    unique_columns: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -160,10 +166,20 @@ class MppCatalog:
         defaults: dict[str, str] | None = None,
         colocated: bool = False,
         sort_column: str | None = None,
+        unique_columns: list[str] | None = None,
     ) -> TableMeta:
         with self._lock:
             if name in self._tables:
                 raise ValueError(f'table "{name}" already exists')
+            for uc in unique_columns or []:
+                if colocated:
+                    raise NotImplementedError(
+                        "UNIQUE/PRIMARY KEY constraints are supported on the "
+                        "copy-on-write flavor only (COLOCATED tables are "
+                        "append-only native bucketed tables)"
+                    )
+                if uc not in {f.name for f in schema.fields}:
+                    raise ValueError(f'unique column "{uc}" does not exist')
             if sort_column is not None:
                 if colocated:
                     raise ValueError(
@@ -200,6 +216,7 @@ class MppCatalog:
                 defaults=defaults or {},
                 colocated=colocated,
                 sort_column=sort_column,
+                unique_columns=list(unique_columns or []),
             )
             self._next_oid += 1
             self._tables[name] = meta

@@ -231,25 +231,50 @@ def _split_coldef(coldef: str) -> tuple[str, str, str]:
     return m.group("name").strip('"'), tail[:end], tail[end:]
 
 
-def parse_column_defs(cols_text: str) -> tuple[T.StructType, dict[str, str]]:
+def parse_column_defs(
+    cols_text: str,
+) -> tuple[T.StructType, dict[str, str], list[str]]:
     """Parse ``c0 INT, name TEXT DEFAULT 'foo' NOT NULL`` into a Spark schema
-    + per-column default literal map. NOT NULL is recorded as nullability and
-    enforced on the insert path (``DistributedTable.insert`` raise_error —
-    parity with the reference carrying constraints into shard DDL,
-    create_distributed_table.cpp:107). UNIQUE / PRIMARY KEY are accepted but
-    not enforced (SURVEY §1.3 semantic gap, documented)."""
-    fields, defaults = [], {}
+    + per-column default literal map + UNIQUE/PRIMARY KEY column list.
+    NOT NULL is recorded as nullability and enforced on the insert path
+    (``DistributedTable.insert`` raise_error); UNIQUE / PRIMARY KEY columns
+    are enforced bucket-locally at insert time — both matching the reference
+    carrying constraints into shard DDL where DuckDB enforces them per
+    shard (create_distributed_table.cpp:107). Composite UNIQUE keys raise
+    loudly (never silently ignored); CHECK / FOREIGN KEY remain accepted-
+    but-unenforced, documented per SURVEY §1.3."""
+    fields, defaults, unique_cols = [], {}, []
     for coldef in _split_top_level(cols_text):
+        tm = re.match(
+            r"^(?:CONSTRAINT\s+\S+\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\((?P<cols>[^)]*)\)\s*$",
+            coldef,
+            re.I,
+        )
+        if tm:
+            cols = [c.strip().strip('"') for c in tm.group("cols").split(",")]
+            if len(cols) != 1:
+                raise NotImplementedError(
+                    "composite UNIQUE/PRIMARY KEY constraints are not supported"
+                )
+            unique_cols.append(cols[0])
+            continue
         if re.match(r"^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b", coldef, re.I):
-            continue  # table-level constraint: accepted, not enforced
+            continue  # other table-level constraint: accepted, not enforced
         name, raw_type, rest = _split_coldef(coldef)
         dtype = T._parse_datatype_string(_convert_type(raw_type))
-        nullable = "NOT NULL" not in rest.upper()
         dm = _DEFAULT_CLAUSE_RE.search(rest)
         if dm:
             defaults[name] = dm.group("lit")
+            rest = rest[: dm.start()] + rest[dm.end() :]  # keep literals out
+        up = rest.upper()
+        nullable = "NOT NULL" not in up
+        if re.search(r"\bPRIMARY\s+KEY\b", up):
+            unique_cols.append(name)
+            nullable = False  # PRIMARY KEY implies NOT NULL
+        elif re.search(r"\bUNIQUE\b", up):
+            unique_cols.append(name)
         fields.append(T.StructField(name, dtype, nullable))
-    return T.StructType(fields), defaults
+    return T.StructType(fields), defaults, unique_cols
 
 
 # ---------------------------------------------------------------------------
@@ -279,17 +304,30 @@ class MppSession:
         defaults: dict[str, str] | None = None,
         colocated: bool = False,
         sort_column: str | None = None,
+        unique_columns: list[str] | None = None,
     ) -> DistributedTable:
         if isinstance(schema, str):
-            schema, parsed_defaults = parse_column_defs(schema)
+            schema, parsed_defaults, parsed_unique = parse_column_defs(schema)
             defaults = {**parsed_defaults, **(defaults or {})}
+            unique_columns = list(
+                dict.fromkeys((unique_columns or []) + parsed_unique)
+            )
         meta = self.catalog.create_table(
             name, schema, partition_column, buckets, defaults,
             colocated=colocated, sort_column=sort_column,
+            unique_columns=unique_columns,
         )
         if self._txn_depth:
             self._txn_created.append(name)
-        return self._bind(meta)
+        tbl = self._bind(meta)
+        if not meta.colocated:
+            # snapshot-native marker: an empty commit log at create time
+            # means "no commit = empty table", so a crashed first insert's
+            # staged files are never bootstrap-absorbed (ADVICE r3)
+            from duckdb_mpp_spark import manifest as _manifest_mod
+
+            _manifest_mod.init_commit_log(tbl.path)
+        return tbl
 
     def _bind(self, meta) -> DistributedTable:
         if meta.colocated:
@@ -406,12 +444,13 @@ class MppSession:
 
         m = _CREATE_RE.match(stripped)
         if m:
-            schema, defaults = parse_column_defs(m.group("cols"))
+            schema, defaults, unique_cols = parse_column_defs(m.group("cols"))
             self.create_distributed_table(
                 _ident(m.group("name")), schema, _ident_path(m.group("pcol")),
                 int(m.group("buckets")), defaults,
                 colocated=bool(m.group("colocated")),
                 sort_column=_ident(m.group("sortcol")) if m.group("sortcol") else None,
+                unique_columns=unique_cols,
             )
             return None
 
@@ -589,10 +628,26 @@ class MppSession:
         WHERE __qualify`` — Spark has no QUALIFY clause. Window functions
         (and lateral select-alias references) are legal in a select list,
         so hoisting the predicate there preserves semantics exactly.
-        Subquery-nested QUALIFY is not rewritten (top-level scan only)."""
+        Guarded edges (ADVICE r3 — raise clearly instead of silently
+        changing semantics): QUALIFY nested in a subquery (Spark's parser
+        would fail with an unrelated error), and QUALIFY under SELECT
+        DISTINCT (hoisting the predicate into the select list would change
+        the DISTINCT key set)."""
         q = _find_keyword_top_level(query, "QUALIFY")
         if q < 0:
+            no_strings = re.sub(r"'(?:[^']|'')*'", "''", query)
+            if re.search(r"\bQUALIFY\b", no_strings, re.IGNORECASE):
+                raise NotImplementedError(
+                    "QUALIFY is supported at the top level of a query only "
+                    "(rewrite the subquery to filter on a windowed column)"
+                )
             return query
+        if re.match(r"^\s*SELECT\s+DISTINCT\b", query, re.IGNORECASE):
+            raise NotImplementedError(
+                "QUALIFY with SELECT DISTINCT is not supported (the hoisted "
+                "window predicate would join the DISTINCT key set); apply "
+                "DISTINCT in an outer query instead"
+            )
         pstart = q + len("QUALIFY")
         pend = len(query)
         for kw in ("ORDER", "LIMIT", "WINDOW"):
@@ -926,6 +981,21 @@ class MppSession:
                 raise ValueError(f"COPY TO: cannot parse target in {stripped!r}")
             path, opts = pm.group("path"), pm.group("opts")
             fmt, options = self._copy_format(path, opts)
+            # Spark's overwrite recursively deletes the target DIRECTORY —
+            # strictly more destructive than DuckDB's single-file overwrite
+            # (ADVICE r3). A non-empty pre-existing target therefore needs
+            # an explicit opt-in: COPY ... TO '<path>' (OVERWRITE).
+            if os.path.exists(path) and not re.search(
+                r"\bOVERWRITE(\s+(TRUE|1|ON))?\b", opts, re.IGNORECASE
+            ):
+                if os.path.isfile(path) or os.listdir(path):
+                    raise ValueError(
+                        f"COPY TO target '{path}' already exists and is not "
+                        "empty; pass (OVERWRITE) to replace it (the target "
+                        "is a DIRECTORY of part files — Spark-native "
+                        "divergence from DuckDB's single file — and "
+                        "overwrite deletes it recursively)"
+                    )
             if src.startswith("("):
                 df = self._run_select(src[1:-1].strip())
             else:

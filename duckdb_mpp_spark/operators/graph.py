@@ -9,15 +9,18 @@ borderline matches (triangle-free), which curation pipelines treat very
 differently.
 
 Spark-first shape: the classic two-join triangle enumeration over an
-oriented edge list. Edges are oriented a<b (each undirected edge stored
-once), so every triangle {x,y,z} with x<y<z is found exactly once as
-(x,y),(y,z),(x,z) — no post-hoc dedup of 6 permutations. Both joins are
-equi-joins on node keys (key-partitioned shuffles; never a cartesian).
-At 100 TB scale the textbook refinement is degree-ordering instead of
-id-ordering (orient each edge low-degree → high-degree, bounding join
-fan-out by arboricity); id-ordering keeps the oracle exactly portable
-and the join shape identical, and the LSH graph is band-bounded sparse
-by construction.
+acyclically oriented edge list. Edges are oriented **low-degree →
+high-degree** (tiebreak id) — the textbook refinement that bounds each
+node's out-degree (and therefore the first join's fan-out) by O(√m)
+regardless of how hot any single node is, so one viral near-duplicate
+hub can never generate d² join rows (VERDICT r3 "What's wrong" #3).
+Any total order makes the orientation acyclic, so every triangle
+{x,y,z} is found exactly once as (x→y),(x→z),(y→z) in degree order —
+no post-hoc dedup of 6 permutations. Both joins are equi-joins on node
+keys (key-partitioned shuffles; never a cartesian). The final
+projection re-derives the id-sorted (a < b < c) triple, so results are
+identical to the id-oriented formulation and the DuckDB oracle is
+unchanged.
 
 Everything is integer arithmetic — exact DuckDB oracle, no float drift.
 """
@@ -38,15 +41,41 @@ TOP_NODES = 20
 
 
 def triangles(edges: DataFrame) -> DataFrame:
-    """All triangles (a < b < c) in an oriented edge list (doc_a < doc_b).
+    """All triangles (a < b < c by id) in an undirected edge list stored
+    once per edge as (doc_a < doc_b).
 
-    ``edges`` feeds three join legs; callers should pass a materialized
-    frame (the LSH pair builder already localCheckpoints) so the corpus
-    pipeline isn't recomputed per leg."""
-    ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+    Degree-ordered two-join: re-orient every edge from its lower-degree
+    endpoint to its higher-degree one (tiebreak id), materialize the
+    oriented list, then self-join twice. Out-degree under this orientation
+    is bounded by O(√m), so the (u) join leg's fan-out is arboricity-
+    bounded — hot hubs cost O(m^1.5) total, never d² per hub. ``edges``
+    feeds the degree count plus three join legs; callers should pass a
+    materialized frame (the LSH pair builder already localCheckpoints) so
+    the corpus pipeline isn't recomputed per leg."""
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keyed = edges.join(
+        deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("_da")), "doc_a"
+    ).join(
+        deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("_db")), "doc_b"
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+    ).localCheckpoint(eager=False)  # three legs share one evaluation
+    uv = oriented.select("u", "v")
+    vw = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    uw = oriented.select("u", F.col("v").alias("w"))
+    tri = uv.join(vw, "v").join(uw, ["u", "w"])
+    srt = F.array_sort(F.array("u", "v", "w"))
+    return tri.select(srt[0].alias("a"), srt[1].alias("b"), srt[2].alias("c"))
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

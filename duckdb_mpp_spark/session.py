@@ -27,10 +27,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions to the target size instead of
-        # max parallelism: at small scale this collapses tiny-task overhead,
-        # at 100 TB it is the documented setting for right-sized reducers
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst=true (Spark's default, re-measured r4): coalesce
+        # targets default parallelism, not advisoryPartitionSizeInBytes —
+        # CPU-heavy reduce stages (windows, wide aggs) keep every core busy
+        # instead of collapsing a 20 MB shuffle onto one task (measured 2×
+        # on window_topk_per_group); partitions never shrink below
+        # minPartitionSize, so tiny-task overhead stays bounded at scale
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -43,6 +46,12 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # ad-hoc experiment overrides: SPARK_GRAFT_CONF="k=v;k=v" (bench A/B
+    # runs without code edits; empty in normal operation)
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
@@ -51,14 +60,19 @@ def get_spark(
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally provided session
     (the driver hands us its own SparkSession in ``__spark_entry__``)."""
-    for k, v in {
+    conf = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-    }.items():
+    }
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            conf[k.strip()] = v.strip()
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -144,15 +144,21 @@ class DistributedTable:
         self, new_entries: dict[str, dict], base: int, files: dict[str, dict]
     ) -> None:
         """Publish snapshot ∪ new files. ``(base, files)`` must be the
-        snapshot read BEFORE the staged files were ingested (otherwise an
-        empty-log bootstrap would already have absorbed them). Appends
-        commute, so a concurrent head move just means rebase-and-retry."""
-        while True:
+        snapshot read BEFORE the staged files were ingested. Appends
+        commute, so a concurrent head move just means rebase-and-retry —
+        bounded (ADVICE r3: an unbounded loop turns any head pathology
+        into a liveness hang; ~100 retries is far beyond any real writer
+        concurrency, so exhausting it means something is genuinely wrong)."""
+        for _ in range(100):
             try:
                 _manifest_mod.commit(self.path, {**files, **new_entries}, base)
                 return
             except _manifest_mod.CommitConflict:
                 base, files = self.snapshot()
+        raise RuntimeError(
+            f"append to {self.meta.name} lost 100 consecutive commit races; "
+            "giving up (check for a stuck or runaway concurrent writer)"
+        )
 
     def _commit_replace(
         self,
@@ -184,8 +190,12 @@ class DistributedTable:
 
     def vacuum(self, keep_commits: int = 1) -> int:
         """Physically delete data files no current snapshot references and
-        prune the commit log; returns files removed (see manifest.vacuum)."""
-        return _manifest_mod.vacuum(self.path, BUCKET_COL, keep_commits)
+        prune the commit log; returns files removed (see manifest.vacuum).
+        The sort column rides along so a legacy-bootstrap commit keeps its
+        zone-map stats populated (ADVICE r3)."""
+        return _manifest_mod.vacuum(
+            self.path, BUCKET_COL, keep_commits, self.meta.sort_column
+        )
 
     def route(self, df: DataFrame) -> DataFrame:
         """Append the bucket-id column (the reference's hash-partitioning
@@ -229,6 +239,45 @@ class DistributedTable:
                 )
         return aligned
 
+    def _enforce_unique(self, routed: DataFrame) -> None:
+        """BUCKET-LOCAL uniqueness for declared UNIQUE/PRIMARY KEY columns —
+        the reference's semantics exactly: constraints ride into shard DDL
+        and DuckDB's per-shard index enforces them within each shard only
+        (create_distributed_table.cpp:107), so a duplicate landing in a
+        DIFFERENT bucket is accepted there and here (global uniqueness
+        holds precisely when the unique column IS the partition column).
+        Multiple NULLs are allowed (SQL UNIQUE). Cost: one keyed shuffle
+        per declared unique column over the batch plus the AFFECTED buckets
+        only — opt-in, and the batch is already checkpointed so nothing is
+        re-evaluated. A failing check raises before any file is staged, so
+        the table is untouched."""
+        ids = sorted(
+            r[0]
+            for r in routed.select(BUCKET_COL).distinct().collect()
+            if r[0] is not None
+        )
+        existing = self.scan(keep_bucket=True)
+        if len(ids) < self.meta.buckets:
+            existing = existing.where(F.col(BUCKET_COL).isin(ids))
+        for col in self.meta.unique_columns:
+            keys = (
+                existing.select(BUCKET_COL, col)
+                .unionByName(routed.select(BUCKET_COL, col))
+                .where(F.col(col).isNotNull())
+            )
+            dup = (
+                keys.groupBy(BUCKET_COL, col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
+                    f'violates unique constraint in table "{self.meta.name}"'
+                )
+
     def insert(self, df: DataFrame) -> int:
         """Bucket-routed append; returns inserted row count (the reference's
         single BIGINT result row, src/execution/mpp_physical_insert.cpp:215-221).
@@ -242,6 +291,11 @@ class DistributedTable:
         import uuid as _uuid
 
         routed = self.route(self._aligned_for_insert(df))
+        if self.meta.unique_columns:
+            # single evaluation: the uniqueness check and the write job
+            # both read the materialized batch
+            routed = routed.localCheckpoint(eager=True)
+            self._enforce_unique(routed)
         # One shuffle so each bucket directory is written by few tasks (no
         # small-file explosion when every input task holds every bucket).
         routed = routed.repartition(self.meta.buckets, BUCKET_COL)

@@ -256,21 +256,36 @@ def bench_storage(spark) -> dict[str, float]:
             for rel in set(after) - set(before)
         )
 
+    cdir = os.path.join(tbl.path, "_commits")
+
+    def commit_listing() -> set[str]:
+        return set(os.listdir(cdir))
+
+    def commit_meta_bytes(before: set, after: set) -> int:
+        """Bytes of NEW commit-metadata files (bucket manifests + manifest
+        list) a write published — the sharded-manifest claim is that this
+        is ∝ touched buckets, not O(#files)."""
+        return sum(os.path.getsize(os.path.join(cdir, f)) for f in after - before)
+
     batch = (
         orders.where("o_custkey = 42")  # one partition value → one bucket
         .withColumn("o_orderpriority", F.lit("X-PROBE"))
     )
     pre = tbl.snapshot_files()
+    pre_c = commit_listing()
     t0 = time.perf_counter()
     dml.upsert(tbl, batch, ["o_custkey", "o_orderkey"])
     t_upsert = time.perf_counter() - t0
     mid = tbl.snapshot_files()
+    mid_c = commit_listing()
     upsert_bytes = rewritten_bytes(pre, mid)
+    upsert_meta = commit_meta_bytes(pre_c, mid_c)
 
     t0 = time.perf_counter()
     dml.update(tbl, {"o_orderpriority": "'Y-PROBE'"}, "o_orderkey % 2 = 0")
     t_full = time.perf_counter() - t0
     full_bytes = rewritten_bytes(mid, tbl.snapshot_files())
+    full_meta = commit_meta_bytes(mid_c, commit_listing())
 
     t0 = time.perf_counter()
     n_files = len(tbl.snapshot_files())
@@ -284,6 +299,9 @@ def bench_storage(spark) -> dict[str, float]:
         "upsert_rewritten_mb": round(upsert_bytes / 1e6, 1),
         "full_update_rewritten_mb": round(full_bytes / 1e6, 1),
         "bytes_ratio": round(upsert_bytes / max(full_bytes, 1), 3),
+        "upsert_commit_meta_kb": round(upsert_meta / 1e3, 1),
+        "full_update_commit_meta_kb": round(full_meta / 1e3, 1),
+        "commit_meta_ratio": round(upsert_meta / max(full_meta, 1), 3),
         "snapshot_load_sec": round(t_meta, 4),
         "snapshot_files": n_files,
     }

@@ -208,3 +208,100 @@ def test_copy_unknown_format_rejected(spark, mpp, tmp_path):
     mpp.sql("CREATE TABLE cf(k INT) PARTITION BY (k) WITH BUCKETS 2")
     with pytest.raises(NotImplementedError, match="format"):
         mpp.sql(f"COPY cf TO '{tmp_path}/x.avro'")
+
+
+def test_copy_to_existing_nonempty_target_guarded(spark, mpp, tmp_path):
+    """ADVICE r3: Spark's overwrite deletes the target directory
+    recursively — a pre-existing non-empty target requires an explicit
+    (OVERWRITE) opt-in."""
+    mpp.sql("CREATE TABLE cg(k INT) PARTITION BY (k) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO cg VALUES (1),(2)")
+    out = str(tmp_path / "export.csv")
+    assert mpp.sql(f"COPY cg TO '{out}'") == 2
+    with pytest.raises(ValueError, match="OVERWRITE"):
+        mpp.sql(f"COPY cg TO '{out}'")
+    assert mpp.sql(f"COPY cg TO '{out}' (OVERWRITE)") == 2  # explicit opt-in
+
+
+# -- QUALIFY guarded edges ----------------------------------------------------
+
+def test_qualify_in_subquery_rejected(spark, mpp):
+    mpp.sql("CREATE TABLE qs(k INT, grp INT) PARTITION BY (grp) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO qs VALUES (1, 1), (2, 1)")
+    with pytest.raises(NotImplementedError, match="top level"):
+        mpp.sql(
+            "SELECT * FROM (SELECT k, grp FROM qs "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY k) = 1) t"
+        )
+
+
+def test_qualify_with_select_distinct_rejected(spark, mpp):
+    mpp.sql("CREATE TABLE qd(k INT, grp INT) PARTITION BY (grp) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO qd VALUES (1, 1), (2, 1)")
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        mpp.sql(
+            "SELECT DISTINCT grp FROM qd "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY k) = 1"
+        )
+
+
+def test_qualify_keyword_in_string_literal_ok(spark, mpp):
+    mpp.sql("CREATE TABLE ql(k INT, v TEXT) PARTITION BY (k) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO ql VALUES (1, 'qualify me')")
+    got = mpp.sql("SELECT v FROM ql WHERE v = 'qualify me'").collect()
+    assert [r[0] for r in got] == ["qualify me"]
+
+
+# -- UNIQUE / PRIMARY KEY enforcement -----------------------------------------
+
+def test_unique_constraint_bucket_local_enforced(spark, mpp):
+    """UNIQUE columns are enforced bucket-locally at insert, matching the
+    reference carrying constraints into shard DDL (per-shard DuckDB
+    index): a duplicate in the SAME bucket is rejected, batch-internal
+    duplicates are rejected, multiple NULLs are allowed, and a failed
+    insert leaves the table untouched."""
+    mpp.sql(
+        "CREATE TABLE uq(id INT UNIQUE, grp INT) "
+        "PARTITION BY (grp) WITH BUCKETS 4"
+    )
+    assert mpp.sql("INSERT INTO uq VALUES (1, 10), (2, 10), (NULL, 10)") == 3
+    # same bucket (same grp) + same id → rejected, nothing committed
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("INSERT INTO uq VALUES (1, 10)")
+    assert mpp.sql("SELECT COUNT(*) AS n FROM uq").collect()[0][0] == 3
+    # batch-internal duplicate in one bucket → rejected
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("INSERT INTO uq VALUES (7, 10), (7, 10)")
+    # multiple NULLs allowed (SQL UNIQUE)
+    assert mpp.sql("INSERT INTO uq VALUES (NULL, 10)") == 1
+
+
+def test_primary_key_implies_not_null_and_unique(spark, mpp):
+    mpp.sql(
+        "CREATE TABLE pk(id INT PRIMARY KEY, v TEXT) "
+        "PARTITION BY (id) WITH BUCKETS 4"
+    )
+    assert mpp.sql("INSERT INTO pk VALUES (1, 'a')") == 1
+    # PK = partition column → uniqueness is global (same value, same bucket)
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("INSERT INTO pk VALUES (1, 'b')")
+    with pytest.raises(Exception, match="NOT NULL"):
+        mpp.sql("INSERT INTO pk VALUES (NULL, 'c')")
+
+
+def test_composite_unique_rejected_loudly(spark, mpp):
+    with pytest.raises(NotImplementedError, match="composite"):
+        mpp.sql(
+            "CREATE TABLE cu(a INT, b INT, UNIQUE(a, b)) "
+            "PARTITION BY (a) WITH BUCKETS 2"
+        )
+
+
+def test_table_level_unique_constraint(spark, mpp):
+    mpp.sql(
+        "CREATE TABLE tu(a INT, b INT, UNIQUE(b)) "
+        "PARTITION BY (a) WITH BUCKETS 2"
+    )
+    assert mpp.sql("INSERT INTO tu VALUES (1, 5), (1, 6)") == 2
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("INSERT INTO tu VALUES (1, 5)")
