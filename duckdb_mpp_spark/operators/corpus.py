@@ -534,3 +534,89 @@ def _register_shuffle():
 
 
 _register_shuffle()
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (RAG / pretraining context windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window chunks — the retrieval/pretraining chunking
+    primitive: chunk i covers tokens [i*stride, i*stride + size), for every
+    i with i*stride < n_tokens (so every token is covered and consecutive
+    chunks overlap by size - stride tokens).
+
+    Spark-first shape: one ``sequence`` + ``explode`` per doc (rows =
+    Σ ceil(n_i/stride), proportional to corpus tokens — the output's own
+    size, not a blow-up), chunk text via ``slice`` + ``array_join`` on the
+    already-split token array. Entirely map-side: no shuffle until a
+    downstream consumer groups or writes, so at 100 TB it chunks at scan
+    speed and inherits the scan's partitioning."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("ws"))
+    n = F.size("ws")
+    chunked = toks.select(
+        id_col,
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest((n - 1) / stride, F.lit(0)).cast("int"))
+        ).alias("chunk_id"),
+    )
+    piece = F.slice("ws", F.col("chunk_id") * stride + 1, size)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.try_element_at(piece, F.lit(1)).alias("first_token"),
+        F.try_element_at(piece, F.lit(-1)).alias("last_token"),
+        F.xxhash64(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+_CHUNK_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, ws, CAST(i AS INT) AS chunk_id,
+             list_slice(ws, i * {CHUNK_STRIDE} + 1,
+                        i * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS piece
+      FROM t, LATERAL (
+        SELECT unnest(range(0, CAST(greatest(ceil(len(ws) / {CHUNK_STRIDE}.0), 1) AS BIGINT))) AS i
+      )
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(piece) AS INT) AS n_tokens,
+           piece[1] AS first_token,
+           piece[-1] AS last_token
+    FROM c
+    ORDER BY doc_id, chunk_id
+"""
+
+
+def _register_chunking():
+    def chunk_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        # chunk_hash is engine-local (xxhash64 seed differs from DuckDB's),
+        # so the gate compares the exact chunk geometry + boundary tokens;
+        # the hash column is exercised by tests/test_corpus.py instead.
+        return (
+            chunk_documents(docs)
+            .select("doc_id", "chunk_id", "n_tokens", "first_token", "last_token")
+            .orderBy("doc_id", "chunk_id")
+        )
+
+    register("pipeline_chunk_documents", Query(spark=chunk_fn, oracle=_CHUNK_ORACLE))
+
+
+_register_chunking()

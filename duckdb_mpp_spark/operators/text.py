@@ -128,6 +128,71 @@ def _duck_stop_hits(lang: str) -> str:
     return f"len(list_filter(ws, x -> x IN ({lst})))"
 
 
+def _register_gopher():
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1 heuristics, the
+    standard pretraining quality gate): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (# and ellipsis), alphabetic-word
+    fraction, and a minimum stopword-hit count. Every statistic is an
+    INTEGER (counts; ratio rules are cross-multiplied), so the verdict
+    booleans are bit-identical across engines — no float thresholds.
+    One map-side pass over the corpus; no shuffle at all until the
+    ORDER BY, so it runs at scan speed on any corpus size."""
+
+    def spark_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        toks = tokens("text")
+        n_words = F.size(toks)
+        n_chars = F.length(F.regexp_replace(F.trim(F.col("text")), " ", ""))
+        n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+        n_ellipsis = (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+        ).cast("int")
+        n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$")))
+        stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS["en"])))
+        keep = (
+            (n_words >= 50) & (n_words <= 100000)
+            & (3 * n_words <= n_chars) & (n_chars <= 10 * n_words)
+            & (10 * (n_hash + n_ellipsis) <= n_words)
+            & (5 * n_alpha >= 4 * n_words)
+            & (stop_hits >= 2)
+        )
+        return docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_chars.alias("n_chars"),
+            n_hash.alias("n_hash"),
+            n_ellipsis.alias("n_ellipsis"),
+            n_alpha.alias("n_alpha_words"),
+            stop_hits.alias("stop_hits"),
+            keep.alias("keep"),
+        ).orderBy("doc_id")
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    oracle = f"""
+        WITH t AS (
+          SELECT doc_id, {_duck_tokens()} AS ws, text FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS INT) AS n_words,
+                 CAST(length(replace(trim(text), ' ', '')) AS INT) AS n_chars,
+                 CAST(length(text) - length(replace(text, '#', '')) AS INT) AS n_hash,
+                 CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT) AS n_ellipsis,
+                 CAST(len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+'))) AS INT) AS n_alpha_words,
+                 CAST(len(list_filter(ws, x -> x IN ({stop_list}))) AS INT) AS stop_hits
+          FROM t
+        )
+        SELECT doc_id, n_words, n_chars, n_hash, n_ellipsis, n_alpha_words, stop_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+                AND 10 * (n_hash + n_ellipsis) <= n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND stop_hits >= 2) AS keep
+        FROM s
+        ORDER BY doc_id
+    """
+    register("text_gopher_rules", Query(spark=spark_fn, oracle=oracle))
+
+
 def _register_token_stats():
     def spark_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -265,3 +330,4 @@ _register_token_stats()
 _register_quality()
 _register_langid()
 _register_fingerprint()
+_register_gopher()

@@ -95,3 +95,27 @@ def test_weighted_sampling_deterministic_and_weighted(spark):
     assert kept["en"] == tot["en"]  # weight 1.0 keeps everything
     if "zh" in tot and tot["zh"] >= 20:
         assert kept.get("zh", 0) < tot["zh"] * 0.35  # weight 0.1 thins hard
+
+
+def test_chunk_documents_geometry(spark):
+    """Overlapping token-window chunking: stride-placed windows cover every
+    token, boundary tokens land where expected, empty docs yield one empty
+    chunk, and the chunk hash distinguishes distinct pieces."""
+    from duckdb_mpp_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.chunk_id): r for r in chunk_documents(df).collect()}
+    assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2}
+    assert rows[(1, 0)].n_tokens == 64
+    assert rows[(1, 1)].n_tokens == 52
+    assert rows[(1, 2)].n_tokens == 4
+    assert rows[(1, 0)].first_token == "t0" and rows[(1, 0)].last_token == "t63"
+    assert rows[(1, 1)].first_token == "t48"
+    assert rows[(1, 2)].first_token == "t96" and rows[(1, 2)].last_token == "t99"
+    assert rows[(2, 0)].n_tokens == 2
+    assert rows[(3, 0)].n_tokens == 0 and rows[(3, 0)].first_token is None
+    hashes = {r.chunk_hash for r in rows.values() if r.n_tokens > 0}
+    assert len(hashes) == 4  # all non-empty pieces distinct
