@@ -182,6 +182,39 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _candidate_docs(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct doc ids appearing in any candidate pair."""
+    return (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+
+
+def jaccard_verify_from_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jaccard verify with the candidate filter pushed BELOW the shingle
+    computation (new r4): restrict ``docs`` to pair members first, then
+    shingle only those. The semi-join inside ``jaccard_verify`` filters the
+    shingle STREAM, which still tokenizes and shingles the entire corpus
+    before dropping non-candidates — Catalyst will not push a semi-join
+    under the Generate node. After LSH, candidates are a small fraction of
+    the corpus (banding exists precisely to make them sparse), so at
+    100 TB this turns the verify stage's second corpus pass into a pass
+    over candidate docs only. Shingle keys are 64-bit hashes (same
+    shuffle-bytes trade as the gate query)."""
+    pairs = pairs.localCheckpoint(eager=False)
+    docs_c = docs.join(_candidate_docs(pairs, id_col), id_col, "left_semi")
+    sh = shingles(docs_c, id_col, text_col).select(
+        id_col, F.xxhash64("sh").alias("sh")
+    )
+    return jaccard_verify(sh, pairs, id_col)
+
+
 def jaccard_verify(
     sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -207,11 +240,7 @@ def jaccard_verify(
     # pairs feeds two consumers (candidate-doc semi-join + routing join) and
     # its lineage is the whole LSH pipeline — materialize once
     pairs = pairs.localCheckpoint(eager=False)
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .union(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    cand_docs = _candidate_docs(pairs, id_col)
     # set semantics: distinct (doc, shingle) after the map-side semi filter;
     # materialized once — it feeds both sides of the routing join AND sizes
     dsh = (
@@ -445,14 +474,14 @@ def _register():
 
     def jaccard_fn(spark, sf_dir):
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-        # 64-bit gram keys into the verify joins — ~5× fewer shuffle bytes
-        # than raw gram strings, set semantics preserved to 2^-64 collisions
-        # (the substrings.py / minhash trade; oracle parity is on the
-        # resulting Jaccard scores, which are identical).
-        sh = shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh"))
+        # candidate-filtered verify (jaccard_verify_from_docs): the verify
+        # pass shingles only docs that appear in some LSH pair, and gram
+        # keys are 64-bit hashes — ~5× fewer shuffle bytes than raw gram
+        # strings, set semantics preserved to 2^-64 collisions (oracle
+        # parity is on the resulting Jaccard scores, which are identical).
         pairs = lsh_candidate_pairs(minhash_bands(docs))
         return (
-            jaccard_verify(sh, pairs)
+            jaccard_verify_from_docs(docs, pairs)
             .where(F.col("jaccard") >= 0.5)
             .orderBy("doc_a", "doc_b")
         )

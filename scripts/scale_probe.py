@@ -141,10 +141,9 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
     the two dedup stages whose join shapes must stay linear (VERDICT r01
     flagged the old jaccard formulation as the scale risk)."""
     from duckdb_mpp_spark.operators.dedup import (
-        jaccard_verify,
+        jaccard_verify_from_docs,
         lsh_candidate_pairs,
         minhash_bands,
-        shingles,
     )
 
     docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
@@ -164,10 +163,9 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
     run("dedup_lsh_pairs", lambda: lsh_candidate_pairs(minhash_bands(docs)))
     run(
         "dedup_jaccard",
-        # 64-bit gram keys into the verify joins, mirroring the gate query
-        lambda: jaccard_verify(
-            shingles(docs).select("doc_id", F.xxhash64("sh").alias("sh")),
-            lsh_candidate_pairs(minhash_bands(docs)),
+        # candidate-filtered verify + 64-bit gram keys, mirroring the gate
+        lambda: jaccard_verify_from_docs(
+            docs, lsh_candidate_pairs(minhash_bands(docs))
         ).where(F.col("jaccard") >= 0.5),
     )
     from duckdb_mpp_spark.operators.graph import triangle_counts
@@ -184,8 +182,8 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
     # graph has; end-to-end cost stays dominated by the (linear) LSH+verify
     # stages it composes.
     def verified_triangles():
-        pairs = jaccard_verify(
-            shingles(docs), lsh_candidate_pairs(minhash_bands(docs))
+        pairs = jaccard_verify_from_docs(
+            docs, lsh_candidate_pairs(minhash_bands(docs))
         ).where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
         return triangle_counts(pairs.localCheckpoint(eager=False))
 
