@@ -152,3 +152,43 @@ register(
         """,
     ),
 )
+
+
+from duckdb_mpp_spark.operators.dedup import _DUCK_BANDS  # noqa: E402
+from duckdb_mpp_spark.streaming import streaming_incremental_dedup  # noqa: E402
+
+# Same verdict semantics as the batch `dedup_incremental` gate (one
+# delivery = one micro-batch), so the oracle is the same banded-join SQL;
+# what the streaming gate adds is the runtime: foreachBatch, the persisted
+# parquet index, and the verdict sink.
+register(
+    "streaming_incremental_dedup",
+    Query(
+        spark=streaming_incremental_dedup,
+        oracle=_DUCK_BANDS
+        + """,
+        nb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+        ib AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+        vs_index AS (
+          SELECT n.doc_id, MIN(i.doc_id) AS dup_index
+          FROM nb n JOIN ib i ON n.band = i.band AND n.band_key = i.band_key
+          GROUP BY 1
+        ),
+        vs_batch AS (
+          SELECT a.doc_id, MIN(b.doc_id) AS dup_batch
+          FROM nb a JOIN nb b
+            ON a.band = b.band AND a.band_key = b.band_key AND b.doc_id < a.doc_id
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CASE WHEN c.dup_index IS NOT NULL THEN 'dup_index'
+                    WHEN t.dup_batch IS NOT NULL THEN 'dup_batch'
+                    ELSE 'new' END AS verdict,
+               COALESCE(c.dup_index, t.dup_batch) AS dup_of
+        FROM (SELECT DISTINCT doc_id FROM nb) d
+        LEFT JOIN vs_index c USING (doc_id)
+        LEFT JOIN vs_batch t USING (doc_id)
+        ORDER BY d.doc_id
+        """,
+    ),
+)

@@ -122,3 +122,36 @@ def test_streaming_upsert_matches_batch_aggregate(spark):
     )
     cols = ["user_id", "n_events", "total_value_q"]
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_incremental_dedup_index_grows(spark):
+    """Multi-day streaming dedup: day 2's duplicate of a day-1 document is
+    caught via the PERSISTED index (day 1's signatures were appended), and
+    verdicts from both days accumulate in the sink."""
+    import tempfile
+
+    from duckdb_mpp_spark.operators.dedup import minhash_bands
+    from duckdb_mpp_spark.streaming import crawl_dedup_day
+
+    text_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    text_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(20))
+    seed = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    day1 = spark.createDataFrame(
+        [(10, text_b), (11, text_a)], "doc_id long, text string"
+    )
+    day2 = spark.createDataFrame([(20, text_b)], "doc_id long, text string")
+
+    index_dir = tempfile.mkdtemp(prefix="t_idx_") + "/bands"
+    verdict_dir = tempfile.mkdtemp(prefix="t_verd_") + "/out"
+    minhash_bands(seed).write.parquet(index_dir)
+    crawl_dedup_day(spark, day1, index_dir, verdict_dir)
+    crawl_dedup_day(spark, day2, index_dir, verdict_dir)
+
+    got = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert got[10] == ("new", None)          # day 1: genuinely new
+    assert got[11] == ("dup_index", 1)       # day 1: dup of the seed corpus
+    assert got[20] == ("dup_index", 10)      # day 2: dup of a DAY-1 doc —
+    # only possible because day 1's signatures entered the persisted index
