@@ -352,7 +352,16 @@ class MppSession:
 
     def master_add_node(self, host: str, port: int) -> None:
         """Compat shim (src/function/master_add_node.cpp) — Spark manages its
-        own executors; the node registry only feeds the metadata views."""
+        own executors; the node registry only feeds the metadata views.
+        Input validation and error texts match the reference's Bind
+        (master_add_node.cpp:35-45): NULL host/port and out-of-range ports
+        are rejected with its exact messages."""
+        if host is None:
+            raise ValueError("host cannot be NULL")
+        if port is None:
+            raise ValueError("port cannot be NULL")
+        if port < 0 or port > 0xFFFF:
+            raise ValueError(f"Invalid port number: {port}")
         self.catalog.add_node(host, port)
 
     def remote_query(self, addr: str, sql: str):
@@ -365,7 +374,17 @@ class MppSession:
         """
         known = {f"{h}:{p}" for h, p in self.catalog.nodes()}
         if known and addr not in known:
-            raise ValueError(f"unknown node {addr!r}; registered: {sorted(known)}")
+            # the reference surfaces an unreachable peer as a NETWORK-type
+            # exception from the gRPC channel (remote_query.cpp:41); the
+            # closest Python analog of that failure class is ConnectionError
+            # (which is a ValueError-independent OSError — callers catching
+            # broad errors still work, and the message carries the address
+            # exactly as the gRPC error would)
+            raise ConnectionError(
+                f"Failed to connect to remote node {addr!r}: "
+                f"no reachable peer at that address "
+                f"(registered nodes: {sorted(known)})"
+            )
         return self.sql(sql)
 
     def _reject_colocated_dml(self, name: str, verb: str) -> None:

@@ -151,7 +151,7 @@ def test_remote_query_shim(mpp):
     mpp.master_add_node("localhost", 50051)
     df = mpp.remote_query("localhost:50051", "SELECT c0, c1 FROM rq WHERE c0 = 1")
     assert [tuple(r) for r in df.collect()] == [(1, "x")]
-    with pytest.raises(ValueError):
+    with pytest.raises(ConnectionError, match="Failed to connect"):
         mpp.remote_query("10.0.0.9:50051", "SELECT 1")
 
 
@@ -294,3 +294,18 @@ def test_rowid_pseudo_column(mpp):
     assert all(r[0] == 0 for r in zero)
     # ...and absent from SELECT * otherwise (DuckDB's expose-on-reference)
     assert [c for c in mpp.sql("SELECT * FROM rt").columns] == ["id", "tag"]
+
+
+def test_master_add_node_input_validation(mpp):
+    """Error-text parity with the reference's Bind validation
+    (master_add_node.cpp:35-45)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="host cannot be NULL"):
+        mpp.master_add_node(None, 1234)
+    with pytest.raises(ValueError, match="port cannot be NULL"):
+        mpp.master_add_node("h", None)
+    with pytest.raises(ValueError, match="Invalid port number: 70000"):
+        mpp.master_add_node("h", 70000)
+    with pytest.raises(ValueError, match="Invalid port number: -1"):
+        mpp.master_add_node("h", -1)
