@@ -76,116 +76,64 @@ def _ensure_loaded() -> None:
 
 
 # Driver-verification bookkeeping.  The driver checks the first ~50 entries
-# of queries() per round, so ordering IS the verification schedule:
-#   tier 0 — never driver-GREEN (new queries + the two reformulated
-#            ex-no_oracle gates: they need their first green row)
-#   tier 1 — verified in round 1 only (stalest green rows → re-verify first)
-#   tier 2 — verified in round 2, not since
-#   tier 3 — verified in round 3 (freshest; re-verified only if budget allows)
-# Rotation: each round, fold the new CORRECTNESS_r{N} names into the
-# freshest tier and demote the previous round's set one tier.
-_R1_VERIFIED: frozenset[str] = frozenset(
-    {
-        "filter_pushdown_scan", "q01_pricing_summary", "q03_shipping_priority",
-        "q04_order_priority", "q05_local_supplier_volume", "q06_forecast_revenue",
-        "q07_volume_shipping", "q09_product_profit", "q10_returned_items",
-        "q12_priority_shipping", "q13_customer_distribution", "q14_promo_effect",
-        "q15_top_supplier", "q16_parts_suppliers", "q17_small_quantity_revenue",
-        "q18_large_volume_customer", "q19_discounted_revenue",
-        "q22_global_sales_opportunity", "scalar_function_gauntlet",
-        "date_function_surface", "in_subquery", "scalar_subquery_threshold",
-        "join_semi_anti", "join_full_outer", "join_cross_theta",
-        "q02_min_cost_supplier", "q08_market_share", "q11_important_stock",
-        "q20_potential_promotion", "q21_suppliers_kept_waiting",
-        "string_regex_surface", "array_struct_surface",
-        "recursive_cte_month_spine", "lateral_topk_per_region", "null_semantics",
-        "agg_rollup_grouping_fn", "window_topk_per_group", "window_running_total",
-        "window_lag_rank", "agg_cube", "agg_rollup", "agg_grouping_sets",
-        "agg_multi_distinct", "setop_intersect", "setop_except", "setop_union",
-        "setop_union_distinct", "pivot_linestatus", "unpivot_part_measures",
-        "window_frame_surface",
-    }
-)
+# of queries() per round, so ordering IS the verification schedule. Tiers
+# are DERIVED from the CORRECTNESS_r*.json files the driver leaves in the
+# repo root (self-maintaining — no per-round frozenset edits):
+#   tier 0 — never driver-GREEN (new queries, or every recorded row red)
+#   tier k — green in round k, not since (stalest re-verify first; the
+#            freshest rounds sort last)
+# A query counts as green in round N when its CORRECTNESS_rN row has
+# hash_match (or, failing that, rows_match with no error — the rows-only
+# fallback for oracle-less entries).
+
+import json as _json
+import os as _os
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
-# The 50 queries CORRECTNESS_r02.json recorded (mirror of that file's keys).
-_R2_VERIFIED: frozenset[str] = frozenset(
-    {
-        "agg_variance_corr", "agg_exact_median", "setop_except_all",
-        "setop_intersect_all", "events_hourly_agg", "events_sessionization",
-        "events_funnel", "events_json_props", "asof_join_events_orders",
-        "range_join_binned", "events_zscore_outliers", "events_cohort_retention",
-        "mpp_create_insert_scan", "mpp_update_cow", "mpp_delete_cow",
-        "text_token_stats", "text_quality_score", "text_language_id",
-        "text_fingerprint", "dedup_exact", "dedup_minhash_signatures",
-        "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_simhash_pairs", "dedup_cluster_assign", "pipeline_corpus_curation",
-        "pipeline_train_test_split", "multimodal_binary_features",
-        "multimodal_frame_sample", "ann_topk_bruteforce", "ann_ivf_by_label",
-        "ann_lsh_bucketed", "embedding_neardup_pairs", "ann_ivf_kmeans",
-        "agg_percentiles_exact", "text_top_tokens", "curation_blocklist_filter",
-        "higher_order_array_fns", "dedup_keep_latest", "agg_group_by_all",
-        "limit_offset_pagination", "events_value_histogram",
-        "sketch_approx_stats", "events_resample_ffill", "events_user_features",
-        "mpp_colocated_join", "mpp_rowid_scan", "mpp_sorted_scan",
-        "mpp_compact_scan",
-    }
-)
+def _freshest_green_round() -> dict[str, int]:
+    """query name -> latest round with a green driver row (from the
+    CORRECTNESS_r{N}.json files on disk)."""
+    import glob as _glob
+
+    out: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = _os.path.basename(path)
+        try:
+            rnd = int(m[len("CORRECTNESS_r"):-len(".json")])
+            with open(path) as f:
+                doc = _json.load(f)
+        except (ValueError, OSError, _json.JSONDecodeError):
+            continue
+        for name, row in doc.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("hash_match")) or (
+                bool(row.get("rows_match")) and not row.get("err")
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
-# The 50 queries CORRECTNESS_r03.json recorded (mirror of that file's keys).
-_R3_VERIFIED: frozenset[str] = frozenset(
-    {
-        "mpp_upsert_scan", "mpp_time_travel", "mpp_copy_roundtrip",
-        "mpp_summarize", "mpp_qualify_frontdoor", "mpp_distinct_on_frontdoor",
-        "mpp_ddl_frontdoor", "mpp_txn_rollback", "dedup_incremental",
-        "dedup_cluster_keep_best", "text_repetition_stats",
-        "text_contamination_overlap", "text_pii_redaction",
-        "pipeline_sequence_packing", "sampling_weighted_domains",
-        "sampling_stratified_exact", "pipeline_global_shuffle",
-        "graph_triangle_count", "multimodal_decode_sgm", "ann_quantized_topk",
-        "embedding_class_centroids", "ann_centroid_assign",
-        "dedup_substring_spans", "text_tfidf_keywords",
-        "pipeline_train_test_split", "curation_blocklist_filter",
-        "higher_order_array_fns", "streaming_hourly_agg",
-        "streaming_session_windows", "streaming_dedup_distinct",
-        "streaming_static_join_agg", "streaming_stateful_running_totals",
-        "streaming_stream_stream_join", "streaming_mpp_upsert",
-        "streaming_mpp_ingest", "filter_pushdown_scan", "q01_pricing_summary",
-        "q03_shipping_priority", "q04_order_priority",
-        "q05_local_supplier_volume", "q06_forecast_revenue",
-        "q07_volume_shipping", "q09_product_profit", "q10_returned_items",
-        "q12_priority_shipping", "q13_customer_distribution",
-        "q14_promo_effect", "q15_top_supplier", "q16_parts_suppliers",
-        "q17_small_quantity_revenue",
-    }
-)
-
-
-# Reformulated this round from no_oracle to exact invariant rows
-# (VERDICT r3 "Next round" #2) — they have never had a green driver row,
-# so they verify ahead of everything already green.
-_NEVER_GREEN: frozenset[str] = frozenset(
-    {"ann_ivf_kmeans", "sketch_approx_stats"}
-)
+# Queries that must verify FIRST regardless of history — reformulated
+# gates whose recorded rows predate the reformulation (clear once the
+# next CORRECTNESS file shows them green; the derived tiers then take
+# over automatically).
+_FORCE_FIRST: frozenset[str] = frozenset()
 
 
 def _registry_names_prioritized() -> list[str]:
     """Registry names in driver-check priority order (see tier comment
-    above): never-green first (new queries + the reformulated ex-no_oracle
-    gates), then the stalest verified slice (r1-only — the core SQL
-    surface), then r2-only, then the freshest (r3)."""
+    above): forced/never-green first, then stalest-verified ascending by
+    the round of their latest green row."""
+    fresh = _freshest_green_round()
 
     def prio(n: str) -> int:
-        if n in _NEVER_GREEN:
+        if n in _FORCE_FIRST:
             return 0
-        if n in _R3_VERIFIED:
-            return 3
-        if n in _R2_VERIFIED:
-            return 2
-        if n in _R1_VERIFIED:
-            return 1
-        return 0  # never driver-checked (incl. queries new this round)
+        return fresh.get(n, 0)  # 0 = never green → first
 
     return sorted(REGISTRY, key=prio)  # stable: registry order within tiers
 
