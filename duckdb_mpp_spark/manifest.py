@@ -108,28 +108,38 @@ def _dec(d: dict | None) -> Any:
 
 
 def file_entry(path: str, sort_col: str | None) -> dict:
-    """One footer read → manifest entry: row count plus the sort column's
-    file-level min/max (absent stats stay None — conservative)."""
+    """One footer read → manifest entry: row count plus file-level min/max
+    for EVERY column with complete row-group statistics (``cols``, the
+    Iceberg column-stats shape — data skipping works on any predicate
+    column, not just the SORT BY one). The sort column's bounds are also
+    kept in the legacy top-level ``min``/``max`` fields so pre-r4
+    snapshots and readers stay compatible. Absent/partial/unencodable
+    stats simply omit the column — conservative (the file is kept)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     entry: dict = {"rows": md.num_rows, "min": None, "max": None}
-    if sort_col is None:
-        return entry
-    try:
-        idx = md.schema.names.index(sort_col)
-    except ValueError:
-        return entry
-    mn = mx = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return entry  # any stats-less row group → no file-level bound
-        mn = st.min if mn is None or st.min < mn else mn
-        mx = st.max if mx is None or st.max > mx else mx
-    entry["min"], entry["max"] = _enc(mn), _enc(mx)
-    if entry["min"] is None or entry["max"] is None:
-        entry["min"] = entry["max"] = None  # unencodable type → stats-less
+    cols: dict[str, list] = {}
+    for idx, name in enumerate(md.schema.names):
+        mn = mx = None
+        complete = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                complete = False  # any stats-less row group → no bound
+                break
+            mn = st.min if mn is None or st.min < mn else mn
+            mx = st.max if mx is None or st.max > mx else mx
+        if not complete:
+            continue
+        emn, emx = _enc(mn), _enc(mx)
+        if emn is None or emx is None:
+            continue  # unencodable type → stats-less
+        cols[name] = [emn, emx]
+    if cols:
+        entry["cols"] = cols
+    if sort_col is not None and sort_col in cols:
+        entry["min"], entry["max"] = cols[sort_col]
     return entry
 
 

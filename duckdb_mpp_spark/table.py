@@ -376,28 +376,45 @@ class DistributedTable:
         metadata read per scan, no per-file footer opens (the Iceberg/Delta
         shape; survives millions of files).
 
+        Since r4 skipping is no longer limited to the SORT BY column: the
+        manifest carries Iceberg-style per-column min/max (``cols``), so a
+        conjunct on ANY column whose file range provably excludes the
+        bound skips the file — SORT BY still matters because clustering is
+        what makes ranges tight, but range-disjoint APPENDS (daily
+        time-partitioned loads, monotone ids) now skip too, on any table.
+
         ``last_file_skip = (kept, total)`` counts only files in NON-pruned
         buckets, so ``Files: k/n`` measures zone-map skipping alone and
         composes with (rather than double-counts) ``Shards: k/n``."""
-        if not (self.meta.sort_column and where):
+        if not where:
             return None
         from duckdb_mpp_spark import zonemap
 
-        bounds = zonemap.sort_bounds(
-            where, self.meta.sort_column, qualifiers or {self.meta.name}
-        )
-        if bounds is None:
+        bounds = zonemap.all_bounds(where, qualifiers or {self.meta.name})
+        if not bounds:
             return None
         bucket_ids = set(self.pruned_bucket_ids(where, aliases, qualifiers))
+        sort_lc = (self.meta.sort_column or "").lower()
         total, kept = 0, []
         for rel, ent in sorted(snap_files.items()):
             b = int(rel.split("=", 1)[1].split("/", 1)[0])
             if b not in bucket_ids:
                 continue
             total += 1
-            mn = _manifest_mod._dec(ent["min"])
-            mx = _manifest_mod._dec(ent["max"])
-            if mn is None or zonemap.file_overlaps(mn, mx, bounds):
+            cols = {k.lower(): v for k, v in (ent.get("cols") or {}).items()}
+            if sort_lc and sort_lc not in cols and ent["min"] is not None:
+                cols[sort_lc] = [ent["min"], ent["max"]]  # pre-r4 snapshot
+            keep = True
+            for cname, bnd in bounds.items():
+                stat = cols.get(cname)
+                if stat is None:
+                    continue  # no stats for this column → cannot exclude
+                mn = _manifest_mod._dec(stat[0])
+                mx = _manifest_mod._dec(stat[1])
+                if mn is not None and not zonemap.file_overlaps(mn, mx, bnd):
+                    keep = False
+                    break
+            if keep:
                 kept.append(rel)
         self.last_file_skip = (len(kept), total)
         if not kept:

@@ -119,47 +119,67 @@ def _strip_parens(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return toks
 
 
-def _is_col(tok: tuple[str, str], sort_col: str, qualifiers: set[str]) -> bool:
+_NOT_A_COLUMN = {
+    "AND", "OR", "NOT", "IN", "BETWEEN", "IS", "NULL", "TRUE", "FALSE",
+    "LIKE", "EXISTS", "CASE", "WHEN", "THEN", "ELSE", "END", "DATE",
+    "TIMESTAMP", "INTERVAL", "CAST",
+}
+
+
+def _col_name(tok: tuple[str, str], qualifiers: set[str]) -> str | None:
+    """Column name a word token references (qualifier stripped when it is a
+    known table alias), lower-cased; None for non-words and keywords."""
     if tok[0] != "word":
-        return False
+        return None
     name = tok[1].lower()
-    if name == sort_col.lower():
-        return True
+    if name.upper() in _NOT_A_COLUMN:
+        return None
     if "." in name:
         qual, _, base = name.rpartition(".")
-        return base == sort_col.lower() and qual in qualifiers
-    return False
+        if qual in qualifiers:
+            return base
+        return name  # struct-field path (matches the parquet leaf name)
+    return name
 
 
-def sort_bounds(
-    where: str | None, sort_col: str, qualifiers: set[str] | None = None
-) -> Bounds | None:
-    """Conservative bounds on ``sort_col`` implied by ``where``.
+def all_bounds(
+    where: str | None, qualifiers: set[str] | None = None
+) -> dict[str, Bounds]:
+    """Conservative per-column bounds implied by ``where`` — the data-
+    skipping predicate analysis, generalized from the SORT BY column to
+    EVERY column (r4, Iceberg-style column stats in the manifest).
 
-    Returns None when the predicate yields no usable constraint. Top-level
-    conjuncts that aren't a simple comparison on the sort column (ORs,
-    functions, other columns) are ignored — they can only narrow the result
-    further, so ignoring them keeps skipping sound."""
+    Returns {column_name_lower: Bounds} for columns with a usable
+    constraint. Top-level conjuncts that aren't a simple comparison on a
+    bare column (ORs, functions, col-vs-col) are ignored — they can only
+    narrow the result further, so ignoring them keeps skipping sound."""
     if not where:
-        return None
+        return {}
     toks = _tokenize(where)
     if toks is None:
-        return None
+        return {}
     quals = {q.lower() for q in (qualifiers or set())}
-    b = Bounds()
+    out: dict[str, Bounds] = {}
+
+    def bnd(col: str) -> Bounds:
+        return out.setdefault(col, Bounds())
+
     for conj in _split_top_level_and(toks):
         conj = _strip_parens(conj)
         # col OP lit  |  lit OP col
         if len(conj) == 3 and conj[1][0] == "op" and conj[1][1] in _CMP:
-            if _is_col(conj[0], sort_col, quals):
+            col = _col_name(conj[0], quals)
+            if col is not None and conj[2][0] != "word":
                 op, lit_tok = conj[1][1], conj[2]
-            elif _is_col(conj[2], sort_col, quals):
-                op, lit_tok = _FLIP.get(conj[1][1], "="), conj[0]
             else:
-                continue
+                col = _col_name(conj[2], quals)
+                if col is None or conj[0][0] == "word":
+                    continue  # col-vs-col or lit-vs-lit: no bound
+                op, lit_tok = _FLIP.get(conj[1][1], "="), conj[0]
             v = _parse_literal_value(lit_tok[0], lit_tok[1])
             if v is None:
                 continue
+            b = bnd(col)
             if op == "=":
                 b.tighten_lo(v, True)
                 b.tighten_hi(v, True)
@@ -176,7 +196,7 @@ def sort_bounds(
         # to the engine's filter)
         elif (
             len(conj) >= 4
-            and _is_col(conj[0], sort_col, quals)
+            and _col_name(conj[0], quals) is not None
             and conj[1][0] == "word"
             and conj[1][1].upper() == "IN"
             and conj[2][0] == "lparen"
@@ -193,14 +213,16 @@ def sort_bounds(
                 vals.append(pv)
             if vals:
                 try:
-                    b.tighten_lo(min(vals), True)
-                    b.tighten_hi(max(vals), True)
+                    lo, hi = min(vals), max(vals)
                 except TypeError:
-                    pass  # mixed-type list → incomparable, ignore
+                    continue  # mixed-type list → incomparable, ignore
+                b = bnd(_col_name(conj[0], quals))
+                b.tighten_lo(lo, True)
+                b.tighten_hi(hi, True)
         # col BETWEEN a AND b (kept whole by the splitter)
         elif (
             len(conj) == 5
-            and _is_col(conj[0], sort_col, quals)
+            and _col_name(conj[0], quals) is not None
             and conj[1][0] == "word"
             and conj[1][1].upper() == "BETWEEN"
             and conj[3][0] == "word"
@@ -208,11 +230,20 @@ def sort_bounds(
         ):
             lo = _parse_literal_value(conj[2][0], conj[2][1])
             hi = _parse_literal_value(conj[4][0], conj[4][1])
+            b = bnd(_col_name(conj[0], quals))
             if lo is not None:
                 b.tighten_lo(lo, True)
             if hi is not None:
                 b.tighten_hi(hi, True)
-    return b if b.constrained else None
+    return {c: b for c, b in out.items() if b.constrained}
+
+
+def sort_bounds(
+    where: str | None, sort_col: str, qualifiers: set[str] | None = None
+) -> Bounds | None:
+    """Conservative bounds on ``sort_col`` implied by ``where`` (the
+    single-column view of :func:`all_bounds`, kept for callers/tests)."""
+    return all_bounds(where, qualifiers).get(sort_col.lower())
 
 
 def _coerce(stat, bound):

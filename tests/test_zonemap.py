@@ -322,3 +322,52 @@ def test_bounds_in_list_envelope():
     assert sort_bounds("v IN (3, x)", "v") is None
     # other column's IN must not constrain
     assert sort_bounds("w IN (3, 5)", "v") is None
+
+
+def test_all_column_skipping_without_sort_by(spark, mpp):
+    """r4: manifest carries per-column min/max (Iceberg column stats), so
+    range-disjoint APPENDS skip files on any predicate column — no SORT BY
+    declaration required."""
+    tbl = mpp.create_distributed_table("zc", "k INT, v INT, grp INT", "grp", 2)
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS INT) AS v", "CAST(id % 2 AS INT) AS grp"
+    )
+    for lo in (0, 100, 200):  # three range-disjoint generations on v
+        tbl.insert(df.where(f"v >= {lo} AND v < {lo + 100}"))
+    got = sorted(r[0] for r in tbl.scan(where="v >= 150 AND v < 155").select("k").collect())
+    assert got == [150, 151, 152, 153, 154]
+    kept, total = tbl.last_file_skip
+    n_files = len(tbl.snapshot_files())
+    assert total == n_files          # no bucket pruning in this query
+    assert kept == n_files // 3      # only the middle generation overlaps
+
+
+def test_multi_column_conjunct_skipping(spark, mpp):
+    """A conjunct on a second column composes: a file must overlap EVERY
+    bounded column's range to be read."""
+    tbl = mpp.create_distributed_table(
+        "zm2", "k INT, v INT, grp INT", "grp", 2, sort_column="v"
+    )
+    df = spark.range(200).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS INT) AS v", "CAST(id % 2 AS INT) AS grp"
+    )
+    tbl.insert(df.where("v < 100"))    # gen A: v in [0,99],  k in [0,99]
+    tbl.insert(df.where("v >= 100"))   # gen B: v in [100,199], k in [100,199]
+    # v-bound alone keeps gen A; the k-bound excludes it too → zero files
+    tbl.scan(where="v < 100 AND k >= 150").collect()
+    kept, total = tbl.last_file_skip
+    assert total == len(tbl.snapshot_files()) and kept == 0
+    # sanity: the un-skipped query still returns complete results
+    assert tbl.scan(where="v < 100 AND k >= 50").count() == 50
+
+
+def test_all_bounds_ignores_col_vs_col_and_keywords():
+    from duckdb_mpp_spark.zonemap import all_bounds
+
+    b = all_bounds("a < b AND c = 5 AND d IS NOT NULL AND e LIKE 'x%'", set())
+    assert set(b) == {"c"}
+    assert b["c"].lo == 5 and b["c"].hi == 5
+    # flipped literal side and qualified references
+    b2 = all_bounds("10 <= t.k AND t.k < 20", {"t"})
+    assert b2["k"].lo == 10 and b2["k"].lo_inclusive
+    assert b2["k"].hi == 20 and not b2["k"].hi_inclusive
