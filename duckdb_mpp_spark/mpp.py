@@ -545,6 +545,21 @@ class MppSession:
                 return 0  # Spark-managed bucketed storage; nothing to reclaim
             return self.table(name).vacuum()
 
+        # OPTIMIZE t [FILES n] — compact each bucket down to n (default 1)
+        # files (Delta's statement name for the same operation). Appends
+        # accumulate one file set per insert; compaction rewrites via the
+        # same stage → snapshot-publish commit as DML, re-clustering SORT BY
+        # tables. Returns the number of buckets rewritten.
+        om = re.match(
+            r"^\s*OPTIMIZE\s+(?P<name>[\w.\"]+)(\s+FILES\s+(?P<n>\d+))?\s*$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if om and self.catalog.exists(_ident(om.group("name"))):
+            name = _ident(om.group("name"))
+            self._reject_colocated_dml(name, "OPTIMIZE")
+            return self.table(name).compact(int(om.group("n") or 1))
+
         if re.match(r"^\s*COPY\b", stripped, re.IGNORECASE):
             return self._run_copy(stripped)
 

@@ -7,6 +7,7 @@ def register_pipeline_queries() -> None:
         graph,
         multimodal,
         similarity,
+        skew,
         substrings,
         text,
     )

@@ -86,3 +86,60 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# gate query + DuckDB oracle
+# ---------------------------------------------------------------------------
+
+def _register() -> None:
+    from duckdb_mpp_spark.queries import Query, register
+    from duckdb_mpp_spark.sources import load_table
+
+    def skew_fn(spark, sf_dir):
+        """Both skew operators composed end-to-end, verified by value
+        identity with the un-salted formulation (the whole point of
+        salting is that it changes the SHUFFLE, never the answer): events
+        salted-join a small per-type dim (right side replicated per salt),
+        then a salted two-phase aggregation computes per-type counts and
+        exact quantized value sums. The oracle is the plain GROUP BY."""
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .withColumn("type_len", F.length("event_type").cast("int"))
+        )
+        joined = salted_join(ev, dim, on="event_type", n_salts=8)
+        return salted_agg(
+            joined,
+            ["event_type", "type_len"],
+            [
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.floor(F.col("value") * 256).cast("long")).alias("s"),
+            ],
+            [
+                F.sum("c").alias("n_events"),
+                (F.sum("s").cast("double") / 256).alias("total_value_q"),
+            ],
+            n_salts=8,
+        ).orderBy("event_type")
+
+    register(
+        "skew_salted_agg_join",
+        Query(
+            spark=skew_fn,
+            oracle="""
+            SELECT event_type,
+                   CAST(length(event_type) AS INT) AS type_len,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 256) AS BIGINT)) AS DOUBLE) / 256
+                     AS total_value_q
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+            """,
+        ),
+    )
+
+
+_register()

@@ -309,3 +309,24 @@ def test_master_add_node_input_validation(mpp):
         mpp.master_add_node("h", 70000)
     with pytest.raises(ValueError, match="Invalid port number: -1"):
         mpp.master_add_node("h", -1)
+
+
+def test_optimize_statement_compacts(spark, mpp):
+    """OPTIMIZE t (Delta's statement for compaction) rewrites each bucket
+    down to one file through the snapshot-commit protocol; results are
+    unchanged and the old generations become vacuum-able garbage."""
+    mpp.sql("CREATE TABLE opt(k INT, grp INT) PARTITION BY (grp) WITH BUCKETS 2")
+    for i in range(3):
+        mpp.sql(f"INSERT INTO opt VALUES ({i}, 0), ({i + 10}, 1)")
+    tbl = mpp.table("opt")
+    files_before = len(tbl.snapshot_files())
+    rewritten = mpp.sql("OPTIMIZE opt")
+    assert rewritten >= 1
+    tbl2 = mpp.table("opt")
+    per_bucket = {}
+    for rel in tbl2.snapshot_files():
+        per_bucket.setdefault(rel.split("/", 1)[0], []).append(rel)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    assert len(tbl2.snapshot_files()) < files_before
+    assert mpp.sql("SELECT COUNT(*) AS n FROM opt").collect()[0][0] == 6
+    assert mpp.sql("VACUUM opt") == files_before  # old generations reclaimed
