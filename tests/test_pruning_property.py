@@ -150,3 +150,47 @@ def test_cow_dml_matches_plain_semantics(spark, tmp_path_factory, ops):
         assert got == want, f"ops {ops}: {got} != {want}"
     finally:
         _sh.rmtree(wh, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def gen_table(spark):
+    """Multi-generation table: three range-disjoint inserts, so the r4
+    all-column zone maps actually SKIP files for range predicates — the
+    property then guards the skipping, not just the bucket pruning."""
+    wh = tempfile.mkdtemp(prefix="mpp_zprop_")
+    mpp = MppSession(spark, wh)
+    mpp.sql("CREATE TABLE z(c0 INT, c1 TEXT) PARTITION BY (c0) WITH BUCKETS 4")
+    gens = [VALUES[:3], VALUES[3:6], VALUES[6:]]
+    for gen in gens:
+        vals = ", ".join(
+            f"({'NULL' if v is None else v}, {'NULL' if s is None else repr(s)})"
+            for v, s in gen
+        )
+        mpp.sql(f"INSERT INTO z VALUES {vals}")
+    raw = spark.createDataFrame(VALUES, "c0 int, c1 string")
+    raw.createOrReplaceTempView("z_raw")
+    yield mpp, spark
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pred=_pred)
+def test_zonemap_skipping_never_changes_results(gen_table, pred):
+    """Zone-map file skipping (any-column, r4) is an optimization, never a
+    filter: for ANY predicate, a scan over the skipped file set returns
+    exactly what a full filter over the raw rows returns."""
+    mpp, spark = gen_table
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    got = sorted(
+        (tuple(r) for r in mpp.sql(f"SELECT c0, c1 FROM z WHERE {pred}").collect()),
+        key=key,
+    )
+    want = sorted(
+        (tuple(r) for r in spark.sql(f"SELECT c0, c1 FROM z_raw WHERE {pred}").collect()),
+        key=key,
+    )
+    assert got == want, pred
