@@ -495,3 +495,102 @@ register(
         """,
     ),
 )
+
+
+# Linear-interpolation resampling — the other standard gap-fill (sensor /
+# metric alignment where a step function is wrong). Same grid + cells shape
+# as the ffill variant; empty cells take
+#   prev + (next - prev) * (slot - prev_slot) / (next_slot - prev_slot)
+# via IGNORE NULLS windows in both directions. Cross-engine exactness: cell
+# values are exact decimal sums and the interpolation expression is written
+# with the IDENTICAL IEEE-754 double operation order in both dialects, so
+# results are bit-identical without rounding. Cells before the first known
+# value stay NULL; cells after the last known value forward-fill.
+_INTERP_CORE = """
+    SELECT event_type, slot, n,
+           CASE WHEN n > 0 THEN cell_value
+                WHEN prev_v IS NULL THEN NULL
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v) * (
+                  (CAST({EPOCH_SLOT} AS DOUBLE) - CAST(prev_s AS DOUBLE))
+                  / (CAST(next_s AS DOUBLE) - CAST(prev_s AS DOUBLE)))
+           END AS interp_value
+    FROM (
+      SELECT g.event_type, g.slot, COALESCE(c.n, 0) AS n, c.cell_value,
+             {LAST_V} OVER (
+               PARTITION BY g.event_type ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+             {LAST_S} OVER (
+               PARTITION BY g.event_type ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s,
+             {FIRST_V} OVER (
+               PARTITION BY g.event_type ORDER BY g.slot
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+             {FIRST_S} OVER (
+               PARTITION BY g.event_type ORDER BY g.slot
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_s
+      FROM grid g LEFT JOIN cells c
+        ON c.event_type = g.event_type AND c.slot = g.slot
+    ) w
+    ORDER BY 1, 2
+"""
+
+register(
+    "events_resample_interp",
+    Query(
+        spark="""
+            WITH grid AS (
+              SELECT t.event_type, g.slot
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   LATERAL (
+                     SELECT explode(sequence(
+                       TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-30 18:00:00',
+                       INTERVAL 6 HOURS)) AS slot
+                   ) g
+            ),
+            cells AS (
+              SELECT event_type,
+                     to_timestamp(floor(unix_timestamp(ts) / 21600) * 21600) AS slot,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+              FROM events
+              GROUP BY 1, 2
+            )
+        """
+        + _INTERP_CORE.format(
+            EPOCH_SLOT="unix_timestamp(slot)",
+            LAST_V="last_value(c.cell_value, true)",
+            LAST_S="last_value(CASE WHEN c.cell_value IS NOT NULL THEN unix_timestamp(g.slot) END, true)",
+            FIRST_V="first_value(c.cell_value, true)",
+            FIRST_S="first_value(CASE WHEN c.cell_value IS NOT NULL THEN unix_timestamp(g.slot) END, true)",
+        ),
+        oracle="""
+            WITH grid AS (
+              SELECT t.event_type, g.slot
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   (
+                     SELECT unnest(generate_series(
+                       TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-30 18:00:00',
+                       INTERVAL 6 HOUR)) AS slot
+                   ) g
+            ),
+            cells AS (
+              SELECT event_type,
+                     to_timestamp(floor(epoch(ts) / 21600) * 21600) AS slot,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+              FROM events
+              GROUP BY 1, 2
+            )
+        """
+        + _INTERP_CORE.format(
+            EPOCH_SLOT="epoch(slot)",
+            LAST_V="last_value(c.cell_value IGNORE NULLS)",
+            LAST_S="last_value(CASE WHEN c.cell_value IS NOT NULL THEN epoch(g.slot) END IGNORE NULLS)",
+            FIRST_V="first_value(c.cell_value IGNORE NULLS)",
+            FIRST_S="first_value(CASE WHEN c.cell_value IS NOT NULL THEN epoch(g.slot) END IGNORE NULLS)",
+        ),
+    ),
+)
