@@ -620,3 +620,80 @@ def _register_chunking():
 
 
 _register_chunking()
+
+
+# ---------------------------------------------------------------------------
+# temperature-flattened mixture sampling (sqrt-cap per domain)
+# ---------------------------------------------------------------------------
+
+SQRT_CAP_SCALE = 8
+
+
+def sqrt_flatten_sample(
+    df: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    scale: int = SQRT_CAP_SCALE,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: cap each domain at
+    ``scale·√n_d`` documents — the square-root (T=2) flattening used to keep
+    head domains/languages from drowning the tail in multilingual and
+    multi-source pretraining mixes. Unlike a cross-domain softmax this cap
+    is computed PER DOMAIN from its own count only (sqrt is IEEE correctly
+    rounded, floor is exact), so the selection is bit-deterministic across
+    engines — no cross-domain float sums to drift.
+
+    Selection is exact: md5-ranked within domain (deterministic, retryable
+    — no rand()), keep rank ≤ cap. One small-counts broadcast join + one
+    keyed window shuffle. Scale note: a per-row cap defeats Spark's
+    WindowGroupLimit (constant-k heaps), so a hot domain pays a full
+    per-domain sort; the 100 TB variant pre-filters on the md5 uniform to
+    ~2·cap/n before ranking (probabilistically complete, then exact-rank
+    the survivors) — same two-phase trade as any exact top-k at scale."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.withColumn(
+        "__cap",
+        F.least(F.col("__n"), F.floor(F.sqrt(F.col("__n")) * scale).cast("long")),
+    )
+    rnd = F.md5(F.concat(F.lit("t"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(rnd, F.col(id_col))
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("__cap"))
+        .select(id_col, domain_col, "rank")
+    )
+
+
+_SQRT_SAMPLE_ORACLE = f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+    ), caps AS (
+      SELECT lang,
+             LEAST(n, CAST(floor(sqrt(n) * {SQRT_CAP_SCALE}) AS BIGINT)) AS cap
+      FROM counts
+    ), ranked AS (
+      SELECT d.doc_id, d.lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('t' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rank
+      FROM documents d
+    )
+    SELECT r.doc_id, r.lang, r.rank
+    FROM ranked r JOIN caps c USING (lang)
+    WHERE r.rank <= c.cap
+    ORDER BY r.lang, r.rank
+"""
+
+
+def _register_sqrt_sample():
+    def fn(spark, sf_dir):
+        return sqrt_flatten_sample(load_table(spark, sf_dir, "documents")).orderBy(
+            "lang", "rank"
+        )
+
+    register("sampling_sqrt_temperature", Query(spark=fn, oracle=_SQRT_SAMPLE_ORACLE))
+
+
+_register_sqrt_sample()
