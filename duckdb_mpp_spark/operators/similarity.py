@@ -777,3 +777,86 @@ def _register_centroid_assign():
 
 
 _register_centroid_assign()
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (retrieval / contrastive training)
+# ---------------------------------------------------------------------------
+
+def hard_negative_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k most-similar vectors with a DIFFERENT label per query — the
+    hard-negative mining step of contrastive/retrieval training (the
+    negatives that matter are the ones the current embedding space already
+    confuses with the positives). ``queries``: (qid, qv, qlabel);
+    ``corpus``: (cid, cv, clabel).
+
+    Same scale shape as brute_force_topk: queries broadcast, one corpus
+    scan, per-query WindowGroupLimit heap. The label-mismatch predicate is
+    applied BEFORE scoring, so excluded (same-label) pairs never pay the
+    dot product. IVF/LSH bucketing composes exactly as for plain ANN when
+    the corpus outgrows a single scan per query batch."""
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("clabel") != F.col("qlabel"))
+    )
+    scored = pairs.select(
+        "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", F.round("cos_raw", 4).alias("score"))
+    )
+
+
+def _register_hard_negatives():
+    def fn(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.where("vec_id < 5").select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("label").alias("clabel"),
+        )
+        return hard_negative_topk(q, c, k=5).orderBy("qid", "rank")
+
+    register(
+        "ann_hard_negatives",
+        Query(
+            spark=fn,
+            oracle=f"""
+            WITH {_DUCK_NORMS},
+            dots AS (
+              SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     SUM(CAST(q.embedding[t.i] * c.embedding[t.i] AS DOUBLE)) AS dp
+              FROM embeddings q, embeddings c, generate_series(1, {DIM}) t(i)
+              WHERE q.vec_id < 5 AND c.label <> q.label
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT qid, cid, dp / (nq.nrm * nc.nrm) AS cos_raw
+              FROM dots JOIN norms nq ON nq.vec_id = qid
+                        JOIN norms nc ON nc.vec_id = cid
+            ),
+            ranked AS (
+              SELECT qid, cid,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS INT) AS rank,
+                     round(cos_raw, 4) AS score
+              FROM scored
+            )
+            SELECT qid, cid, rank, score FROM ranked WHERE rank <= 5
+            ORDER BY qid, rank
+            """,
+        ),
+    )
+
+
+_register_hard_negatives()
