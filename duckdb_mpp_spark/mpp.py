@@ -274,7 +274,9 @@ def parse_column_defs(
         elif re.search(r"\bUNIQUE\b", up):
             unique_cols.append(name)
         fields.append(T.StructField(name, dtype, nullable))
-    return T.StructType(fields), defaults, unique_cols
+    # a column can be declared unique both inline and in a table-level
+    # constraint — record it once (order-preserving)
+    return T.StructType(fields), defaults, list(dict.fromkeys(unique_cols))
 
 
 # ---------------------------------------------------------------------------
