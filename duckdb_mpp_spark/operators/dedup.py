@@ -122,13 +122,14 @@ def shingles(
     return idx.select(id_col, gram.alias("sh"))
 
 
-def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """LSH band signatures: (id, band, band_key). band_key is the
-    concatenation of ``ROWS_PER_BAND`` consecutive minhashes.
+def minhash_wide(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc K-wide minhash signature: (id, mh0..mh{K-1}).
 
     All K minhashes are computed as parallel ``min`` aggregates in ONE
     groupBy — the k-way hash evaluation happens map-side and the shuffle
-    carries only per-doc partial minima (K small strings per doc), not
+    carries only per-doc partial minima (K small values per doc), not
     K× the shingle stream. At 100 TB this is the difference between
     shuffling ~K·corpus and shuffling ~K·#docs."""
     sh = shingles(df, id_col, text_col)
@@ -141,7 +142,14 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     mins = [
         F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
     ]
-    mh = h.groupBy(id_col).agg(*mins)
+    return h.groupBy(id_col).agg(*mins)
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """LSH band signatures: (id, band, band_key). band_key is the
+    concatenation of ``ROWS_PER_BAND`` consecutive minhashes (see
+    :func:`minhash_wide` for the one-shuffle signature computation)."""
+    mh = minhash_wide(df, id_col, text_col)
     band_structs = F.array(
         *[
             F.struct(
@@ -810,3 +818,109 @@ def _register_keep_best():
 
 
 _register_keep_best()
+
+
+# ---------------------------------------------------------------------------
+# minhash similarity estimation (signature agreement)
+# ---------------------------------------------------------------------------
+
+def minhash_similarity_estimate(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-candidate-pair Jaccard ESTIMATE from minhash signature agreement
+    — the MinHash theorem in operator form: P[mh_s(a) = mh_s(b)] = J(a,b),
+    so the fraction of agreeing seeds estimates the exact Jaccard without
+    touching the shingle sets again. This is what production dedup actually
+    thresholds on when the exact verify pass is too expensive: signatures
+    are ~10⁻³ of corpus bytes, so the estimate costs |pairs|·K tiny rows
+    instead of a shingle-stream join.
+
+    One signature computation feeds both the LSH pair generation and the
+    two estimate join legs (localCheckpoint — the corpus is shingled ONCE).
+    Returns (doc_a, doc_b, n_agree, est_jaccard) with est = n_agree/K,
+    exact in both engines (integer count, one exact binary division)."""
+    mh = minhash_wide(docs, id_col, text_col).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(_bands_from_wide(mh, id_col))
+    stack_expr = "stack({}, {}) AS (seed, mh)".format(
+        K_MINHASH, ", ".join(f"{s}, mh{s}" for s in range(K_MINHASH))
+    )
+    long = mh.selectExpr(id_col, stack_expr)
+    a = long.select(
+        F.col(id_col).alias("doc_a"), "seed", F.col("mh").alias("mh_a")
+    )
+    b = long.select(
+        F.col(id_col).alias("doc_b"), "seed", F.col("mh").alias("mh_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).cast("int").alias("n_agree")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.round(F.col("n_agree") / F.lit(float(K_MINHASH)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def _bands_from_wide(mh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band signatures from an already-computed wide minhash table (shares
+    one signature evaluation between banding and other consumers)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return mh.select(id_col, F.explode(band_structs).alias("x")).select(
+        id_col, F.col("x.band").alias("band"), F.col("x.band_key").alias("band_key")
+    )
+
+
+def _register_minhash_estimate():
+    def fn(spark, sf_dir):
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        return minhash_similarity_estimate(docs).orderBy("doc_a", "doc_b")
+
+    register(
+        "dedup_minhash_estimate",
+        Query(
+            spark=fn,
+            oracle=_DUCK_BANDS
+            + f""",
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            )
+            SELECT p.doc_a, p.doc_b,
+                   CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT)
+                     AS n_agree,
+                   round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                         / {float(K_MINHASH)}, 6) AS est_jaccard
+            FROM pairs p
+            JOIN mh a ON a.doc_id = p.doc_a
+            JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+            """,
+        ),
+    )
+
+
+_register_minhash_estimate()
