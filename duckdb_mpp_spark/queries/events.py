@@ -594,3 +594,42 @@ register(
         ),
     ),
 )
+
+
+# Robust per-user anomaly detection: median / MAD (median absolute
+# deviation) instead of mean / stddev — the outlier detector that is itself
+# immune to the outliers it hunts (a single huge value shifts a z-score
+# baseline but not a median). Exactness: percentile_disc returns an actual
+# data element in both engines (same total order over exact doubles), the
+# deviations |x - med| are exact IEEE subtractions, and the 3·1.4826·MAD
+# threshold is the same two-multiply expression in both dialects — no
+# cross-engine drift anywhere. Two keyed aggregations + one keyed join;
+# everything shuffles on user_id only.
+register(
+    "events_anomaly_mad",
+    Query(
+        spark="""
+            WITH med AS (
+              SELECT user_id,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med_value,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY user_id
+            ),
+            dev AS (
+              SELECT e.user_id,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med_value)) AS mad
+              FROM events e JOIN med m USING (user_id)
+              GROUP BY e.user_id
+            )
+            SELECT m.user_id, m.n_events, m.med_value, d.mad,
+                   CAST(SUM(CASE WHEN abs(e.value - m.med_value)
+                                      > 3 * 1.4826 * d.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM events e
+            JOIN med m USING (user_id)
+            JOIN dev d ON d.user_id = e.user_id
+            GROUP BY m.user_id, m.n_events, m.med_value, d.mad
+            ORDER BY m.user_id
+        """,
+    ),
+)
