@@ -82,6 +82,38 @@ def _observed_matched(obs: Observation, df, pred) -> int:
         return df.where(pred).count()
 
 
+def _check_unique_staged(
+    table: DistributedTable, tmp_path: str, cols: list[str]
+) -> None:
+    """Bucket-local UNIQUE/PRIMARY KEY enforcement for COW rewrites (review
+    r4 — the reference's per-shard index rejects duplicate-creating DML on
+    every path, not just INSERT). The staged rewrite IS the complete
+    post-commit content of every affected bucket, and unaffected buckets
+    cannot gain duplicates (UPDATE never re-routes, upsert replaces by
+    key), so checking the staged files alone is sound. Cost: one re-read of
+    the affected buckets' new files, paid only when a unique column could
+    have changed. Raises (and the caller discards the staging dir) before
+    any snapshot publish, leaving the table untouched."""
+    if not cols:
+        return
+    staged = table.spark.read.option("basePath", tmp_path).parquet(tmp_path)
+    for col in cols:
+        dup = (
+            staged.select(BUCKET_COL, col)
+            .where(F.col(col).isNotNull())
+            .groupBy(BUCKET_COL, col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
+                f'violates unique constraint in table "{table.meta.name}"'
+            )
+
+
 def _rewrite_sort_cols(table: DistributedTable) -> list[str]:
     """COW rewrites preserve SORT BY clustering (zone maps stay tight after
     UPDATE/DELETE); unsorted tables just cluster by bucket."""
@@ -142,6 +174,13 @@ def update(
     if matched == 0:
         shutil.rmtree(tmp, ignore_errors=True)
         return 0
+    changed_unique = [c for c in meta.unique_columns if c in assignments]
+    if changed_unique:
+        try:
+            _check_unique_staged(table, tmp, changed_unique)
+        except ValueError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     _commit_rewrite(table, tmp, ids, base, snap_files)
     return matched
 
@@ -211,6 +250,12 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
     )
+    if meta.unique_columns:
+        try:
+            _check_unique_staged(table, tmp, list(meta.unique_columns))
+        except ValueError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     _commit_rewrite(table, tmp, ids, base, snap_files)
     return applied
 

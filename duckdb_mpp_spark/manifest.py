@@ -234,11 +234,18 @@ def _resolve_doc(table_path: str, doc: dict) -> dict[str, dict] | None:
 
 
 def current_version(table_path: str) -> int:
-    """Highest committed READABLE snapshot version; 0 = no commit yet.
-    Agrees with ``load`` on what the head is (ADVICE r3) — a torn head
-    file written by external tooling is not the head."""
+    """Highest committed READABLE **and resolvable** snapshot version; 0 =
+    no commit yet. Agrees exactly with ``load`` on what the head is (ADVICE
+    r3): a torn head file written by external tooling is not the head, and
+    neither is a manifest list whose bucket manifests are missing
+    (partially-synced ``_commits``) — otherwise writers would base-check
+    against a version readers cannot use and every commit retry would
+    re-raise ``CommitConflict`` against the same immovable head. Resolving
+    reads only cached immutable bucket manifests, so the agreement costs
+    nothing on the happy path."""
     for v in reversed(_list_versions(table_path)):
-        if _read_version_doc(table_path, v) is not None:
+        doc = _read_version_doc(table_path, v)
+        if doc is not None and _resolve_doc(table_path, doc) is not None:
             return v
     return 0
 
@@ -365,9 +372,13 @@ def load(
     }
     if not files:
         return 0, {}
-    base = versions[-1] if versions else 0  # all-corrupt log: commit past it
+    # All-corrupt/unresolvable log (or none): base on the readable head —
+    # 0 here, since any resolvable version would have returned above.
+    # ``commit`` still publishes ABOVE the torn filenames via
+    # max(listed + [base]) + 1, so the bootstrap cannot collide with them
+    # and cannot raise a spurious CommitConflict (review r4).
     try:
-        return commit(table_path, files, base), files
+        return commit(table_path, files, current_version(table_path)), files
     except OSError:
         return 0, files  # read-only storage: serve the listing, uncommitted
 
@@ -403,23 +414,42 @@ def vacuum(
     add a retention window (only vacuum files unreferenced for > T), which
     is a policy knob, not a protocol change."""
     load(table_path, bucket_col, sort_col)  # materialize a bootstrap commit if needed
+    # Retention is decided over RESOLVABLE versions only (review r4): a
+    # torn/partially-synced head must never shadow the snapshot readers
+    # actually fall back to — counting it toward ``keep_commits`` could
+    # prune the real head, and treating it as "retained but empty" would
+    # compute an empty live set and delete every live data file.
     versions = _list_versions(table_path)
-    for v in versions[: -max(keep_commits, 1)]:
+    resolved: dict[int, dict[str, dict]] = {}
+    for v in versions:
+        doc = _read_version_doc(table_path, v)
+        files = _resolve_doc(table_path, doc) if doc is not None else None
+        if files is not None:
+            resolved[v] = files
+    if not resolved:
+        if _list_data_files(table_path, bucket_col):
+            raise ValueError(
+                f"refusing to vacuum {table_path}: data files exist but no "
+                "snapshot version is readable — repair or remove _commits first"
+            )
+        return 0
+    kept = sorted(resolved)[-max(keep_commits, 1):]
+    for v in versions:
+        if v in kept:
+            continue
+        if v > kept[-1]:
+            continue  # torn filenames above the head stay (commit skips past them)
         try:
             os.unlink(_version_file(table_path, v))
         except OSError:
             pass
     live: set[str] = set()
     live_manifests: set[str] = set()
-    for v in versions[-max(keep_commits, 1):]:
+    for v in kept:
         doc = _read_version_doc(table_path, v)
-        if doc is None:
-            continue
-        if "buckets" in doc:
+        if doc is not None and "buckets" in doc:
             live_manifests.update(doc["buckets"].values())
-        files = _resolve_doc(table_path, doc)
-        if files:
-            live.update(files)
+        live.update(resolved[v])
     removed = 0
     for rel in _list_data_files(table_path, bucket_col):
         if rel not in live:

@@ -244,6 +244,7 @@ def parse_column_defs(
     loudly (never silently ignored); CHECK / FOREIGN KEY remain accepted-
     but-unenforced, documented per SURVEY §1.3."""
     fields, defaults, unique_cols = [], {}, []
+    table_pk_cols: list[str] = []
     for coldef in _split_top_level(cols_text):
         tm = re.match(
             r"^(?:CONSTRAINT\s+\S+\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\((?P<cols>[^)]*)\)\s*$",
@@ -257,6 +258,8 @@ def parse_column_defs(
                     "composite UNIQUE/PRIMARY KEY constraints are not supported"
                 )
             unique_cols.append(cols[0])
+            if tm.group(1).upper().startswith("PRIMARY"):
+                table_pk_cols.append(cols[0].lower())
             continue
         if re.match(r"^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b", coldef, re.I):
             continue  # other table-level constraint: accepted, not enforced
@@ -274,6 +277,16 @@ def parse_column_defs(
         elif re.search(r"\bUNIQUE\b", up):
             unique_cols.append(name)
         fields.append(T.StructField(name, dtype, nullable))
+    # table-level PRIMARY KEY (col) implies NOT NULL exactly like the
+    # inline form (review r4; the constraint may precede or follow the
+    # column definition, so this is applied after the loop)
+    if table_pk_cols:
+        fields = [
+            T.StructField(f.name, f.dataType, False)
+            if f.name.lower() in table_pk_cols
+            else f
+            for f in fields
+        ]
     # a column can be declared unique both inline and in a table-level
     # constraint — record it once (order-preserving)
     return T.StructType(fields), defaults, list(dict.fromkeys(unique_cols))
@@ -678,7 +691,12 @@ class MppSession:
                     "(rewrite the subquery to filter on a windowed column)"
                 )
             return query
-        if re.match(r"^\s*SELECT\s+DISTINCT\b", query, re.IGNORECASE):
+        # The DISTINCT guard must inspect the MAIN select, not the query
+        # prefix — a WITH-prefixed query's top-level SELECT sits after the
+        # CTE list (review r4; CTE bodies are paren-nested, so the first
+        # depth-0 SELECT is the main one).
+        sidx = max(_find_keyword_top_level(query, "SELECT"), 0)
+        if re.match(r"^\s*SELECT\s+DISTINCT\b", query[sidx:], re.IGNORECASE):
             raise NotImplementedError(
                 "QUALIFY with SELECT DISTINCT is not supported (the hoisted "
                 "window predicate would join the DISTINCT key set); apply "
@@ -827,6 +845,25 @@ class MppSession:
                 quals.add(word.lower())
         return quals
 
+    def _self_joined(self, query: str, name: str) -> bool:
+        """True when ``name`` appears more than once as a relation (FROM /
+        JOIN / comma list) — a self-join. One temp view then backs BOTH
+        relation instances, so per-alias WHERE conjuncts must not be merged
+        into a single bucket/zone-map restriction on the shared scan: AND
+        semantics intersect, but the shared scan needs the UNION of what
+        each leg reads (review r4). Pruning and file skipping are disabled
+        for self-joined tables; Catalyst still applies the full predicate."""
+        return (
+            len(
+                re.findall(
+                    rf"(?:\bFROM|\bJOIN|,)\s+{re.escape(name)}\b",
+                    query,
+                    re.IGNORECASE,
+                )
+            )
+            > 1
+        )
+
     def _rewrite_where_aliases(self, query: str) -> str:
         """DuckDB allows select-list aliases in WHERE (``SELECT id AS c0 ...
         WHERE c0=1``, test/sql/mpp_filter.test:55); Spark resolves lateral
@@ -914,7 +951,12 @@ class MppSession:
             # pruning) and, for SORT BY tables, the zone-map-skipped file
             # list; the user's WHERE is applied in full by spark.sql itself,
             # so both remain pure optimizations.
-            if where and len(names) == 1 and not tbl.meta.colocated:
+            if (
+                where
+                and len(names) == 1
+                and not tbl.meta.colocated
+                and not self._self_joined(query, name)
+            ):
                 quals = self._table_qualifiers(query, name)
                 df = None
                 snap_files = tbl.snapshot_files()
@@ -1082,9 +1124,12 @@ class MppSession:
         for name in names:
             tbl = self.table(name)
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
-            ids = tbl.pruned_bucket_ids(
-                where, aliases, qualifiers=self._table_qualifiers(query, name)
-            )
+            if self._self_joined(query, name):
+                ids = list(range(tbl.meta.buckets))  # pruning disabled (see _self_joined)
+            else:
+                ids = tbl.pruned_bucket_ids(
+                    where, aliases, qualifiers=self._table_qualifiers(query, name)
+                )
             header.append(f"Table: {name}")
             header.append(f"Shards: {len(ids)}/{tbl.meta.buckets}")
             if where:

@@ -674,10 +674,10 @@ _SQRT_SAMPLE_ORACLE = f"""
       FROM counts
     ), ranked AS (
       SELECT d.doc_id, d.lang,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY d.lang
                ORDER BY md5('t' || CAST(d.doc_id AS VARCHAR)), d.doc_id
-             ) AS rank
+             ) AS INT) AS rank
       FROM documents d
     )
     SELECT r.doc_id, r.lang, r.rank

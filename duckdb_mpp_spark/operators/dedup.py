@@ -148,23 +148,11 @@ def minhash_wide(
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """LSH band signatures: (id, band, band_key). band_key is the
     concatenation of ``ROWS_PER_BAND`` consecutive minhashes (see
-    :func:`minhash_wide` for the one-shuffle signature computation)."""
-    mh = minhash_wide(df, id_col, text_col)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return mh.select(id_col, F.explode(band_structs).alias("x")).select(
-        id_col, F.col("x.band").alias("band"), F.col("x.band_key").alias("band_key")
-    )
+    :func:`minhash_wide` for the one-shuffle signature computation; the
+    banding explode itself lives in :func:`_bands_from_wide` so the batch
+    gate, the estimate gate, and the streaming path share ONE band-key
+    encoding)."""
+    return _bands_from_wide(minhash_wide(df, id_col, text_col), id_col)
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -109,8 +109,15 @@ def _freshest_green_round() -> dict[str, int]:
         for name, row in doc.items():
             if not isinstance(row, dict):
                 continue
+            # Green = the hash matched, or a genuinely rows-only check
+            # passed (hash axis ABSENT/null — the weaker no-oracle mode).
+            # A row with hash_match=False is a content MISMATCH even when
+            # rows_match is true, and must stay in tier 0 (re-verify
+            # first), not sort into the freshest tier (review r4).
             green = bool(row.get("hash_match")) or (
-                bool(row.get("rows_match")) and not row.get("err")
+                row.get("hash_match") is None
+                and bool(row.get("rows_match"))
+                and not row.get("err")
             )
             if green:
                 out[name] = max(out.get(name, 0), rnd)

@@ -305,3 +305,103 @@ def test_table_level_unique_constraint(spark, mpp):
     assert mpp.sql("INSERT INTO tu VALUES (1, 5), (1, 6)") == 2
     with pytest.raises(ValueError, match="unique constraint"):
         mpp.sql("INSERT INTO tu VALUES (1, 5)")
+
+
+def test_qualify_with_cte_select_distinct_rejected(spark, mpp):
+    """review r4: the DISTINCT guard must see through a WITH prefix — the
+    main SELECT is the first depth-0 SELECT, not the query start."""
+    mpp.sql("CREATE TABLE qw(k INT, grp INT) PARTITION BY (grp) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO qw VALUES (1, 1), (2, 1)")
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        mpp.sql(
+            "WITH c AS (SELECT k, grp FROM qw) SELECT DISTINCT grp FROM c "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY k) = 1"
+        )
+    # ...while a plain (non-DISTINCT) CTE query with QUALIFY still rewrites
+    got = mpp.sql(
+        "WITH c AS (SELECT k, grp FROM qw) SELECT k, grp FROM c "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY k) = 1"
+    ).collect()
+    assert [(r[0], r[1]) for r in got] == [(1, 1)]
+
+
+def test_table_level_primary_key_implies_not_null(spark, mpp):
+    """review r4: PRIMARY KEY (col) as a table-level constraint must set
+    NOT NULL exactly like the inline form."""
+    mpp.sql(
+        "CREATE TABLE pkt(id INT, v TEXT, PRIMARY KEY (id)) "
+        "PARTITION BY (id) WITH BUCKETS 2"
+    )
+    assert mpp.sql("INSERT INTO pkt VALUES (1, 'a')") == 1
+    with pytest.raises(Exception, match="NOT NULL"):
+        mpp.sql("INSERT INTO pkt VALUES (NULL, 'c')")
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("INSERT INTO pkt VALUES (1, 'b')")
+
+
+def test_update_cannot_create_unique_duplicates(spark, mpp):
+    """review r4: the reference's per-shard index rejects duplicate-creating
+    DML on every path — UPDATE must enforce UNIQUE, and a rejected UPDATE
+    must leave the table untouched (no poisoned bucket)."""
+    mpp.sql("CREATE TABLE uu(id INT UNIQUE, grp INT) PARTITION BY (grp) WITH BUCKETS 2")
+    assert mpp.sql("INSERT INTO uu VALUES (1, 10), (2, 10), (3, 11)") == 3
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("UPDATE uu SET id = 1 WHERE grp = 10")
+    # table untouched: still 3 rows, original ids, and clean inserts work
+    assert sorted(r[0] for r in mpp.sql("SELECT id FROM uu").collect()) == [1, 2, 3]
+    assert mpp.sql("INSERT INTO uu VALUES (4, 10)") == 1
+    # updates NOT touching the unique column skip the check and work
+    assert mpp.sql("UPDATE uu SET grp = grp WHERE id = 4") == 1
+
+
+def test_upsert_cannot_create_unique_duplicates(spark, mpp):
+    """review r4: MERGE upsert enforces UNIQUE on non-key columns too."""
+    mpp.sql(
+        "CREATE TABLE us(k INT, ref INT UNIQUE, grp INT) "
+        "PARTITION BY (grp) WITH BUCKETS 2"
+    )
+    mpp.sql("INSERT INTO us VALUES (1, 100, 10), (2, 200, 10)")
+    dup = spark.createDataFrame([(3, 100, 10)], "k INT, ref INT, grp INT")
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.upsert("us", dup, ["grp", "k"])
+    assert mpp.sql("SELECT COUNT(*) AS n FROM us").collect()[0][0] == 2
+    # replacing the row that HOLDS the unique value is fine
+    ok = spark.createDataFrame([(1, 100, 10), (3, 300, 10)], "k INT, ref INT, grp INT")
+    assert mpp.upsert("us", ok, ["grp", "k"]) == 2
+    assert mpp.sql("SELECT COUNT(*) AS n FROM us").collect()[0][0] == 3
+
+
+def test_self_join_disables_pruning_and_zonemap_merge(spark, mpp):
+    """review r4: one temp view backs BOTH legs of a self-join, so merging
+    per-alias WHERE conjuncts into a single bucket/zone-map restriction
+    (AND = intersection) would starve one leg. Pruning must disable."""
+    mpp.sql(
+        "CREATE TABLE sj(k INT, v INT, grp INT) "
+        "PARTITION BY (grp) WITH BUCKETS 4 SORT BY (v)"
+    )
+    df = spark.range(300).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS INT) AS v", "CAST(id % 3 AS INT) AS grp"
+    )
+    tbl = mpp.table("sj")
+    for lo in (0, 100, 200):
+        tbl.insert(df.where(f"v >= {lo} AND v < {lo + 100}"))
+    # zone-map: merged bounds v<50 AND 200<=v<250 are contradictory → the
+    # old code skipped every file and returned 0 rows
+    got = mpp.sql(
+        "SELECT a.k AS ak, b.k AS bk FROM sj a JOIN sj b ON b.k = a.k + 200 "
+        "WHERE a.v < 50 AND b.v >= 200 AND b.v < 250"
+    ).collect()
+    assert len(got) == 50
+    # bucket pruning: merged grp=0 AND grp=1 is an empty shard set
+    n = mpp.sql(
+        "SELECT COUNT(*) AS n FROM sj a JOIN sj b ON b.k = a.k + 1 "
+        "WHERE a.grp = 0 AND b.grp = 1"
+    ).collect()[0][0]
+    assert n == 100
+    # single-reference queries keep pruning (the fix is self-join-scoped)
+    assert "Shards: 1/4" in mpp.sql("EXPLAIN SELECT k FROM sj WHERE grp = 1")
+    # ...and the self-joined EXPLAIN reports the full shard set honestly
+    assert "Shards: 4/4" in mpp.sql(
+        "EXPLAIN SELECT COUNT(*) AS n FROM sj a JOIN sj b ON b.k = a.k + 1 "
+        "WHERE a.grp = 0 AND b.grp = 1"
+    )

@@ -212,3 +212,69 @@ def test_stat_encoding_round_trip():
         assert manifest._dec(manifest._enc(v)) == v
     assert manifest._enc(object()) is None
     assert manifest._dec(None) is None
+
+
+def test_vacuum_with_torn_head_keeps_live_files(sorted_table):
+    """review r4: a torn retained head must not empty the live set —
+    retention is decided over RESOLVABLE versions, so vacuum keeps the
+    snapshot readers actually fall back to and deletes nothing live."""
+    head = manifest._list_versions(sorted_table.path)[-1]
+    with open(manifest._version_file(sorted_table.path, head + 1), "w") as f:
+        f.write("{torn")
+    assert sorted_table.vacuum(keep_commits=1) == 0  # nothing live removed
+    assert sorted_table.scan().count() == 300
+    assert manifest.current_version(sorted_table.path) == head
+
+
+def test_vacuum_refuses_all_corrupt_log(sorted_table, monkeypatch):
+    """review r4: if NO version resolves but data files exist (and the
+    bootstrap repair inside load() cannot commit — read-only storage),
+    vacuum must refuse rather than delete the whole table."""
+    for v in manifest._list_versions(sorted_table.path):
+        with open(manifest._version_file(sorted_table.path, v), "w") as f:
+            f.write("{torn")
+    # simulate read-only storage: the bootstrap's commit attempt fails the
+    # way an unwritable object store would (chmod is no barrier under root)
+    monkeypatch.setattr(
+        manifest, "commit",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("read-only storage")),
+    )
+    with pytest.raises(ValueError, match="refusing to vacuum"):
+        manifest.vacuum(sorted_table.path, BUCKET_COL)
+    # data files all still present
+    assert len(manifest._list_data_files(sorted_table.path, BUCKET_COL)) == 12
+
+
+def test_all_corrupt_log_bootstraps_readably(sorted_table):
+    """review r4: a log where EVERY version file is torn bootstraps from
+    the listing with base = readable head (0) — no spurious
+    CommitConflict — and publishes above the torn filenames."""
+    vs = manifest._list_versions(sorted_table.path)
+    for v in vs:
+        with open(manifest._version_file(sorted_table.path, v), "w") as f:
+            f.write("{torn")
+    assert sorted_table.scan().count() == 300
+    assert manifest.current_version(sorted_table.path) == vs[-1] + 1
+
+
+def test_missing_bucket_manifest_head_agreement(spark, sorted_table):
+    """review r4: a head whose bucket manifest file is missing (partially
+    synced _commits) is not the head for readers OR writers — commits must
+    base on the resolvable fallback instead of burning retries against an
+    unusable version."""
+    head = manifest._list_versions(sorted_table.path)[-1]
+    doc = manifest._read_version_doc(sorted_table.path, head)
+    victim = sorted(doc["buckets"].values())[0]
+    vpath = os.path.join(sorted_table.path, manifest.COMMITS_DIR, victim)
+    # drop it from the process-wide cache too (immutable-by-name assumption)
+    manifest._MANIFEST_CACHE.pop(vpath, None)
+    os.unlink(vpath)
+    # reads fall back to the previous resolvable version
+    assert manifest.current_version(sorted_table.path) == head - 1
+    assert sorted_table.scan().count() == 200
+    # a write commits above the unusable head without livelocking
+    sorted_table.insert(
+        spark.createDataFrame([(999, 999, 3)], "k INT, v INT, grp INT")
+    )
+    assert manifest.current_version(sorted_table.path) == head + 1
+    assert sorted_table.scan().count() == 201

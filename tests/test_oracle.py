@@ -88,3 +88,28 @@ def test_approx_count_distinct_tolerance(spark):
         F.count_distinct("l_partkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_rotation_green_excludes_hash_mismatch(tmp_path, monkeypatch):
+    """review r4: a driver row with hash_match=False is a content MISMATCH
+    even when rows_match is true — it must stay in tier 0 (re-verify
+    first), while hash-null rows-only passes and hash-true rows count as
+    green for their round."""
+    import json
+
+    from duckdb_mpp_spark import queries as q
+
+    doc = {
+        "hash_red": {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None},
+        "green": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+        "rows_only": {"rows_match": True, "schema_match": None,
+                      "hash_match": None, "err": None},
+        "no_oracle": {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(doc))
+    monkeypatch.setattr(q, "_REPO_ROOT", str(tmp_path))
+    fresh = q._freshest_green_round()
+    assert fresh == {"green": 7, "rows_only": 7}
