@@ -957,23 +957,27 @@ class MppSession:
                 and not tbl.meta.colocated
                 and not self._self_joined(query, name)
             ):
+                from duckdb_mpp_spark.pruning import bucket_predicate_for_where
+
                 quals = self._table_qualifiers(query, name)
+                # derive once, reuse for the zone-map bucket filter (the
+                # old flow derived it twice per registered view)
+                pred = bucket_predicate_for_where(
+                    where, tbl.meta.partition_column, tbl._part_type_ddl,
+                    tbl.meta.buckets, aliases, qualifiers=quals,
+                )
                 df = None
                 snap_files = tbl.snapshot_files()
                 if snap_files:
-                    df = tbl._zonemap_read(where, aliases, quals, snap_files)
+                    df = tbl._zonemap_read(
+                        where, aliases, quals, snap_files, bucket_pred=pred
+                    )
                     if tbl.last_file_skip is not None:
                         self.last_file_skip[name] = tbl.last_file_skip
                     if df is None:
                         df = tbl.scan(where=None, keep_bucket=True)
                 else:
                     df = tbl._empty_df(True)
-                from duckdb_mpp_spark.pruning import bucket_predicate_for_where
-
-                pred = bucket_predicate_for_where(
-                    where, tbl.meta.partition_column, tbl._part_type_ddl,
-                    tbl.meta.buckets, aliases, qualifiers=quals,
-                )
                 if pred and tbl._has_data():
                     df = df.where(pred)
                 df = df.drop("__bucket")

@@ -56,6 +56,10 @@ _TOKEN_RE = re.compile(
 
 
 def _tokenize(text: str) -> list[tuple[str, str]] | None:
+    # rstrip: the token regex requires a non-space char after \s*, so an
+    # unstripped predicate ("c0 = 1 ") would fail to tokenize and silently
+    # disable pruning/skipping for a cosmetic reason (review r4)
+    text = text.rstrip()
     out, pos = [], 0
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
@@ -292,6 +296,25 @@ def _hash_expr(lit: str, ptype_ddl: str, buckets: int) -> str:
     return f"pmod(hash(CAST({lit} AS {ptype_ddl})), {buckets})"
 
 
+_STRING_TYPES = ("STRING", "VARCHAR", "CHAR", "TEXT")
+
+
+def _literal_prunes(lit: str, ptype_ddl: str) -> bool:
+    """Soundness gate for one literal against the partition-column type
+    (review r4). The derived bucket is ``hash(CAST(lit AS ptype))``, which
+    is only correct when every row value satisfying ``col OP lit`` under
+    Spark's comparison coercion hashes to that bucket. For a STRING
+    partition column compared against a NUMBER (or typed date/timestamp)
+    literal, Spark casts the COLUMN side — so ``c = 5`` matches '5', '05',
+    '5.0', ' 5' …, which route to different buckets than hash('5'):
+    pruning (and the DML bucket selection built on it) would silently drop
+    matching rows. Every other combination casts the LITERAL side to the
+    column type, which is exactly the hash expression — sound."""
+    if not ptype_ddl.upper().startswith(_STRING_TYPES):
+        return True
+    return lit.startswith("'") or lit.upper() == "NULL"
+
+
 def bucket_predicate(
     ast,
     part_col: str,
@@ -343,6 +366,8 @@ def bucket_predicate(
         if isinstance(node, Atom):
             if not col_matches(node.col):
                 return None
+            if any(not _literal_prunes(l, ptype_ddl) for l in node.literals):
+                return None  # column-side coercion: hash(CAST(lit)) unsound
             if node.kind == "eq":
                 return f"__bucket = {_hash_expr(node.literals[0], ptype_ddl, buckets)}"
             if node.kind == "in":

@@ -141,20 +141,34 @@ class DistributedTable:
         return dict(zip(new_rels, stats))
 
     def _commit_append(
-        self, new_entries: dict[str, dict], base: int, files: dict[str, dict]
+        self,
+        new_entries: dict[str, dict],
+        base: int,
+        files: dict[str, dict],
+        revalidate=None,
     ) -> None:
         """Publish snapshot ∪ new files. ``(base, files)`` must be the
         snapshot read BEFORE the staged files were ingested. Appends
         commute, so a concurrent head move just means rebase-and-retry —
         bounded (ADVICE r3: an unbounded loop turns any head pathology
         into a liveness hang; ~100 retries is far beyond any real writer
-        concurrency, so exhausting it means something is genuinely wrong)."""
+        concurrency, so exhausting it means something is genuinely wrong).
+
+        ``revalidate(rebased_files)``: called after every rebase, BEFORE
+        the retry (review r4). Constraint checks made against the original
+        base are stale once the head moves — two concurrent inserts of the
+        same UNIQUE key would otherwise both pass their pre-commit check
+        and both land. A raising revalidation aborts the commit; the
+        already-ingested files stay unreferenced orphans (vacuumable),
+        same as a crashed insert."""
         for _ in range(100):
             try:
                 _manifest_mod.commit(self.path, {**files, **new_entries}, base)
                 return
             except _manifest_mod.CommitConflict:
                 base, files = self.snapshot()
+                if revalidate is not None:
+                    revalidate(files)
         raise RuntimeError(
             f"append to {self.meta.name} lost 100 consecutive commit races; "
             "giving up (check for a stuck or runaway concurrent writer)"
@@ -310,10 +324,46 @@ class DistributedTable:
         base, files = self.snapshot()  # before ingest — see _commit_append
         try:
             routed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-            self._commit_append(self._ingest_staged(tmp), base, files)
+            new_entries = self._ingest_staged(tmp)
+            revalidate = (
+                (lambda bf: self._revalidate_unique(new_entries, bf))
+                if self.meta.unique_columns
+                else None
+            )
+            self._commit_append(new_entries, base, files, revalidate)
         finally:
             _shutil.rmtree(tmp, ignore_errors=True)
         return int(obs.get["cnt"])
+
+    def _revalidate_unique(
+        self, new_entries: dict[str, dict], base_files: dict[str, dict]
+    ) -> None:
+        """Re-check bucket-local uniqueness of an ingested (not yet
+        committed) batch against a REBASED snapshot — the commit-race
+        closure of ``_enforce_unique`` (review r4). Reads only the new
+        files plus the rebased snapshot's files in the affected buckets."""
+        affected = {rel.split("/", 1)[0] for rel in new_entries}
+        paths = [os.path.join(self.path, rel) for rel in new_entries] + [
+            os.path.join(self.path, rel)
+            for rel in base_files
+            if rel.split("/", 1)[0] in affected
+        ]
+        merged = self.spark.read.option("basePath", self.path).parquet(*paths)
+        for col in self.meta.unique_columns:
+            dup = (
+                merged.select(BUCKET_COL, col)
+                .where(F.col(col).isNotNull())
+                .groupBy(BUCKET_COL, col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
+                    f'violates unique constraint in table "{self.meta.name}"'
+                )
 
     # -- read path --------------------------------------------------------
     def scan(
@@ -340,13 +390,18 @@ class DistributedTable:
             if keep_bucket:
                 out_cols = out_cols + [BUCKET_COL]
             return df.select(*out_cols)
-        df = self._zonemap_read(where, aliases, qualifiers, snap_files)
-        if df is None:
-            df = self._read_files(snap_files)
+        # derive the bucket predicate ONCE; _zonemap_read reuses it (the
+        # old flow derived it twice and paid an extra O(#buckets) Spark
+        # job per filtered scan — review r4)
         bucket_pred = bucket_predicate_for_where(
             where, self.meta.partition_column, self._part_type_ddl,
             self.meta.buckets, aliases, qualifiers or {self.meta.name},
         )
+        df = self._zonemap_read(
+            where, aliases, qualifiers, snap_files, bucket_pred=bucket_pred
+        )
+        if df is None:
+            df = self._read_files(snap_files)
         if bucket_pred:
             df = df.where(bucket_pred)
         if where:
@@ -356,12 +411,15 @@ class DistributedTable:
             out_cols = out_cols + [BUCKET_COL]
         return df.select(*out_cols)
 
+    _UNSET = object()
+
     def _zonemap_read(
         self,
         where: str | None,
         aliases: set[str] | None,
         qualifiers: set[str] | None,
         snap_files: dict[str, dict],
+        bucket_pred=_UNSET,
     ) -> DataFrame | None:
         """Zone-map file skipping for SORT BY tables: derive conservative
         bounds on the sort column from ``where``, keep only files whose
@@ -393,7 +451,14 @@ class DistributedTable:
         bounds = zonemap.all_bounds(where, qualifiers or {self.meta.name})
         if not bounds:
             return None
-        bucket_ids = set(self.pruned_bucket_ids(where, aliases, qualifiers))
+        if bucket_pred is DistributedTable._UNSET:
+            bucket_pred = bucket_predicate_for_where(
+                where, self.meta.partition_column, self._part_type_ddl,
+                self.meta.buckets, aliases, qualifiers or {self.meta.name},
+            )
+        bucket_ids = set(
+            evaluate_bucket_ids(self.spark, bucket_pred, self.meta.buckets)
+        )
         sort_lc = (self.meta.sort_column or "").lower()
         total, kept = 0, []
         for rel, ent in sorted(snap_files.items()):
@@ -456,12 +521,9 @@ class DistributedTable:
             if where:
                 df = df.where(where)
             return df.select("rowid", *base_cols)
-        out, off = [], {}
-        for rel, ent in sorted(snap_files.items()):
-            bucket = rel.split("/", 1)[0]
-            out.append(("file:" + os.path.join(self.path, rel), off.get(bucket, 0)))
-            off[bucket] = off.get(bucket, 0) + ent["rows"]
-        offsets = self.spark.createDataFrame(out, "__fp string, __off long")
+        offsets = self.spark.createDataFrame(
+            self._file_rowid_offsets(), "__fp string, __off long"
+        )
         df = (
             self._read_files(snap_files)
             .withColumn("__fp", F.col("_metadata.file_path"))

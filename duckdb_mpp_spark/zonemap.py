@@ -43,18 +43,29 @@ class Bounds:
     lo_inclusive: bool = True
     hi: object | None = None
     hi_inclusive: bool = True
+    # Set when two conjuncts constrained the same column with incomparable
+    # literal types (``x > 5 AND x > '7'`` — legal SQL, Spark coerces).
+    # Such bounds are dropped entirely: skipping must degrade to a full
+    # scan, never crash the query (review r4).
+    invalid: bool = False
 
     def tighten_lo(self, v, inclusive: bool) -> None:
-        if self.lo is None or v > self.lo or (v == self.lo and not inclusive):
-            self.lo, self.lo_inclusive = v, inclusive
+        try:
+            if self.lo is None or v > self.lo or (v == self.lo and not inclusive):
+                self.lo, self.lo_inclusive = v, inclusive
+        except TypeError:
+            self.invalid = True
 
     def tighten_hi(self, v, inclusive: bool) -> None:
-        if self.hi is None or v < self.hi or (v == self.hi and not inclusive):
-            self.hi, self.hi_inclusive = v, inclusive
+        try:
+            if self.hi is None or v < self.hi or (v == self.hi and not inclusive):
+                self.hi, self.hi_inclusive = v, inclusive
+        except TypeError:
+            self.invalid = True
 
     @property
     def constrained(self) -> bool:
-        return self.lo is not None or self.hi is not None
+        return not self.invalid and (self.lo is not None or self.hi is not None)
 
 
 def _parse_literal_value(kind: str, text: str):
@@ -158,6 +169,18 @@ def all_bounds(
     toks = _tokenize(where)
     if toks is None:
         return {}
+    # A depth-0 OR means the expression is a DISJUNCTION of AND-chains
+    # (AND binds tighter than OR), so no individual comparison is a
+    # required conjunct — deriving bounds from any of them would skip
+    # files that satisfy a different disjunct (review r4: wrong results).
+    # ORs nested inside parentheses are safe: their parenthesized group is
+    # one unrecognized conjunct and is simply ignored below.
+    depth = 0
+    for k, v in toks:
+        depth += k == "lparen"
+        depth -= k == "rparen"
+        if depth == 0 and k == "word" and v.upper() == "OR":
+            return {}
     quals = {q.lower() for q in (qualifiers or set())}
     out: dict[str, Bounds] = {}
 
@@ -266,6 +289,11 @@ def _coerce(stat, bound):
     if isinstance(stat, str) and isinstance(bound, str):
         return stat, bound
     if isinstance(stat, _dt.datetime) and isinstance(bound, _dt.datetime):
+        # naive/aware mixes are incomparable in Python (TypeError) even
+        # though Spark compares them fine after session-tz normalization —
+        # keep the file rather than crash the scan (review r4)
+        if (stat.tzinfo is None) != (bound.tzinfo is None):
+            return None
         return stat, bound
     if isinstance(stat, _dt.date) and isinstance(bound, _dt.date):
         # datetime vs date mixes: promote the pure-date side to a midnight
@@ -311,19 +339,24 @@ def _coerce(stat, bound):
 
 
 def file_overlaps(fmin, fmax, bounds: Bounds) -> bool:
-    """True unless the footer stats PROVE the file disjoint from bounds."""
-    if bounds.lo is not None:
-        c = _coerce(fmax, bounds.lo)
-        if c is not None:
-            fmx, lo = c
-            if fmx < lo or (fmx == lo and not bounds.lo_inclusive):
-                return False
-    if bounds.hi is not None:
-        c = _coerce(fmin, bounds.hi)
-        if c is not None:
-            fmn, hi = c
-            if fmn > hi or (fmn == hi and not bounds.hi_inclusive):
-                return False
+    """True unless the footer stats PROVE the file disjoint from bounds.
+    Any comparison that raises (types _coerce paired but Python still
+    can't order) keeps the file — skipping degrades, never crashes."""
+    try:
+        if bounds.lo is not None:
+            c = _coerce(fmax, bounds.lo)
+            if c is not None:
+                fmx, lo = c
+                if fmx < lo or (fmx == lo and not bounds.lo_inclusive):
+                    return False
+        if bounds.hi is not None:
+            c = _coerce(fmin, bounds.hi)
+            if c is not None:
+                fmn, hi = c
+                if fmn > hi or (fmn == hi and not bounds.hi_inclusive):
+                    return False
+    except TypeError:
+        return True
     return True
 
 

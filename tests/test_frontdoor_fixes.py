@@ -405,3 +405,66 @@ def test_self_join_disables_pruning_and_zonemap_merge(spark, mpp):
         "EXPLAIN SELECT COUNT(*) AS n FROM sj a JOIN sj b ON b.k = a.k + 1 "
         "WHERE a.grp = 0 AND b.grp = 1"
     )
+
+
+def test_string_partition_numeric_literal_never_prunes(spark, mpp):
+    """review r4: `strcol = 5` makes Spark cast the COLUMN side, so '05',
+    '5.0', ' 5'… all match while hash('5') names one bucket — pruning (and
+    the DML bucket selection on top of it) must disable for non-string
+    literals on a string partition column."""
+    mpp.sql("CREATE TABLE sp(c TEXT, v INT) PARTITION BY (c) WITH BUCKETS 8")
+    # '05' casts to 5 (ANSI) but routes to a different bucket than '5'
+    mpp.sql("INSERT INTO sp VALUES ('05', 1), ('5', 2), ('7', 3)")
+    got = sorted(r[0] for r in mpp.sql("SELECT v FROM sp WHERE c = 5").collect())
+    assert got == [1, 2]
+    # DELETE picks rewrite buckets via the same pruning — all spellings go
+    assert mpp.sql("DELETE FROM sp WHERE c = 5") == 2
+    assert mpp.sql("SELECT COUNT(*) AS n FROM sp").collect()[0][0] == 1
+    # string literals still prune (canonical: literal side is the hash key)
+    assert "Shards: 1/8" in mpp.sql("EXPLAIN SELECT v FROM sp WHERE c = '7'")
+    # and IN with any numeric member disables too
+    assert "Shards: 8/8" in mpp.sql("EXPLAIN SELECT v FROM sp WHERE c IN ('7', 5)")
+
+
+def test_predicate_trailing_whitespace_still_prunes():
+    """review r4: an unstripped predicate must not silently disable the
+    pruning/zonemap tokenizer."""
+    from duckdb_mpp_spark.pruning import parse_predicate
+
+    assert parse_predicate("c0 = 1 ") is not None
+    assert parse_predicate("c0 = 1\n") is not None
+
+
+def test_concurrent_insert_unique_race_detected(spark, mpp):
+    """review r4: two concurrent inserts of the same UNIQUE key — both
+    pass the pre-commit check against the same base snapshot; the loser's
+    rebase-and-retry must re-validate against the new head and abort."""
+    import shutil
+    import uuid
+
+    from duckdb_mpp_spark.table import BUCKET_COL
+
+    mpp.sql("CREATE TABLE cr(id INT UNIQUE, grp INT) PARTITION BY (grp) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO cr VALUES (1, 10)")
+    tbl = mpp.table("cr")
+    base, files = tbl.snapshot()
+    # writer A: stage + ingest id=42 against the current snapshot (its
+    # _enforce_unique against this snapshot would pass)
+    routed = tbl.route(
+        tbl._aligned_for_insert(
+            spark.createDataFrame([(42, 10)], "id INT, grp INT")
+        )
+    )
+    tmp = tbl.path + f".stage-{uuid.uuid4().hex[:8]}"
+    routed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    new_entries = tbl._ingest_staged(tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # writer B lands id=42 first — the head moves
+    mpp.sql("INSERT INTO cr VALUES (42, 10)")
+    with pytest.raises(ValueError, match="unique constraint"):
+        tbl._commit_append(
+            new_entries, base, files,
+            lambda bf: tbl._revalidate_unique(new_entries, bf),
+        )
+    # only writer B's row is visible; A's files stay unreferenced orphans
+    assert mpp.sql("SELECT COUNT(*) AS n FROM cr WHERE id = 42").collect()[0][0] == 1

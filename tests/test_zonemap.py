@@ -371,3 +371,44 @@ def test_all_bounds_ignores_col_vs_col_and_keywords():
     b2 = all_bounds("10 <= t.k AND t.k < 20", {"t"})
     assert b2["k"].lo == 10 and b2["k"].lo_inclusive
     assert b2["k"].hi == 20 and not b2["k"].hi_inclusive
+
+
+def test_bounds_or_precedence_disables_all():
+    """review r4: AND binds tighter than OR, so `x = 10 AND v > 5 OR b = 1`
+    is a DISJUNCTION — no comparison in it is a required conjunct and no
+    bound may be derived from any of them."""
+    assert sort_bounds("x = 10 AND v > 5 OR b = 1", "v") is None
+    assert sort_bounds("v > 5 AND x = 1 OR v < 2", "v") is None
+    # a parenthesized OR under a top-level AND stays one ignorable conjunct
+    b = sort_bounds("(a > 5 OR b = 1) AND v = 10", "v")
+    assert (b.lo, b.hi) == (10, 10)
+
+
+def test_mixed_type_conjuncts_do_not_crash():
+    """review r4: `v > 5 AND v > '7'` is legal SQL (Spark coerces) — bounds
+    extraction must degrade to no-skipping, not raise TypeError."""
+    assert sort_bounds("v > 5 AND v > '7'", "v") is None
+    assert sort_bounds("v = 5 AND v = DATE '2024-01-02'", "v") is None
+
+
+def test_file_overlaps_naive_vs_aware_keeps_file():
+    """review r4: tz-aware bound vs naive file stats must keep the file,
+    not crash the scan."""
+    aware = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    assert file_overlaps(
+        datetime.datetime(2023, 1, 1), datetime.datetime(2023, 12, 31),
+        Bounds(lo=aware),
+    )
+    assert file_overlaps(
+        datetime.datetime(2023, 1, 1, tzinfo=datetime.timezone.utc),
+        datetime.datetime(2023, 12, 31, tzinfo=datetime.timezone.utc),
+        Bounds(hi=datetime.datetime(2024, 1, 1)),
+    )
+
+
+def test_or_predicate_returns_all_matching_rows(sorted_table):
+    """End-to-end review-r4 case: WHERE v = <in-file-A> AND k >= 0 OR
+    v = <in-file-B> must return rows from BOTH files (the old bounds
+    merge skipped everything outside the first conjunct's range)."""
+    got = rows(sorted_table.scan(where="v = 10 AND k >= 0 OR v = 250"), "v")
+    assert [r[1] for r in got] == [10, 250]
