@@ -236,6 +236,20 @@ class MppCatalog:
             self._save()
             return meta
 
+    def restore_table(self, name: str) -> TableMeta:
+        """Undo a DROP: move the newest tombstone for ``name`` back into the
+        live set (used by transaction rollback of a DROP — the reference's
+        DuckDB-transactional catalog restores the entry; review r4)."""
+        with self._lock:
+            for i in range(len(self._tombstones) - 1, -1, -1):
+                if self._tombstones[i].name == name:
+                    meta = self._tombstones.pop(i)
+                    meta.deleted = False
+                    self._tables[name] = meta
+                    self._save()
+                    return meta
+            raise ValueError(f'no dropped table "{name}" to restore')
+
     def forget_table(self, name: str) -> None:
         """Hard removal without tombstone — used by transaction rollback of a
         CREATE (reference DDL rollback, test/sql/mpp_transaction.test:14-24)."""

@@ -114,6 +114,7 @@ class ColocatedTable(DistributedTable):
         aliases: set[str] | None = None,
         keep_bucket: bool = False,
         qualifiers: set[str] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Catalog-backed scan. No __bucket partition column exists here;
         bucket pruning is Spark-native (see module docstring), so the derived
@@ -122,6 +123,13 @@ class ColocatedTable(DistributedTable):
         if keep_bucket:
             raise NotImplementedError(
                 "COLOCATED tables do not expose __bucket (no COW DML)"
+            )
+        if version is not None:
+            # signature parity with DistributedTable.scan so the shared
+            # call sites fail loudly, not with a TypeError (review r4)
+            raise NotImplementedError(
+                "VERSION AS OF is not supported on COLOCATED tables "
+                "(no snapshot commit log; use the directory-per-bucket flavor)"
             )
         self.ensure_registered()
         df = self.spark.table(self.ident)

@@ -73,6 +73,19 @@ _DELETE_RE = re.compile(
 )
 
 
+def _blank_literals(text: str) -> str:
+    """Replace the CONTENTS of every SQL string literal with spaces,
+    length-preserving, so keyword/identifier regexes can run over the
+    result and their match positions map 1:1 back onto the original text.
+    (A keyword inside a literal — ``'use ON CONFLICT here'`` — must never
+    trigger statement routing or clause rewrites; review r4.)"""
+    return re.sub(
+        r"'(?:[^']|'')*'",
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+        text,
+    )
+
+
 def _find_keyword_top_level(text: str, word: str, start: int = 0) -> int:
     """Index of the first standalone ``word`` (case-insensitive) at paren
     depth 0, outside single-quoted literals ('' escapes) and double-quoted
@@ -228,7 +241,12 @@ def _split_coldef(coldef: str) -> tuple[str, str, str]:
             if depth == 0:
                 break
         end = i
-    return m.group("name").strip('"'), tail[:end], tail[end:]
+    # lowercase: the engine is lowercase-canonical for identifiers — every
+    # reference site (_ident on INSERT column lists, UPDATE SET keys, DDL
+    # partition/sort columns) lowercases, so a case-preserving schema field
+    # would silently never match (review r4: INSERT INTO t (id, Name) would
+    # drop Name's values; Spark SQL resolution is case-insensitive anyway)
+    return m.group("name").strip('"').lower(), tail[:end], tail[end:]
 
 
 def parse_column_defs(
@@ -252,7 +270,7 @@ def parse_column_defs(
             re.I,
         )
         if tm:
-            cols = [c.strip().strip('"') for c in tm.group("cols").split(",")]
+            cols = [c.strip().strip('"').lower() for c in tm.group("cols").split(",")]
             if len(cols) != 1:
                 raise NotImplementedError(
                     "composite UNIQUE/PRIMARY KEY constraints are not supported"
@@ -303,6 +321,7 @@ class MppSession:
         self.catalog = MppCatalog(warehouse)
         self._txn_depth = 0
         self._txn_created: list[str] = []
+        self._txn_dropped: list[str] = []
         # per-table (kept, total) zone-map file-skip stats of the most
         # recent _register_views_for_query pass — EXPLAIN reads these
         # instead of re-running the skipping decision (table() binds a
@@ -416,6 +435,8 @@ class MppSession:
             tbl.unregister()
         meta = self.catalog.drop_table(name)
         self.spark.catalog.dropTempView(name) if self._view_exists(name) else None
+        if self._txn_depth:
+            self._txn_dropped.append(name)
         # Files deliberately left behind: reference DROP does not drop worker
         # shard tables (src/storage/mpp_schema_entry.cpp:141-156).
         _ = meta
@@ -424,23 +445,45 @@ class MppSession:
     def begin(self) -> None:
         self._txn_depth = 1
         self._txn_created = []
+        self._txn_dropped = []
 
     def commit(self) -> None:
         self._txn_depth = 0
         self._txn_created = []
+        self._txn_dropped = []
 
     def rollback(self) -> None:
+        dropped = list(self._txn_dropped)
         for name in self._txn_created:
             try:
-                meta = self.catalog.get(name)
+                try:
+                    meta = self.catalog.get(name)
+                except ValueError:
+                    # created AND dropped in this txn: resurrect the
+                    # tombstone so the create can be fully undone below
+                    if name not in dropped:
+                        raise
+                    meta = self.catalog.restore_table(name)
+                    dropped.remove(name)
                 if meta.colocated:
                     self._bind(meta).unregister()
                 shutil.rmtree(self.catalog.table_path(meta), ignore_errors=True)
                 self.catalog.forget_table(name)
             except ValueError:
                 pass
+        # DROPs of pre-transaction tables are undone too (review r4: the
+        # reference's DuckDB-transactional catalog restores the entry; data
+        # files were never deleted, so restoring the meta restores the table)
+        for name in reversed(dropped):
+            try:
+                meta = self.catalog.restore_table(name)
+                if meta.colocated:
+                    self._bind(meta).ensure_registered()
+            except ValueError:
+                pass
         self._txn_depth = 0
         self._txn_created = []
+        self._txn_dropped = []
 
     # -- SQL front door ---------------------------------------------------
     def sql(self, text: str):
@@ -454,11 +497,18 @@ class MppSession:
         if upper in ("ROLLBACK", "ABORT"):
             return self.rollback()
 
-        if re.search(r"\bRETURNING\b", upper):
+        # keyword checks run on literal-blanked text — 'RETURNING' inside a
+        # string value must not reject the statement (review r4)
+        blank_upper = _blank_literals(stripped).upper()
+        if re.search(r"\bRETURNING\b", blank_upper):
             raise NotImplementedError("RETURNING statement not supported")
-        if re.search(r"\bON\s+CONFLICT\b", upper):
+        if re.search(r"\bON\s+CONFLICT\b", blank_upper):
             raise NotImplementedError("ON CONFLICT clause not supported")
-        if re.match(r"^\s*CREATE\s+TABLE\b.*\bAS\s+(SELECT|TABLE|VALUES)\b", upper, re.DOTALL):
+        if re.match(
+            r"^\s*CREATE\s+TABLE\b.*\bAS\s+(SELECT|TABLE|VALUES)\b",
+            blank_upper,
+            re.DOTALL,
+        ):
             raise NotImplementedError("CREATE TABLE AS is not supported")
         if re.match(r"^\s*ALTER\b", upper):
             raise NotImplementedError("ALTER is not supported")
@@ -478,6 +528,10 @@ class MppSession:
 
         m = _CREATE_RE.match(stripped)
         if m:
+            if re.match(
+                r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b", stripped, re.IGNORECASE
+            ) and self.catalog.exists(_ident(m.group("name"))):
+                return None  # IF NOT EXISTS: existing table is a no-op (review r4)
             schema, defaults, unique_cols = parse_column_defs(m.group("cols"))
             self.create_distributed_table(
                 _ident(m.group("name")), schema, _ident_path(m.group("pcol")),
@@ -500,7 +554,17 @@ class MppSession:
             for part in _split_top_level(sets_text):
                 col, _, expr = part.partition("=")
                 assignments[_ident(col.strip())] = expr.strip()
-            return _dml.update(self.table(_ident(m.group("name"))), assignments, where)
+            tbl = self.table(_ident(m.group("name")))
+            # binder parity (review r4): SET on an unknown column must be a
+            # loud error, not a silent full-rewrite no-op that reports rows
+            known = {f.name.lower() for f in tbl.meta.schema.fields}
+            for col in assignments:
+                if col.lower() not in known:
+                    raise ValueError(
+                        f'Binder Error: column "{col}" does not exist in '
+                        f'table "{tbl.meta.name}"'
+                    )
+            return _dml.update(tbl, assignments, where)
 
         m = _DELETE_RE.match(stripped)
         if m and self.catalog.exists(_ident(m.group("name"))):
@@ -642,6 +706,13 @@ class MppSession:
             if cols_clause
             else [f.name for f in schema.fields]
         )
+        known = {f.name for f in schema.fields}
+        for c in target_cols:
+            if c not in known:
+                raise ValueError(
+                    f'Binder Error: column "{c}" does not exist in '
+                    f'table "{name}"'
+                )
         if rest.upper().startswith("VALUES"):
             values_body = rest[len("VALUES"):].strip()
             names = ", ".join(target_cols)
@@ -774,12 +845,20 @@ class MppSession:
         versions: dict[str, int] = {}
         for name in self.catalog._tables:
             pat = rf"\b({re.escape(name)})\s+VERSION\s+AS\s+OF\s+(\d+)\b"
-
-            def repl(m, _n=name):
-                versions[_n] = int(m.group(2))
-                return m.group(1)
-
-            query = re.sub(pat, repl, query, flags=re.IGNORECASE)
+            # match against literal-blanked text (review r4: the clause
+            # inside a string value must neither mutate the literal nor pin
+            # the table), then splice the ORIGINAL text at the match spans —
+            # blanking is length-preserving so positions map 1:1
+            blank = _blank_literals(query)
+            out, pos = [], 0
+            for m in re.finditer(pat, blank, flags=re.IGNORECASE):
+                versions[name] = int(m.group(2))
+                out.append(query[pos:m.start()])
+                out.append(query[m.start(1):m.end(1)])  # keep the table name
+                pos = m.end()
+            if pos:
+                out.append(query[pos:])
+                query = "".join(out)
         return query, versions
 
     def _distributed_tables_in(self, query: str) -> list[str]:
@@ -798,7 +877,14 @@ class MppSession:
             return None
         start = idx + len("WHERE")
         end = len(query)
-        for kw in ("GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY", "WINDOW"):
+        # UNION/INTERSECT/EXCEPT terminate the clause too (review r4): the
+        # first leg's WHERE must not bleed into the second SELECT's text —
+        # bounds derived from the other leg's conjuncts would skip files
+        # this leg needs.
+        for kw in (
+            "GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY", "WINDOW",
+            "UNION", "INTERSECT", "EXCEPT",
+        ):
             k = _find_keyword_top_level(query, kw, start)
             if 0 <= k < end:
                 end = k
@@ -874,8 +960,13 @@ class MppSession:
         span = self._where_span(query)
         if sel < 0 or frm < 0 or span is None:
             return query
+        sel_text = query[sel + 6 : frm]
+        # a leading DISTINCT/ALL is a quantifier, not an expression — without
+        # stripping it, "DISTINCT region" parses as expr=DISTINCT alias=region
+        # and the WHERE rewrite emits garbage (review r4)
+        sel_text = re.sub(r"^\s*(?:DISTINCT|ALL)\b", "", sel_text, flags=re.IGNORECASE)
         mapping = {}
-        for item in _split_top_level(query[sel + 6 : frm]):
+        for item in _split_top_level(sel_text):
             am = re.match(r"^([A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)$", item, re.IGNORECASE)
             if am and am.group(2).upper() not in ("FROM",) and am.group(1) != am.group(2):
                 mapping[am.group(2).lower()] = am.group(1)
@@ -887,26 +978,32 @@ class MppSession:
         for tname in self._distributed_tables_in(query):
             for f in self.catalog.get(tname).schema.fields:
                 shadowed.add(f.name.lower())
-        # Tokenize the WHERE text (same lexer as pruning) and substitute only
-        # bare word tokens: string literals and qualified (dotted) refs pass
-        # through untouched, so ``WHERE name = 'c0'`` and ``t.c0`` are safe.
-        from duckdb_mpp_spark.pruning import _tokenize
-
-        toks = _tokenize(query[span[0]:span[1]].strip())
-        if toks is None:
-            return query
-        out, changed = [], False
-        for kind, val in toks:
-            if kind == "word" and "." not in val:
-                base = mapping.get(val.lower())
-                if base is not None and val.lower() not in shadowed:
-                    out.append(base)
-                    changed = True
-                    continue
-            out.append(val)
+        # Substitute IN PLACE on the original WHERE text: word positions are
+        # found on a literal-blanked copy (string contents can't match) and
+        # spliced back by span, so every non-word character — multi-char
+        # operators like ``||`` / ``::``, whitespace, parens — survives
+        # verbatim (review r4: the old tokenize-and-rejoin split ``||`` into
+        # ``| |``). Qualified (dotted) refs are matched whole and skipped.
+        where_txt = query[span[0]:span[1]]
+        blank = _blank_literals(where_txt)
+        out, pos, changed = [], 0, False
+        word_re = re.compile(
+            r"[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*"
+        )
+        for m in word_re.finditer(blank):
+            word = m.group(0)
+            if "." in word:
+                continue
+            base = mapping.get(word.lower())
+            if base is not None and word.lower() not in shadowed:
+                out.append(where_txt[pos:m.start()])
+                out.append(base)
+                pos = m.end()
+                changed = True
         if not changed:
             return query
-        return query[: span[0]] + " " + " ".join(out) + " " + query[span[1]:]
+        out.append(where_txt[pos:])
+        return query[: span[0]] + "".join(out) + query[span[1]:]
 
     def _rowid_referenced(self, query: str) -> bool:
         """True when the query references the ``rowid`` pseudo-column as a
@@ -935,8 +1032,21 @@ class MppSession:
         # Known divergence: within such a query, SELECT * also expands
         # rowid (a view has no pseudo-columns) — documented in tests.
         if names and self._rowid_referenced(query):
+            if any(n in versions for n in names):
+                # rowids are derived from the HEAD snapshot's file offsets;
+                # serving head-rowid rows labeled as a pinned version would
+                # be silently wrong (review r4)
+                raise NotImplementedError(
+                    "rowid is not supported together with VERSION AS OF"
+                )
             for name in names:
-                self.table(name).scan_with_rowid().createOrReplaceTempView(name)
+                tbl = self.table(name)
+                if tbl.meta.colocated:
+                    # no rowid surface on native-bucketed storage; a query
+                    # that actually references ITS rowid fails resolution
+                    tbl.scan().createOrReplaceTempView(name)
+                else:
+                    tbl.scan_with_rowid().createOrReplaceTempView(name)
             return names
         for name in names:
             tbl = self.table(name)

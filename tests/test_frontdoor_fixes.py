@@ -468,3 +468,127 @@ def test_concurrent_insert_unique_race_detected(spark, mpp):
         )
     # only writer B's row is visible; A's files stay unreferenced orphans
     assert mpp.sql("SELECT COUNT(*) AS n FROM cr WHERE id = 42").collect()[0][0] == 1
+
+
+# -- review r4, pass 3: front-door parsing/rewrite fixes ----------------------
+
+def test_setop_where_does_not_bleed_into_second_leg(spark, mpp):
+    """review r4: the first leg's WHERE text must stop at a top-level
+    UNION/INTERSECT/EXCEPT — bounds derived from the second leg's conjuncts
+    skipped files the first leg needs."""
+    mpp.sql(
+        "CREATE TABLE su(k INT, v INT, grp INT) "
+        "PARTITION BY (grp) WITH BUCKETS 2 SORT BY (v)"
+    )
+    df = spark.range(200).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS INT) AS v", "CAST(id % 2 AS INT) AS grp"
+    )
+    tbl = mpp.table("su")
+    for lo in (0, 100):
+        tbl.insert(df.where(f"v >= {lo} AND v < {lo + 100}"))
+    spark.createDataFrame([(1000, 150, 0)], "k INT, v INT, grp INT") \
+        .createOrReplaceTempView("vv")
+    got = mpp.sql(
+        "SELECT k FROM su WHERE grp = 0 "
+        "UNION ALL SELECT k FROM vv WHERE v >= 100 AND v < 160 AND grp = 0"
+    ).collect()
+    # first leg: 100 rows (grp=0, both v-generations); second leg: 1
+    assert len(got) == 101
+    assert mpp._where_text(
+        "SELECT k FROM su WHERE grp = 0 UNION ALL SELECT k FROM vv WHERE v = 1"
+    ) == "grp = 0"
+
+
+def test_mixed_case_identifiers_normalize(spark, mpp):
+    """review r4: identifiers are lowercase-canonical — mixed-case DDL and
+    DML references must all resolve to the same column (the old case-
+    preserving schema silently dropped INSERT values and no-op'd UPDATEs)."""
+    mpp.sql('CREATE TABLE mc(Id INT, Name TEXT) PARTITION BY (Id) WITH BUCKETS 2')
+    assert mpp.sql("INSERT INTO mc (id, Name) VALUES (1, 'x')") == 1
+    assert mpp.sql("SELECT name FROM mc WHERE id = 1").collect()[0][0] == "x"
+    assert mpp.sql("UPDATE mc SET Name = 'y' WHERE Id = 1") == 1
+    assert mpp.sql("SELECT Name FROM mc WHERE id = 1").collect()[0][0] == "y"
+
+
+def test_update_unknown_column_raises(spark, mpp):
+    mpp.sql("CREATE TABLE bu(id INT, v INT) PARTITION BY (id) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO bu VALUES (1, 10)")
+    with pytest.raises(ValueError, match='column "vlaue" does not exist'):
+        mpp.sql("UPDATE bu SET vlaue = 5 WHERE id = 1")
+    with pytest.raises(ValueError, match='does not exist'):
+        mpp.sql("INSERT INTO bu (id, vlaue) VALUES (2, 5)")
+
+
+def test_create_if_not_exists_is_noop(spark, mpp):
+    ddl = "CREATE TABLE IF NOT EXISTS ine(a INT) PARTITION BY (a) WITH BUCKETS 2"
+    mpp.sql(ddl)
+    mpp.sql("INSERT INTO ine VALUES (1)")
+    mpp.sql(ddl)  # second create: no-op, no error
+    assert mpp.sql("SELECT COUNT(*) AS n FROM ine").collect()[0][0] == 1
+    # plain CREATE still errors on an existing table
+    with pytest.raises(ValueError, match="already exists"):
+        mpp.sql("CREATE TABLE ine(a INT) PARTITION BY (a) WITH BUCKETS 2")
+
+
+def test_keywords_inside_string_literals_do_not_route(spark, mpp):
+    """review r4: RETURNING / ON CONFLICT / VERSION AS OF inside string
+    VALUES must neither reject the statement nor mutate the literal."""
+    mpp.sql("CREATE TABLE kw(id INT, msg TEXT) PARTITION BY (id) WITH BUCKETS 2")
+    assert mpp.sql("INSERT INTO kw VALUES (1, 'use ON CONFLICT here')") == 1
+    assert mpp.sql("INSERT INTO kw VALUES (2, 'is RETURNING soon')") == 1
+    lit = "deploy kw VERSION AS OF 2 done"
+    assert mpp.sql(f"INSERT INTO kw VALUES (3, '{lit}')") == 1
+    got = mpp.sql(f"SELECT msg FROM kw WHERE msg = '{lit}'").collect()
+    assert [r[0] for r in got] == [lit]
+    assert mpp.sql("SELECT id FROM kw WHERE msg = 'RETURNING'").collect() == []
+
+
+def test_rowid_with_version_as_of_rejected(spark, mpp):
+    mpp.sql("CREATE TABLE rv(id INT, v INT) PARTITION BY (id) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO rv VALUES (1, 10)")
+    mpp.sql("INSERT INTO rv VALUES (2, 20)")
+    with pytest.raises(NotImplementedError, match="rowid.*VERSION AS OF"):
+        mpp.sql("SELECT rowid, v FROM rv VERSION AS OF 1")
+
+
+def test_alias_rewrite_distinct_and_concat_safe(spark, mpp):
+    """review r4: (a) a DISTINCT select list must not map col→'DISTINCT';
+    (b) the rewrite must not split multi-char operators like ||."""
+    mpp.sql("CREATE TABLE ar(id INT, nm TEXT) PARTITION BY (id) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO ar VALUES (1, 'pq'), (2, 'zz')")
+    spark.createDataFrame([(1, "eu"), (2, "us")], "id int, region string") \
+        .createOrReplaceTempView("dims")
+    got = mpp.sql(
+        "SELECT DISTINCT region FROM ar JOIN dims USING (id) WHERE region = 'eu'"
+    ).collect()
+    assert [r[0] for r in got] == ["eu"]
+    got = mpp.sql(
+        "SELECT id AS x, nm FROM ar WHERE x = 1 AND nm = 'p' || 'q'"
+    ).collect()
+    assert [(r[0], r[1]) for r in got] == [(1, "pq")]
+
+
+def test_rollback_restores_dropped_table(spark, mpp):
+    mpp.sql("CREATE TABLE rb(id INT, v INT) PARTITION BY (id) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO rb VALUES (1, 10)")
+    mpp.sql("BEGIN")
+    mpp.sql("DROP TABLE rb")
+    assert not mpp.catalog.exists("rb")
+    mpp.sql("ROLLBACK")
+    assert mpp.catalog.exists("rb")
+    assert mpp.sql("SELECT v FROM rb WHERE id = 1").collect()[0][0] == 10
+    # create+drop inside one txn rolls back to nothing
+    mpp.sql("BEGIN")
+    mpp.sql("CREATE TABLE cd(a INT) PARTITION BY (a) WITH BUCKETS 2")
+    mpp.sql("DROP TABLE cd")
+    mpp.sql("ROLLBACK")
+    assert not mpp.catalog.exists("cd")
+
+
+def test_colocated_version_as_of_rejected(spark, mpp):
+    mpp.sql(
+        "CREATE TABLE cv(id INT, v INT) PARTITION BY (id) WITH BUCKETS 2 COLOCATED"
+    )
+    mpp.sql("INSERT INTO cv VALUES (1, 10)")
+    with pytest.raises(NotImplementedError, match="COLOCATED"):
+        mpp.sql("SELECT v FROM cv VERSION AS OF 1")
