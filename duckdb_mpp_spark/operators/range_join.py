@@ -28,7 +28,20 @@ def interval_bin_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join each point row to every interval row with
-    ``start <= ts < end``, via bin equi-join + residual filter."""
+    ``start <= ts < end``, via bin equi-join + residual filter.
+
+    Inner-only: the residual containment predicate is applied AFTER the
+    bin equi-join, which is only sound for inner joins — under an outer
+    join the post-filter would delete the null-extended unmatched rows
+    (degenerating to inner), and the exploded interval side would emit
+    one null-match per covered bin (review r4). Callers needing outer
+    semantics should anti-join the matched keys back instead.
+    """
+    if how != "inner":
+        raise ValueError(
+            "interval_bin_join supports how='inner' only (the bin explode + "
+            f"residual post-filter breaks outer semantics); got {how!r}"
+        )
 
     def bin_of(c: Column) -> Column:
         return F.floor(F.unix_timestamp(c) / bin_seconds).cast("long")
@@ -37,12 +50,15 @@ def interval_bin_join(
     i = intervals.withColumn(
         "__bin",
         F.explode(
-            F.sequence(
-                bin_of(F.col(start_col)),
-                # end is exclusive: a point at exactly `end` must not match,
-                # but the bin containing `end - 1s` must be covered
-                bin_of(F.col(end_col) - F.expr("INTERVAL '1' SECOND")),
-            )
+            # Cover every bin from bin(start) through bin(end) INCLUSIVE.
+            # unix_timestamp truncates sub-second fractions, so the previous
+            # `bin(end - 1s)` upper bound put an end like 00:00:00.500 in
+            # the prior bin and silently missed points in the boundary bin
+            # (review r4, empirically confirmed). Covering bin(end) can
+            # only add one extra bin per interval; the exact residual
+            # containment filter below discards any false pairs (a point at
+            # exactly `end` still never matches — end stays exclusive).
+            F.sequence(bin_of(F.col(start_col)), bin_of(F.col(end_col)))
         ),
     )
     joined = p.join(i, "__bin", how).where(

@@ -103,7 +103,14 @@ def _register() -> None:
         salted-join a small per-type dim (right side replicated per salt),
         then a salted two-phase aggregation computes per-type counts and
         exact quantized value sums. The oracle is the plain GROUP BY."""
-        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        # NULL keys never match an inner join while GROUP BY would emit a
+        # NULL group — filter explicitly on BOTH sides of the gate so the
+        # comparison stays structural, not fixture-dependent (review r4)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .where(F.col("event_type").isNotNull())
+        )
         dim = (
             ev.select("event_type")
             .distinct()
@@ -135,6 +142,7 @@ def _register() -> None:
                    CAST(SUM(CAST(floor(value * 256) AS BIGINT)) AS DOUBLE) / 256
                      AS total_value_q
             FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY event_type
             ORDER BY event_type
             """,

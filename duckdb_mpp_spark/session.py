@@ -13,6 +13,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _graft_conf_overrides() -> dict[str, str]:
+    """Ad-hoc experiment overrides: ``SPARK_GRAFT_CONF="k=v;k=v"`` (bench
+    A/B runs without code edits; empty in normal operation). Shared by both
+    session entry points so they can never diverge."""
+    out: dict[str, str] = {}
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            out[k.strip()] = v.strip()
+    return out
+
+
 def get_spark(
     app_name: str = "duckdb-mpp-spark",
     shuffle_partitions: int | None = None,
@@ -46,12 +58,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    # ad-hoc experiment overrides: SPARK_GRAFT_CONF="k=v;k=v" (bench A/B
-    # runs without code edits; empty in normal operation)
-    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
-        if "=" in kv:
-            k, _, v = kv.partition("=")
-            builder = builder.config(k.strip(), v.strip())
+    for k, v in _graft_conf_overrides().items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
@@ -68,10 +76,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }
-    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
-        if "=" in kv:
-            k, _, v = kv.partition("=")
-            conf[k.strip()] = v.strip()
+    conf.update(_graft_conf_overrides())
     for k, v in conf.items():
         try:
             spark.conf.set(k, v)

@@ -150,8 +150,20 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` keyed on
-    (user_id, event_type) with state bounded by the event-time watermark,
-    then a per-type count. Batch twin: COUNT over SELECT DISTINCT."""
+    (user_id, event_type), then a per-type count. Batch twin: COUNT over
+    SELECT DISTINCT.
+
+    State honesty (review r4): with the watermark column NOT in the dedup
+    subset, Spark keeps every distinct key pair in the state store forever
+    — results are exact over the whole stream, but state grows with
+    distinct pairs (fine here: the key domain is users × event types, a
+    bounded dimension-like set). For an unbounded key domain at 100 TB the
+    variant is ``dropDuplicatesWithinWatermark``, which bounds state by
+    the watermark at the cost of re-admitting duplicates farther apart
+    than the watermark — a different (windowed) dedup contract that would
+    not match this gate's global-DISTINCT oracle. The 24h watermark below
+    is therefore deliberately NOT load-bearing for eviction; it documents
+    event-time and keeps the pipeline append-compatible."""
     deduped = (
         stream_events(spark, sf_dir)
         .withWatermark("ts", "24 hours")
@@ -209,7 +221,13 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     def np_floor_sum(values):
         import numpy as np
 
-        return np.floor(values.to_numpy(dtype="float64") * 256).astype("int64").sum()
+        arr = values.to_numpy(dtype="float64")
+        # NULL/NaN values must be SKIPPED like the oracle's SUM (review r4:
+        # np.floor(NaN).astype(int64) is undefined-behavior conversion —
+        # INT64_MIN on most platforms — which would silently poison the
+        # running total instead of matching SUM's null-skip)
+        arr = arr[~np.isnan(arr)]
+        return np.floor(arr * 256).astype("int64").sum()
 
     events = stream_events(spark, sf_dir)
     out = events.groupBy("user_id").applyInPandasWithState(
@@ -315,8 +333,17 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
+    def ingest_batch(batch, _id):
+        # Empty micro-batches (restart with no new data, 0-row source file)
+        # must not reach insert: its Observation-based row count is the
+        # exact foreachBatch + AQE empty-relation hazard dml.upsert was
+        # rewritten to avoid — AQE plans CollectMetrics away and obs.get
+        # blocks forever (review r4).
+        if not batch.isEmpty():
+            tbl.insert(batch)
+
     q = (
-        ev.writeStream.foreachBatch(lambda batch, _id: tbl.insert(batch))
+        ev.writeStream.foreachBatch(ingest_batch)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="mpp_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
@@ -373,7 +400,13 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "user_id",
                 (F.coalesce("n_old", F.lit(0)) + F.col("n_new")).alias("n_events"),
-                (F.coalesce("q_old", F.lit(0)) + F.col("q_new")).alias("total_q"),
+                # q_new needs the coalesce too (review r4): a batch whose
+                # values for a user are all NULL sums to NULL, and
+                # q_old + NULL would REPLACE the accumulated total with
+                # NULL on upsert — the batch oracle's SUM skips NULLs.
+                (
+                    F.coalesce("q_old", F.lit(0)) + F.coalesce("q_new", F.lit(0))
+                ).alias("total_q"),
             )
         )
         mpp.upsert("user_totals", merged, ["user_id"])

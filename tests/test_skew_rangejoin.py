@@ -103,3 +103,37 @@ def test_connected_components_long_chain(spark):
     assert all(labels[i] == 0 for i in range(n))
     assert labels[100] == labels[101] == 100
     assert labels[999] == 999
+
+
+def test_interval_bin_join_subsecond_end_boundary(spark):
+    """review r4 (empirically confirmed miss): an interval end with a
+    sub-second fraction just past a bin boundary must still cover the
+    boundary bin — unix_timestamp truncates, so the old `bin(end - 1s)`
+    upper bound dropped valid matches."""
+    ivs = spark.createDataFrame(
+        [("i1", "2000-01-01 23:00:00", "2000-01-02 00:00:00.5")],
+        "iid string, s string, e string",
+    ).selectExpr("iid", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+    pts = spark.createDataFrame(
+        [("p1", "2000-01-02 00:00:00.2"), ("p2", "2000-01-02 00:00:00.5")],
+        "pid string, ts string",
+    ).selectExpr("pid", "CAST(ts AS TIMESTAMP) AS ts")
+    got = sorted(
+        r["pid"]
+        for r in interval_bin_join(pts, ivs, "ts", "s", "e", bin_seconds=3600).collect()
+    )
+    # p1 is inside [s, e); p2 sits exactly at e (exclusive) and must NOT match
+    assert got == ["p1"]
+
+
+def test_interval_bin_join_rejects_outer(spark):
+    ivs = spark.createDataFrame(
+        [("i1", "2000-01-01 00:00:00", "2000-01-02 00:00:00")],
+        "iid string, s string, e string",
+    ).selectExpr("iid", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+    pts = spark.createDataFrame([("p1", "2000-01-01 12:00:00")], "pid string, ts string") \
+        .selectExpr("pid", "CAST(ts AS TIMESTAMP) AS ts")
+    import pytest
+
+    with pytest.raises(ValueError, match="inner"):
+        interval_bin_join(pts, ivs, "ts", "s", "e", how="left")

@@ -155,3 +155,56 @@ def test_streaming_incremental_dedup_index_grows(spark):
     assert got[11] == ("dup_index", 1)       # day 1: dup of the seed corpus
     assert got[20] == ("dup_index", 10)      # day 2: dup of a DAY-1 doc —
     # only possible because day 1's signatures entered the persisted index
+
+
+def _null_value_events_dir(spark, tmp_path):
+    """A tiny events.parquet fixture containing NULL values — the class of
+    input the round-4 review found the streaming NULL paths mishandled."""
+    d = str(tmp_path / "nullev")
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 3.0, "{}"),
+        (2, "2024-01-01 11:00:00", 7, "click", None, "{}"),
+        (3, "2024-01-01 12:00:00", 8, "view", None, "{}"),
+    ]
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string"
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+            "value", "props"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    # the reader globs for exactly 'events.parquet'
+    import glob
+    import shutil
+
+    part = glob.glob(os.path.join(d, "*.parquet"))[0]
+    out = str(tmp_path)
+    shutil.move(part, os.path.join(out, "events.parquet"))
+    return out
+
+
+def test_streaming_upsert_null_values_keep_totals(spark, tmp_path):
+    """review r4: a user whose batch values are all NULL must not have the
+    accumulated total replaced with NULL (q_new needs coalesce)."""
+    sf = _null_value_events_dir(spark, tmp_path)
+    got = {r["user_id"]: (r["n_events"], r["total_value_q"])
+           for r in S.streaming_upsert_distributed(spark, sf).collect()}
+    # user 7: 2 events, sum skips the NULL -> 3.0; user 8: 1 event, 0.0
+    assert got[7] == (2, 3.0)
+    assert got[8] == (1, 0.0)
+
+
+def test_stateful_running_totals_skip_nulls(spark, tmp_path):
+    """review r4: NaN→int64 cast is undefined behavior — NULL values must
+    be skipped like the oracle's SUM, not poison the running total."""
+    sf = _null_value_events_dir(spark, tmp_path)
+    got = {r["user_id"]: (r["n_events"], r["total_value_q"])
+           for r in S.user_running_totals(spark, sf).collect()}
+    assert got[7] == (2, 3.0)
+    assert got[8] == (1, 0.0)
