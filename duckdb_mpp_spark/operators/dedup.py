@@ -53,8 +53,17 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     from pyspark.sql import Window
 
     w = Window.partitionBy("h")
+    # NULL text must not form one giant duplicate group (review r4:
+    # md5(NULL) is NULL and window partitioning treats NULL as a single
+    # partition, so 1000 fetch-failure docs would elect one keeper and
+    # flag 999 as removable duplicates) — give each NULL-text doc a
+    # per-row hash so it is its own singleton group.
+    h = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
     return (
-        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        df.select(h.alias("h"), F.col(id_col))
         .withColumn("group_size", F.count("*").over(w))
         .withColumn("keeper", F.min(id_col).over(w))
         .select(
@@ -108,7 +117,14 @@ def shingles(
     ``array_join``'s shorter-slice output exactly (value parity verified;
     plain ``element_at`` would THROW on docs shorter than the shingle)."""
     t = df.select(F.col(id_col), tokens(text_col).alias("t"))
-    idx = t.select(
+    idx = t.where(F.size("t") > 0).select(
+        # Zero-token docs (empty/whitespace/NULL text) emit NO shingles
+        # (review r4): the old path gave every such doc the identical
+        # empty-string gram, i.e. one identical minhash signature — a
+        # degenerate LSH bucket generating O(empties²) candidate pairs and
+        # certifying unrelated empty docs as jaccard-1.0 duplicates.
+        # Signature-less docs simply never become near-dup candidates,
+        # consistent with simhash32 (explode of an empty token array).
         id_col,
         "t",
         F.explode(
@@ -365,25 +381,73 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return sums.select(id_col, fp.alias("simhash"))
 
 
+def _simhash_blocks(n_blocks: int, bits: int = 32) -> list[tuple[int, int]]:
+    """(divisor, modulus) pairs extracting ``n_blocks`` contiguous bit
+    blocks covering all ``bits`` — block b is ``(fp div divisor) % modulus``
+    in both SQL dialects (fp is non-negative, so div/mod are portable)."""
+    out = []
+    for b in range(n_blocks):
+        start = bits * b // n_blocks
+        end = bits * (b + 1) // n_blocks
+        out.append((1 << start, 1 << (end - start)))
+    return out
+
+
+# oracle-mirrored constants for the default max_hamming=4 (5 blocks)
+_SIMHASH_N_BLOCKS = 5
+_SIMHASH_DIVS = ", ".join(str(d) for d, _ in _simhash_blocks(_SIMHASH_N_BLOCKS))
+_SIMHASH_MODS = ", ".join(str(m) for _, m in _simhash_blocks(_SIMHASH_N_BLOCKS))
+
+
 def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded by the top-16 bits
-    (the scale path: candidate pairs must share a 16-bit prefix, so the join
-    is an equi-join on the band, never an all-pairs cross).
+    """Near-dup pairs by SimHash hamming distance, banded on
+    ``max_hamming + 1`` disjoint bit blocks (pigeonhole: a pair within
+    ``max_hamming`` flipped bits must agree on at least one block, so the
+    blocked equi-join has GUARANTEED recall — the r4 review showed the old
+    single top-16-bit prefix band silently dropped ~half of all hamming-1
+    pairs whose differing bit fell inside the prefix).
+
+    Scale notes: candidates = pairs sharing any (block index, block value)
+    key — never an all-pairs cross. With 32-bit fingerprints and 5 blocks
+    the per-block key space is 2^6..2^7, so worst-case fan-out on a
+    low-entropy corpus is real; the production scale-up is a wider
+    fingerprint (64/128-bit) with the same block construction, not a
+    different algorithm. A pair can agree on several blocks, so pairs are
+    made distinct before the hamming filter.
 
     Fingerprints are materialized before the self-join (same reasoning as
     ``lsh_candidate_pairs``: one 8-byte row per doc vs recomputing the
     token-bit pipeline for both join sides)."""
     sim = sim.localCheckpoint(eager=False)
-    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
-    a = a.withColumn("prefix", F.expr("CAST(sim_a / 65536 AS BIGINT)"))
-    b = b.withColumn("prefix", F.expr("CAST(sim_b / 65536 AS BIGINT)"))
+    blocks = _simhash_blocks(max_hamming + 1)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.expr(f"(simhash div {d}) % {m}").alias("bval"),
+            )
+            for i, (d, m) in enumerate(blocks)
+        ]
+    )
+    banded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("x")
+    ).select(id_col, "simhash", "x.blk", "x.bval")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "bval"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "blk", "bval"
+    )
     return (
-        a.join(b, "prefix")
+        a.join(b, ["blk", "bval"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.expr("CAST(bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT)) AS INT)"))
+        .withColumn(
+            "hamming",
+            F.expr("CAST(bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT)) AS INT)"),
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -396,8 +460,10 @@ _DUCK_TOKENS = "list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')"
 _DUCK_SHINGLES = f"""
   words AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),
   shingles AS (
+    -- zero-token docs emit no shingles (mirrors shingles(); review r4)
     SELECT doc_id, array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' ') AS sh
     FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - {SHINGLE_WORDS - 1}, 1) + 1)) AS i) t
+    WHERE len(ws) > 0
   )"""
 
 _DUCK_BANDS = f"""
@@ -431,9 +497,10 @@ def _register():
             oracle="""
             SELECT d.doc_id, g.group_size, d.doc_id = g.keeper AS kept
             FROM documents d
-            JOIN (SELECT md5(text) AS h, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+            JOIN (SELECT COALESCE(md5(text), '__null__' || CAST(doc_id AS VARCHAR)) AS h,
+                         COUNT(*) AS group_size, MIN(doc_id) AS keeper
                   FROM documents GROUP BY 1) g
-              ON md5(d.text) = g.h
+              ON COALESCE(md5(d.text), '__null__' || CAST(d.doc_id AS VARCHAR)) = g.h
             ORDER BY d.doc_id
             """,
         ),
@@ -610,11 +677,16 @@ def _register():
                      CAST(SUM(CASE WHEN s > 0 THEN CAST(round(pow(2, j), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
               FROM sums GROUP BY doc_id
             )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            , banded AS (
+              SELECT doc_id, simhash, blk.i AS blk,
+                     CAST(simhash // ([{_SIMHASH_DIVS}][blk.i + 1]) AS BIGINT)
+                       % ([{_SIMHASH_MODS}][blk.i + 1]) AS bval
+              FROM sim, (SELECT unnest(range({_SIMHASH_N_BLOCKS})) AS i) blk
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM sim a JOIN sim b
-              ON CAST(a.simhash // 65536 AS BIGINT) = CAST(b.simhash // 65536 AS BIGINT)
-             AND a.doc_id < b.doc_id
+            FROM banded a JOIN banded b
+              ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
             ORDER BY doc_a, doc_b
             """,
@@ -676,9 +748,19 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("new_label")).collect()[0][0]
         labels = new_labels.withColumnRenamed("new_label", "label")
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    return labels
+    # Exhausting max_iter without reaching the fixpoint means components
+    # are SPLIT (a diameter-120 chain of successive edits would silently
+    # yield several clusters, each electing its own "canonical" doc —
+    # review r4). Wrong cluster ids are dedup corruption; fail loudly and
+    # point at the remedies instead.
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds — the graph's diameter exceeds the round budget; raise "
+        "max_iter or switch to large-star/small-star contraction "
+        "(O(log^2 n) rounds) for adversarial diameters"
+    )
 
 
 def cluster_assign(spark, sf_dir: str) -> DataFrame:

@@ -43,7 +43,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN) for zero-norm inputs (review r4): 0/0 cosine is NaN,
+    and Spark sorts NaN ABOVE every double, so a single all-zeros embedding
+    (failed encoder output, padding row) would rank #1 in every query's
+    top-k and pass every score threshold. NULL sorts last under DESC in
+    both engines and fails ``>`` filters — a dead vector simply never
+    becomes a neighbor."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
 
 
 def blocked_pair_scores(
@@ -113,22 +120,47 @@ def blocked_pair_scores(
         ma = np.stack(a["vec"].to_numpy()).astype(np.float32)
         mb = np.stack(b["vec"].to_numpy()).astype(np.float32)
         dim = ma.shape[1]
-        acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
-        na = np.zeros(len(ids_a), dtype=np.float64)
         nb = np.zeros(len(ids_b), dtype=np.float64)
-        for k in range(dim):  # sequential accumulation = SQL SUM order
-            acc += (ma[:, k][:, None] * mb[None, :, k]).astype(np.float64)
-            na += (ma[:, k] * ma[:, k]).astype(np.float64)
+        for k in range(dim):
             nb += (mb[:, k] * mb[:, k]).astype(np.float64)
-        cos = acc / np.outer(np.sqrt(na), np.sqrt(nb))
-        if same_block:
-            keep = ids_a[:, None] < ids_b[None, :]
-        else:
-            keep = ids_a[:, None] != ids_b[None, :]
-        ia, ib = np.nonzero(keep)
-        va = np.minimum(ids_a[ia], ids_b[ib])
-        vb = np.maximum(ids_a[ia], ids_b[ib])
-        return pd.DataFrame({"va": va, "vb": vb, "cos_raw": cos[ia, ib]})
+        # Row-chunk the A side so the score matrix is never the full
+        # len_a × len_b grid (review r4: a 125k-vector block would allocate
+        # a 125 GB accumulator). The chunk bounds peak memory at
+        # ~CHUNK_ELEMS doubles regardless of block sizing; n_blocks then
+        # only has to make the VECTORS of a block pair fit, as the
+        # docstring says.
+        CHUNK_ELEMS = 16_000_000  # ~128 MB accumulator
+        chunk = max(1, CHUNK_ELEMS // max(len(ids_b), 1))
+        frames = []
+        for lo in range(0, len(ids_a), chunk):
+            ca = ma[lo : lo + chunk]
+            cids = ids_a[lo : lo + chunk]
+            acc = np.zeros((len(cids), len(ids_b)), dtype=np.float64)
+            na = np.zeros(len(cids), dtype=np.float64)
+            for k in range(dim):  # sequential accumulation = SQL SUM order
+                acc += (ca[:, k][:, None] * mb[None, :, k]).astype(np.float64)
+                na += (ca[:, k] * ca[:, k]).astype(np.float64)
+            denom = np.outer(np.sqrt(na), np.sqrt(nb))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            if same_block:
+                keep = cids[:, None] < ids_b[None, :]
+            else:
+                keep = cids[:, None] != ids_b[None, :]
+            # zero-norm vectors never pair (review r4: their 0/0 NaN score
+            # compares ABOVE any threshold under Spark's NaN ordering)
+            keep &= denom > 0
+            ia, ib = np.nonzero(keep)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "va": np.minimum(cids[ia], ids_b[ib]),
+                        "vb": np.maximum(cids[ia], ids_b[ib]),
+                        "cos_raw": cos[ia, ib],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return rep.groupBy("bi", "bj").applyInPandas(
         _score, schema="va long, vb long, cos_raw double"
@@ -207,10 +239,11 @@ def quantized_topk(qz: DataFrame, k: int = 10) -> DataFrame:
     scored = pairs.select(
         "qid",
         "cid",
-        (
+        F.when(
+            F.col("qn") * F.col("cn") > 0,
             int_dot(F.col("qq"), F.col("cq")).cast("double")
-            / (F.col("qn") * F.col("cn"))
-        ).alias("cos_raw"),
+            / (F.col("qn") * F.col("cn")),
+        ).alias("cos_raw"),  # NULL for zero-norm (see cosine(); review r4)
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
     return (
@@ -253,7 +286,7 @@ def _register():
               GROUP BY 1, 2
             ),
             scored AS (
-              SELECT qid, cid, dp / (nq.nrm * nc.nrm) AS cos_raw
+              SELECT qid, cid, CASE WHEN nq.nrm * nc.nrm > 0 THEN dp / (nq.nrm * nc.nrm) END AS cos_raw
               FROM dots JOIN norms nq ON nq.vec_id = qid
                         JOIN norms nc ON nc.vec_id = cid
             ),
@@ -306,7 +339,7 @@ def _register():
               GROUP BY 1, 2
             ),
             scored AS (
-              SELECT qid, cid, dp / (nq.nrm * nc.nrm) AS cos_raw
+              SELECT qid, cid, CASE WHEN nq.nrm * nc.nrm > 0 THEN dp / (nq.nrm * nc.nrm) END AS cos_raw
               FROM dots JOIN norms nq ON nq.vec_id = qid
                         JOIN norms nc ON nc.vec_id = cid
             ),
@@ -374,7 +407,7 @@ def _register():
               GROUP BY 1, 2
             ),
             scored AS (
-              SELECT qid, cid, dp / (nq.nrm * nc.nrm) AS cos_raw
+              SELECT qid, cid, CASE WHEN nq.nrm * nc.nrm > 0 THEN dp / (nq.nrm * nc.nrm) END AS cos_raw
               FROM dots JOIN norms nq ON nq.vec_id = qid
                         JOIN norms nc ON nc.vec_id = cid
             ),
@@ -456,7 +489,7 @@ def _register():
               GROUP BY 1, 2
             ),
             scored AS (
-              SELECT qid, cid, CAST(dp AS DOUBLE) / (nq.nrm * nc.nrm) AS cos_raw
+              SELECT qid, cid, CASE WHEN nq.nrm * nc.nrm > 0 THEN CAST(dp AS DOUBLE) / (nq.nrm * nc.nrm) END AS cos_raw
               FROM dots JOIN qnorms nq ON nq.vec_id = qid
                         JOIN qnorms nc ON nc.vec_id = cid
             ),
@@ -521,13 +554,24 @@ def kmeans_fit(
             inertia_log.append(
                 assigned.agg(F.sum("d2")).collect()[0][0] or 0.0
             )
-        centroids = (
+        new_means = (
             assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
             .groupBy("cluster_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
-            .select("cluster_id", F.transform("s", lambda t: t["c"]).alias("centroid"))
+            .select("cluster_id", F.transform("s", lambda t: t["c"]).alias("new_centroid"))
+        )
+        # An empty cluster keeps its previous centroid (review r4: the
+        # mean-update groupBy only emits clusters that received points, so
+        # duplicate init vectors could silently shrink an 8-cell quantizer
+        # to 7 cells — the caller's k is a contract, not a hint).
+        centroids = (
+            centroids.join(new_means, "cluster_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
             .localCheckpoint(eager=True)
         )
     return centroids
@@ -842,7 +886,7 @@ def _register_hard_negatives():
               GROUP BY 1, 2
             ),
             scored AS (
-              SELECT qid, cid, dp / (nq.nrm * nc.nrm) AS cos_raw
+              SELECT qid, cid, CASE WHEN nq.nrm * nc.nrm > 0 THEN dp / (nq.nrm * nc.nrm) END AS cos_raw
               FROM dots JOIN norms nq ON nq.vec_id = qid
                         JOIN norms nc ON nc.vec_id = cid
             ),

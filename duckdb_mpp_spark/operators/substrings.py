@@ -102,8 +102,15 @@ def tfidf_keywords(
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
     n_total = df.agg(F.count("*").alias("n_total"))  # 1 row — broadcast join
+    # tf is widened to DECIMAL(38,0) before the product (review r4): under
+    # Spark's default non-ANSI arithmetic, tf·idf_scaled wraps silently
+    # past 2^63 (df=1 on a 10^10-doc corpus gives idf_scaled=10^16; a term
+    # repeated ≥923 times then ranks LAST instead of first). Decimal keeps
+    # the score exact to 38 digits on both engines; the inner
+    # (IDF_SCALE·N) div df stays bigint — safe to N ≈ 9·10^12 docs.
     scored = tf.join(F.broadcast(n_total)).withColumn(
-        "score", F.expr(f"tf * (({IDF_SCALE} * n_total) div df)")
+        "score",
+        F.expr(f"CAST(tf AS DECIMAL(38,0)) * (({IDF_SCALE} * n_total) div df)"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok").asc())
     return (
@@ -158,7 +165,7 @@ _KEYWORD_ORACLE = f"""
   n AS (SELECT COUNT(*) AS n_total FROM documents),
   scored AS (
     SELECT t.doc_id, t.tok, t.tf,
-           t.tf * (({IDF_SCALE} * n.n_total) // d.df) AS score
+           CAST(t.tf AS DECIMAL(38,0)) * (({IDF_SCALE} * n.n_total) // d.df) AS score
     FROM tf t JOIN doc_freq d USING (tok) CROSS JOIN n
   ),
   ranked AS (

@@ -35,9 +35,14 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, lowercased, empties dropped (split on the literal
     space — the corpus is single-spaced; regex-free keeps both engines
-    byte-identical)."""
+    byte-identical). NULL text yields an EMPTY array, not NULL (review r4:
+    under Spark's default ``legacy.sizeOfNull``, ``size(NULL)`` is -1,
+    which poisoned sequence-packing's cumulative offsets and produced
+    out-of-range repetition fractions for fetch-failure docs — every
+    consumer counts a missing doc as zero tokens instead)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(F.trim(c)), " "), lambda x: x != F.lit(""))
+    split = F.filter(F.split(F.lower(F.trim(c)), " "), lambda x: x != F.lit(""))
+    return F.coalesce(split, F.array().cast("array<string>"))
 
 
 def token_count(col: Column | str) -> Column:

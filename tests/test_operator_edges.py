@@ -1,0 +1,106 @@
+"""Edge-input regressions from the round-4 operator review: inputs the
+oracle gates cannot exercise (the driver fixtures are null-free and
+non-empty) but that real corpora contain — empty/NULL text, zero-norm
+embeddings, adversarial graph diameters, simhash pairs whose differing
+bits fall in any block."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_bands,
+    simhash_neighbor_pairs,
+)
+from duckdb_mpp_spark.operators.similarity import brute_force_topk, kmeans_fit
+from duckdb_mpp_spark.operators.text import tokens
+
+
+def test_simhash_banding_has_guaranteed_recall(spark):
+    """review r4: the old top-16-bit prefix band missed pairs whose
+    differing bit fell inside the prefix; max_hamming+1 disjoint blocks
+    must find EVERY pair within the hamming budget (pigeonhole)."""
+    base = 0b10110011_01011100_11110000_10101010
+    fps = [("d0", base)]
+    # flip each single bit — all 32 hamming-1 neighbors must be found
+    fps += [(f"b{j:02d}", base ^ (1 << j)) for j in range(32)]
+    sim = spark.createDataFrame(fps, "doc_id string, simhash long")
+    pairs = simhash_neighbor_pairs(sim, max_hamming=4).collect()
+    with_d0 = {r["doc_b"] for r in pairs if r["doc_a"] == "d0"} | {
+        r["doc_a"] for r in pairs if r["doc_b"] == "d0"
+    }
+    assert with_d0 == {f"b{j:02d}" for j in range(32)}
+    assert all(r["hamming"] <= 4 for r in pairs)
+    # and no duplicate pairs despite multi-block agreement
+    keys = [(r["doc_a"], r["doc_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_empty_docs_do_not_form_lsh_bucket(spark):
+    """review r4: empty/whitespace/NULL-text docs must emit NO minhash
+    signature (the old empty-string shingle gave them all one identical
+    signature — one degenerate bucket, jaccard-1.0 'duplicates')."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "   "), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    bands = minhash_bands(docs)
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1}
+    assert lsh_candidate_pairs(bands).count() == 0
+
+
+def test_exact_dedup_null_text_not_grouped(spark):
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["group_size"], r["kept"]) for r in exact_dedup(docs).collect()}
+    assert got[1] == (1 + 1, True) and got[2] == (2, False)
+    # NULL-text docs are singleton groups, each kept
+    assert got[3] == (1, True) and got[4] == (1, True)
+
+
+def test_connected_components_raises_on_diameter_overflow(spark):
+    """review r4: exhausting max_iter must be a loud error, not silently
+    split components (each split electing its own canonical doc)."""
+    n = 12
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    # enough rounds: converges to one component labeled 0
+    labels = connected_components(chain, nodes, max_iter=n + 1)
+    assert {r["label"] for r in labels.collect()} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, nodes, max_iter=3)
+
+
+def test_tokens_null_text_is_empty_array(spark):
+    df = spark.createDataFrame([(1, None), (2, " a b ")], "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", F.size(tokens("text")).alias("n")).collect()}
+    assert got == {1: 0, 2: 2}  # not -1 (legacy sizeOfNull)
+
+
+def test_zero_norm_embedding_never_ranks(spark):
+    """review r4: a zero vector's 0/0 cosine is NaN, which Spark sorts
+    ABOVE every real score — it must never displace a true neighbor."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "cid long, cv array<float>",
+    )
+    queries = spark.createDataFrame([(10, [1.0, 0.0])], "qid long, qv array<float>")
+    got = [(r["cid"], r["rank"]) for r in brute_force_topk(queries, corpus, k=2).collect()]
+    assert [c for c, _ in got][:2] == [1, 2]  # zero vector not rank 1
+
+
+def test_kmeans_keeps_k_centroids_on_empty_cluster(spark):
+    """review r4: duplicate init vectors empty a cluster after the first
+    assignment; the empty cluster must keep its centroid, not vanish."""
+    vecs = [(i, [0.0, 0.0]) for i in range(4)] + [
+        (10, [5.0, 5.0]), (11, [5.1, 5.1]), (12, [9.0, 9.0]), (13, [9.1, 9.1]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(emb, k=4, iters=2)
+    assert cents.count() == 4
