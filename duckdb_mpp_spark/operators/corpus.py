@@ -109,7 +109,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 _REPETITION_ORACLE = """
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  SELECT doc_id, COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS t
   FROM documents
 ),
 stats AS (
@@ -186,7 +186,7 @@ def contamination_overlap(
 
 _CONTAMINATION_ORACLE = f"""
 WITH dwords AS (
-  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+  SELECT doc_id, COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS ws
   FROM documents
 ),
 dsh AS (
@@ -196,7 +196,7 @@ dsh AS (
 ),
 bwords AS (
   SELECT p_partkey AS doc_id,
-         list_filter(string_split(lower(trim(p_name)), ' '), x -> x <> '') AS ws
+         COALESCE(list_filter(string_split(lower(trim(p_name)), ' '), x -> x <> ''), []) AS ws
   FROM part
 ),
 bench AS (
@@ -334,7 +334,7 @@ def sequence_packing(
 _PACKING_ORACLE = f"""
 WITH tc AS (
   SELECT doc_id,
-         len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS n_tok,
+         len(COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), [])) AS n_tok,
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
               % {N_PACK_WORKERS} AS INT) AS worker
   FROM documents
@@ -585,7 +585,7 @@ def chunk_documents(
 _CHUNK_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+             COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS ws
       FROM documents
     ), c AS (
       SELECT doc_id, ws, CAST(i AS INT) AS chunk_id,

@@ -455,7 +455,7 @@ def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: 
 # gate queries + oracles
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKENS = "list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')"
+_DUCK_TOKENS = "COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), [])"
 
 _DUCK_SHINGLES = f"""
   words AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),

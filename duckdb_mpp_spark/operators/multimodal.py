@@ -117,7 +117,9 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
+            # NULL payloads (text=NULL upstream) behave as empty bytes —
+            # len(None)/sum(None) would abort the whole task (review r4)
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             byte_len = payloads.map(len)
             head = payloads.map(lambda b: b[0] if len(b) else -1)
             checksum = payloads.map(lambda b: sum(b) % 997)
@@ -154,6 +156,7 @@ def sample_frames(df: DataFrame) -> DataFrame:
         for pdf in it:
             ids, idxs, lens, sums = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload if payload is not None else b""  # review r4
                 for f in range(0, (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_STRIDE):
                     chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
                     ids.append(doc_id)
@@ -201,7 +204,10 @@ def encode_sgm_images(docs: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
-                b = text.encode("utf-8")
+                # NULL/empty text encodes as a single zero byte so every doc
+                # yields a well-formed image (review r4: ''.encode() made
+                # target//len(b) a ZeroDivisionError; None crashed .encode)
+                b = (text or "").encode("utf-8") or b"\x00"
                 w = 1 + len(b) % 16
                 h = 1 + (len(b) // 16) % 16
                 target = w * h
@@ -235,7 +241,9 @@ def decode_sgm_features(df: DataFrame) -> DataFrame:
                 rows["height"].append(img["height"])
                 rows["channels"].append(img["channels"])
                 rows["n_pixels"].append(n)
-                rows["mean_pixel"].append(sum(img["pixels"]) // n)
+                # zero-area images are header-valid (0 == w*h*c); their mean
+                # is defined as 0 rather than dividing by zero (review r4)
+                rows["mean_pixel"].append(sum(img["pixels"]) // n if n else 0)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
@@ -254,13 +262,20 @@ def _register():
         Query(
             spark=features_fn,
             oracle="""
+            -- LEFT JOIN LATERAL keeps zero-length/NULL docs (Spark emits a
+            -- feature row for them too), and the series bound is the doc's
+            -- own length — no silent 100k-char checksum cap (review r4)
             WITH bytes AS (
               SELECT d.doc_id,
-                     CAST(length(d.text) AS INT) AS byte_len,
-                     CAST(ord(substring(d.text, 1, 1)) AS INT) AS head_byte,
-                     CAST(SUM(ord(substring(d.text, t.i, 1))) % 997 AS INT) AS checksum
-              FROM documents d, generate_series(1, 100000) t(i)
-              WHERE t.i <= length(d.text)
+                     CAST(COALESCE(length(d.text), 0) AS INT) AS byte_len,
+                     CAST(CASE WHEN COALESCE(length(d.text), 0) > 0
+                               THEN ord(substring(d.text, 1, 1)) ELSE -1 END AS INT)
+                       AS head_byte,
+                     CAST(COALESCE(SUM(ord(substring(d.text, t.i, 1))), 0) % 997 AS INT)
+                       AS checksum
+              FROM documents d
+              LEFT JOIN LATERAL (SELECT unnest(range(1, length(d.text) + 1)) AS i) t
+                ON TRUE
               GROUP BY d.doc_id, d.text
             )
             SELECT doc_id, byte_len, head_byte, checksum,
@@ -283,17 +298,25 @@ def _register():
         Query(
             spark=decode_fn,
             oracle="""
-            WITH dims AS (
-              SELECT doc_id, text,
-                     1 + length(text) % 16 AS w,
-                     1 + (length(text) // 16) % 16 AS h
+            -- NULL/empty text mirrors the encoder's single-zero-byte
+            -- placeholder; the pixel series bound is w*h itself (>= 1), not
+            -- a silent 100k cap (review r4)
+            WITH src AS (
+              SELECT doc_id, COALESCE(text, '') AS text,
+                     GREATEST(COALESCE(length(text), 0), 1) AS lb
               FROM documents
+            ),
+            dims AS (
+              SELECT doc_id, text, lb,
+                     1 + lb % 16 AS w,
+                     1 + (lb // 16) % 16 AS h
+              FROM src
             ),
             pix AS (
               SELECT doc_id, w, h,
-                     SUM(ord(substring(text, ((i.i - 1) % length(text)) + 1, 1))) AS s
-              FROM dims, generate_series(1, 100000) i(i)
-              WHERE i.i <= w * h
+                     SUM(CASE WHEN length(text) = 0 THEN 0
+                              ELSE ord(substring(text, ((i.i - 1) % lb) + 1, 1)) END) AS s
+              FROM dims, LATERAL (SELECT unnest(range(1, w * h + 1)) AS i) i
               GROUP BY doc_id, w, h
             )
             SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -313,11 +336,17 @@ def _register():
         Query(
             spark=frames_fn,
             oracle=f"""
+            -- series bound derives from the doc's own frame count — no
+            -- silent 100k-frame (1.6 MB payload) cap (review r4); NULL text
+            -- yields generate_series over NULL = no frames, matching Spark
             WITH frames AS (
               SELECT d.doc_id, f.f AS frame_idx,
                      substring(d.text, f.f * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
-              FROM documents d, generate_series(0, 100000) f(f)
-              WHERE f.f * {FRAME_BYTES} < length(d.text) AND f.f % {FRAME_STRIDE} = 0
+              FROM documents d,
+                   LATERAL (SELECT unnest(range(
+                     0, (length(d.text) + {FRAME_BYTES} - 1) // {FRAME_BYTES}
+                   )) AS f) f
+              WHERE f.f % {FRAME_STRIDE} = 0
             )
             SELECT fr.doc_id, CAST(fr.frame_idx AS INT) AS frame_idx,
                    CAST(length(fr.chunk) AS INT) AS frame_len,

@@ -126,7 +126,7 @@ def tfidf_keywords(
 
 _DUCK_SPANS = f"""
   WITH words AS (
-    SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+    SELECT doc_id, COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS ws
     FROM documents
   ),
   spans AS (
@@ -155,7 +155,7 @@ _KEYWORD_ORACLE = f"""
     SELECT doc_id, tok
     FROM (
       SELECT doc_id,
-             unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS tok
+             unnest(COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), [])) AS tok
       FROM documents
     )
     WHERE length(tok) >= {MIN_KEYWORD_LEN}

@@ -125,7 +125,13 @@ def _dedent(s: str) -> str:
 
 
 def _duck_tokens(expr: str = "text") -> str:
-    return f"list_filter(string_split(lower(trim({expr})), ' '), x -> x <> '')"
+    # COALESCE to [] mirrors tokens()'s NULL→empty-array contract (review
+    # r4: without it every oracle built on this reported NULL token counts
+    # where Spark reports 0 for NULL-text docs)
+    return (
+        f"COALESCE(list_filter(string_split(lower(trim({expr})), ' '), "
+        f"x -> x <> ''), [])"
+    )
 
 
 def _duck_stop_hits(lang: str) -> str:
@@ -249,7 +255,7 @@ def _register_quality():
         SELECT doc_id,
                CAST(length(text) AS INT) AS n_chars_calc,
                CAST(len(ws) AS INT) AS n_tokens,
-               CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+               CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE)
                  / greatest(len(ws), 1) AS avg_token_len,
                CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
                  / length(text) AS punct_ratio,

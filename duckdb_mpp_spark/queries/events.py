@@ -43,6 +43,7 @@ register(
                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_session
           FROM events
+          WHERE ts IS NOT NULL  -- engines disagree on NULL window order (review r4)
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) AS flagged
         GROUP BY user_id
@@ -73,14 +74,21 @@ register(
     "events_json_props",
     Query(
         spark="""
-        SELECT CAST(get_json_object(props, '$.k') AS INT) % 10 AS k_bucket,
+        -- floor(double) parse: tolerant of fractional/junk/malformed values
+        -- on BOTH engines (review r4: strict CAST rounds in DuckDB, errors
+        -- in ANSI Spark, and DuckDB dies outright on malformed JSON)
+        SELECT CAST(FLOOR(TRY_CAST(get_json_object(props, '$.k') AS DOUBLE)) AS INT)
+                 % 10 AS k_bucket,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1 ORDER BY 1
         """,
         oracle="""
-        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        SELECT CAST(FLOOR(TRY_CAST(
+                 CASE WHEN json_valid(props)
+                      THEN json_extract_string(props, '$.k') END
+               AS DOUBLE)) AS INT) % 10 AS k_bucket,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
@@ -409,7 +417,9 @@ register(
             ),
             cells AS (
               SELECT event_type,
-                     to_timestamp(floor(epoch(ts) / 21600) * 21600) AS slot,
+                     TIMESTAMP '1970-01-01 00:00:00'
+                       + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                         * INTERVAL 1 SECOND AS slot,  -- TZ-free (review r4)
                      COUNT(*) AS n,
                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
               FROM events
@@ -578,7 +588,9 @@ register(
             ),
             cells AS (
               SELECT event_type,
-                     to_timestamp(floor(epoch(ts) / 21600) * 21600) AS slot,
+                     TIMESTAMP '1970-01-01 00:00:00'
+                       + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                         * INTERVAL 1 SECOND AS slot,  -- TZ-free (review r4)
                      COUNT(*) AS n,
                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
               FROM events

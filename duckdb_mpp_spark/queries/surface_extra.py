@@ -128,7 +128,7 @@ register(
             WITH d AS (
               SELECT source, doc_id,
                      list_has_any(
-                       list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''),
+                       COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []),
                        [{_BL}]) AS dirty
               FROM documents
             )

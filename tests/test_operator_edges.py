@@ -104,3 +104,43 @@ def test_kmeans_keeps_k_centroids_on_empty_cluster(spark):
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     cents = kmeans_fit(emb, k=4, iters=2)
     assert cents.count() == 4
+
+
+def test_multimodal_null_and_empty_text(spark):
+    """review r4: NULL/empty text must flow through every mapInPandas
+    operator as an empty (or placeholder) payload, not crash the task."""
+    from duckdb_mpp_spark.operators.multimodal import (
+        decode_sgm_features,
+        encode_sgm_images,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "web", "en", 11), (2, None, "web", "en", 0),
+         (3, "", "web", "en", 0)],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    )
+    payloads = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = {r["doc_id"]: r for r in extract_features(payloads).collect()}
+    assert feats[2]["byte_len"] == 0 and feats[2]["head_byte"] == -1
+    assert feats[3]["checksum"] == 0
+    # frames: empty payloads emit zero frames
+    frames = sample_frames(payloads).groupBy("doc_id").count().collect()
+    assert {r["doc_id"] for r in frames} == {1}
+    # SGM round trip: every doc yields a decodable image
+    decoded = decode_sgm_features(encode_sgm_images(docs)).collect()
+    assert {r["doc_id"] for r in decoded} == {1, 2, 3}
+    by_id = {r["doc_id"]: r for r in decoded}
+    assert by_id[2]["mean_pixel"] == 0 and by_id[2]["n_pixels"] >= 1
+
+
+def test_zero_area_sgm_decodes(spark):
+    from duckdb_mpp_spark.operators.multimodal import decode_sgm_features, encode_sgm
+
+    payload = encode_sgm(0, 5, 1, b"")
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    got = decode_sgm_features(df).collect()[0]
+    assert (got["n_pixels"], got["mean_pixel"]) == (0, 0)
