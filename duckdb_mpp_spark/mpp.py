@@ -443,6 +443,14 @@ class MppSession:
 
     # -- transactions (DDL atomicity only, SURVEY §2.A17) -----------------
     def begin(self) -> None:
+        if self._txn_depth:
+            # DuckDB (and therefore the reference) rejects nested BEGIN;
+            # silently resetting the journal would leak the outer
+            # transaction's DDL past its ROLLBACK (review r4)
+            raise RuntimeError(
+                "TransactionContext Error: cannot start a transaction "
+                "within a transaction"
+            )
         self._txn_depth = 1
         self._txn_created = []
         self._txn_dropped = []
@@ -469,6 +477,11 @@ class MppSession:
                     self._bind(meta).unregister()
                 shutil.rmtree(self.catalog.table_path(meta), ignore_errors=True)
                 self.catalog.forget_table(name)
+                # an intra-txn SELECT registered a temp view for the table;
+                # without this the rolled-back table stays silently
+                # queryable as an empty/stale view (review r4)
+                if self._view_exists(name):
+                    self.spark.catalog.dropTempView(name)
             except ValueError:
                 pass
         # DROPs of pre-transaction tables are undone too (review r4: the
@@ -1088,7 +1101,7 @@ class MppSession:
                         df = tbl.scan(where=None, keep_bucket=True)
                 else:
                     df = tbl._empty_df(True)
-                if pred and tbl._has_data():
+                if pred and snap_files:  # snap_files already loaded above
                     df = df.where(pred)
                 df = df.drop("__bucket")
             else:
@@ -1193,12 +1206,19 @@ class MppSession:
             else:
                 df = self._run_select(f"SELECT * FROM {src}")
             obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).cast("long").alias("n"))
-            w = df.write.mode("overwrite").format(fmt)
+            observed = df.observe(obs, F.count(F.lit(1)).cast("long").alias("n"))
+            w = observed.write.mode("overwrite").format(fmt)
             if fmt == "csv":
                 w = w.option("header", options.get("header", "true"))
             w.save(path)
-            return int(obs.get["n"])
+            try:
+                return int(obs.get["n"])
+            except Exception:
+                # AQE empty-relation propagation can plan CollectMetrics
+                # away for provably-empty inputs (COPY (SELECT ... WHERE
+                # 1=0)) — same hazard dml._observed_matched guards
+                # (review r4); the recount is free on this path.
+                return df.count()
 
         if from_idx > 0:
             name = _ident(stripped[len("COPY"):from_idx].strip())

@@ -13,6 +13,8 @@ The temp warehouses live for the session (the returned DataFrames scan them
 lazily — no driver-side materialization, so the pattern holds at any scale).
 """
 
+import atexit
+import shutil as _shutil
 import tempfile
 
 from pyspark.sql import types as _T
@@ -31,8 +33,19 @@ _GATE_SCHEMA = _T.StructType(
 )
 
 
+def _gate_tmpdir(prefix: str = "mpp_gate_") -> str:
+    """Session-lifetime temp dir for a gate warehouse, reclaimed at process
+    exit (review r4): gates return LAZY DataFrames that scan these dirs, so
+    they must outlive the call — but the driver re-runs the ~16 mpp gates
+    every round, and without exit-time cleanup /tmp accumulates several
+    fixture copies per gate per round until writes start failing."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _bucketed_orders(spark, sf_dir: str, name: str, buckets: int = 12):
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders")
     tbl = mpp.create_distributed_table(name, orders.schema, "o_custkey", buckets)
     tbl.insert(orders)
@@ -115,7 +128,7 @@ def _colocated_join(spark, sf_dir):
     hash match proves bucketed routing loses/duplicates nothing."""
     from pyspark.sql import functions as F
 
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     t_o = mpp.create_distributed_table(
@@ -212,7 +225,7 @@ def _sorted_scan(spark, sf_dir):
     the generations whose footer min/max can't overlap (zonemap.py). The
     result must equal the plain filter — skipping is an optimization,
     never a filter."""
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders")
     tbl = mpp.create_distributed_table(
         "orders_s", orders.schema, "o_custkey", 8, sort_column="o_orderdate"
@@ -245,7 +258,7 @@ def _compact_scan(spark, sf_dir):
     bucket; compact() rewrites each bucket to one file (snapshot-publish
     commit, same isolation as COW DML) and the pruned scan still returns exactly
     the inserted rows — compaction changes layout, never content."""
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders")
     tbl = mpp.create_distributed_table("orders_k", orders.schema, "o_custkey", 12)
     tbl.insert(orders.where("o_orderkey % 2 = 0"))
@@ -275,7 +288,7 @@ def _upsert_scan(spark, sf_dir):
     ONE snapshot commit. The oracle states the merge result with a CASE over
     the raw fixture — a hash match proves replaced-not-duplicated, appended-
     not-lost, and untouched rows bit-identical."""
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders")
     tbl = mpp.create_distributed_table("orders_up", orders.schema, "o_custkey", 12)
     tbl.insert(orders.where("o_orderkey % 3 != 0"))
@@ -321,7 +334,7 @@ def _time_travel(spark, sf_dir):
     a hash match proves historical reads are exact, not approximations."""
     from pyspark.sql import functions as F
 
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders")
     tbl = mpp.create_distributed_table("orders_tt", orders.schema, "o_custkey", 8)
     tbl.insert(orders.where("o_orderdate < DATE '1995-01-01'"))     # v1
@@ -372,11 +385,11 @@ def _copy_roundtrip(spark, sf_dir):
     result — proving both directions preserve rows/types exactly. The
     export target is a directory of part files (the Spark-native parallel-
     writer shape; documented divergence from DuckDB's single file)."""
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders")
     tbl = mpp.create_distributed_table("orders_cp", orders.schema, "o_custkey", 8)
     tbl.insert(orders)
-    out = tempfile.mkdtemp(prefix="mpp_copy_") + "/export.parquet"
+    out = _gate_tmpdir("mpp_copy_") + "/export.parquet"
     n = mpp.sql(
         f"COPY (SELECT * FROM orders_cp WHERE o_custkey <= 100) TO '{out}' (FORMAT PARQUET)"
     )
@@ -406,7 +419,7 @@ def _summarize_frontdoor(spark, sf_dir):
     identical rows). Gate table carries int/string/timestamp columns only:
     double→string rendering differs between engines, and the point here is
     the statement surface + one-pass aggregation, not float formatting."""
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
     )
@@ -519,7 +532,7 @@ def _ddl_frontdoor(spark, sf_dir):
     O(#tables)/O(1) metadata, never data-path."""
     import re as _re
 
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     obs: list[tuple[str, str]] = []
 
     mpp.sql(
@@ -578,7 +591,7 @@ def _txn_rollback(spark, sf_dir):
     table (SELECT on it errors, catalog listing is empty, data files are
     gone), while BEGIN; CREATE; COMMIT persists. Observations returned as
     literal rows; oracle states the expected rows."""
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     obs: list[tuple[str, str]] = []
 
     mpp.sql("BEGIN")
@@ -629,7 +642,7 @@ def _unique_constraint(spark, sf_dir):
     Covers: duplicate rejected + table untouched, batch-internal duplicate
     rejected, multiple NULLs allowed, PRIMARY KEY implying NOT NULL, and
     composite UNIQUE rejected loudly. Observations as literal rows."""
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_gate_"))
+    mpp = MppSession(spark, _gate_tmpdir())
     obs: list[tuple[str, str]] = []
 
     mpp.sql(

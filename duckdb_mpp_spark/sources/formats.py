@@ -28,17 +28,29 @@ FORMATS = ("parquet", "csv", "json", "orc")
 
 _CSV_OPTS = {
     # explicit, lossless defaults: header for self-description, ISO
-    # timestamps with microseconds so round-trips are exact
+    # timestamps with microseconds so round-trips are exact. NULLs are
+    # written as \N (the classic MySQL/Hive convention) so they stay
+    # distinguishable from empty strings; external readers must be told
+    # (DuckDB: read_csv(..., nullstr='\N') — its default is '').
     "header": "true",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "nullValue": "\\N",
+}
+
+_JSON_OPTS = {
+    # Spark's JSON writer default truncates timestamps to milliseconds and
+    # its reader never infers timestamps (inferTimestamp=false) — without
+    # these, write→read via json silently degrades timestamp columns to
+    # ms-truncated STRINGS (review r4); with them the round-trip is exact.
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "inferTimestamp": "true",
 }
 
 
 def write_df(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None, **options) -> None:
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
-    opts = dict(_CSV_OPTS) if fmt == "csv" else {}
+    opts = dict(_CSV_OPTS) if fmt == "csv" else dict(_JSON_OPTS) if fmt == "json" else {}
     opts.update(options)
     w = df.write.mode("overwrite").format(fmt).options(**opts)
     if partition_by:
@@ -58,7 +70,7 @@ def read_df(
     drift between runs; production reads are always schema-pinned."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
-    opts = dict(_CSV_OPTS) if fmt == "csv" else {}
+    opts = dict(_CSV_OPTS) if fmt == "csv" else dict(_JSON_OPTS) if fmt == "json" else {}
     opts.update(options)
     r = spark.read.format(fmt).options(**opts)
     if schema is not None:

@@ -32,17 +32,29 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — Spark has no native
     nanosecond timestamp; we read them as raw int64 and truncate to
     microseconds (identical to DuckDB's ns→us truncation, so oracle
-    comparisons agree)."""
+    comparisons agree). Prefix match covers tz-aware variants
+    (``timestamp[ns, tz=…]``) too — review r4: exact matching silently
+    skipped those and the raw int64 read then leaked through untruncated."""
     try:
         import pyarrow.parquet as pq
 
         schema = pq.read_schema(path)
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
     except Exception:
         return []
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, adapting ns timestamps (see
+    ``_nanos_timestamp_cols``).
+
+    Session-conf note (review r4): ``nanosAsLong`` is set session-wide and
+    deliberately NOT restored — the returned DataFrame is lazy and must
+    still read under it at collect time. The conf only affects parquet
+    files that contain ns-timestamp columns, which Spark otherwise refuses
+    to read at all; code that reads such files DIRECTLY (not via
+    load_table) in the same session gets raw int64 columns and must do its
+    own ÷1000 truncation, exactly like ``streaming.stream_events`` does."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:

@@ -39,6 +39,19 @@ def _events_schema(ts_as_long: bool) -> T.StructType:
     )
 
 
+def _gate_tmpdir(prefix: str) -> str:
+    """Session-lifetime temp dir (warehouse / checkpoint / sink), reclaimed
+    at process exit — the driver re-runs these gates every round and the
+    dirs would otherwise accumulate in /tmp unboundedly (review r4)."""
+    import atexit
+    import shutil as _shutil
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix=prefix)
+    atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded stream (file source). Adapts to the
     fixture's physical timestamp type exactly like the batch reader
@@ -323,7 +336,7 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from duckdb_mpp_spark.mpp import MppSession
 
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_stream_ingest_"))
+    mpp = MppSession(spark, _gate_tmpdir("mpp_stream_ingest_"))
     mpp.sql(
         "CREATE TABLE stream_events("
         "event_id BIGINT NOT NULL, user_id BIGINT, event_type TEXT, value DOUBLE) "
@@ -344,7 +357,7 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         ev.writeStream.foreachBatch(ingest_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mpp_stream_ckpt_"))
+        .option("checkpointLocation", _gate_tmpdir("mpp_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -379,7 +392,7 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from duckdb_mpp_spark.mpp import MppSession
 
-    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_stream_upsert_"))
+    mpp = MppSession(spark, _gate_tmpdir("mpp_stream_upsert_"))
     mpp.sql(
         "CREATE TABLE user_totals(user_id BIGINT NOT NULL, n_events BIGINT, "
         "total_q BIGINT) PARTITION BY (user_id) WITH BUCKETS 8"
@@ -413,7 +426,7 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         ev.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mpp_upsert_ckpt_"))
+        .option("checkpointLocation", _gate_tmpdir("mpp_upsert_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -451,8 +464,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_mpp_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    index_dir = _tempfile.mkdtemp(prefix="dedup_index_") + "/bands"
-    verdict_dir = _tempfile.mkdtemp(prefix="dedup_verdicts_") + "/out"
+    index_dir = _gate_tmpdir("dedup_index_") + "/bands"
+    verdict_dir = _gate_tmpdir("dedup_verdicts_") + "/out"
     # persisted index: signatures of the already-crawled corpus
     minhash_bands(docs.where("doc_id % 7 != 0")).write.parquet(index_dir)
     crawl_dedup_day(spark, docs.where("doc_id % 7 = 0"), index_dir, verdict_dir)
@@ -470,7 +483,7 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
 
     from duckdb_mpp_spark.operators.dedup import incremental_dedup, minhash_bands
 
-    src_dir = tempfile.mkdtemp(prefix="dedup_src_") + "/crawl"
+    src_dir = _gate_tmpdir("dedup_src_") + "/crawl"
     day_docs.coalesce(1).write.parquet(src_dir)
 
     def dedup_batch(batch, _id):
@@ -483,7 +496,7 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
         spark.readStream.schema(day_docs.schema)
         .parquet(src_dir)
         .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_ckpt_"))
+        .option("checkpointLocation", _gate_tmpdir("dedup_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

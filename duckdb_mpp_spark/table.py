@@ -333,7 +333,14 @@ class DistributedTable:
             self._commit_append(new_entries, base, files, revalidate)
         finally:
             _shutil.rmtree(tmp, ignore_errors=True)
-        return int(obs.get["cnt"])
+        try:
+            return int(obs.get["cnt"])
+        except Exception:
+            # provably-empty input: AQE can plan CollectMetrics away and
+            # leave the metrics row schema-less (review r4; same hazard as
+            # dml._observed_matched). The committed footer row counts are
+            # the exact answer and cost nothing.
+            return sum(e["rows"] for e in new_entries.values())
 
     def _revalidate_unique(
         self, new_entries: dict[str, dict], base_files: dict[str, dict]

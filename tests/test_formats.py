@@ -68,3 +68,21 @@ def test_partitioned_parquet_prunes(spark, tmp_path_factory):
     # only the matching directory's files are listed
     dirs = {os.path.basename(d) for d in glob.glob(os.path.join(path, "event_type=*"))}
     assert "event_type=click" in dirs and len(dirs) > 1
+
+
+def test_json_round_trip_preserves_microsecond_timestamps(spark, tmp_path):
+    """review r4: Spark's JSON defaults truncate timestamps to ms on write
+    and read them back as strings — the format options must make the
+    write→read round-trip exact, like the CSV path."""
+    from duckdb_mpp_spark.sources.formats import read_df, write_df
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.123456")], "id long, ts string"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+    p = str(tmp_path / "j")
+    write_df(df, p, "json")
+    back = read_df(spark, p, "json", schema="id long, ts timestamp")
+    assert [tuple(r) for r in back.collect()] == [tuple(r) for r in df.collect()]
+    # inference (no schema) also recovers a timestamp, not a string
+    inferred = read_df(spark, p, "json")
+    assert dict(inferred.dtypes)["ts"].startswith("timestamp")

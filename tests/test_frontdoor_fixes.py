@@ -592,3 +592,38 @@ def test_colocated_version_as_of_rejected(spark, mpp):
     mpp.sql("INSERT INTO cv VALUES (1, 10)")
     with pytest.raises(NotImplementedError, match="COLOCATED"):
         mpp.sql("SELECT v FROM cv VERSION AS OF 1")
+
+
+def test_rollback_drops_intra_txn_temp_view(spark, mpp):
+    """review r4: a SELECT inside the txn registers a temp view; rollback
+    must drop it or the dead table stays silently queryable."""
+    mpp.sql("BEGIN")
+    mpp.sql("CREATE TABLE tx(a INT) PARTITION BY (a) WITH BUCKETS 2")
+    mpp.sql("SELECT * FROM tx").collect()
+    mpp.sql("ROLLBACK")
+    assert not mpp.catalog.exists("tx")
+    with pytest.raises(Exception):  # not silently resolvable as a stale view
+        mpp.sql("SELECT * FROM tx").collect()
+
+
+def test_nested_begin_rejected(spark, mpp):
+    """review r4: DuckDB rejects nested BEGIN; silently resetting the DDL
+    journal would leak the outer transaction's DDL past its ROLLBACK."""
+    mpp.sql("BEGIN")
+    mpp.sql("CREATE TABLE nb(a INT) PARTITION BY (a) WITH BUCKETS 2")
+    with pytest.raises(RuntimeError, match="within a transaction"):
+        mpp.sql("BEGIN")
+    mpp.sql("ROLLBACK")
+    assert not mpp.catalog.exists("nb")
+
+
+def test_empty_input_counts_do_not_hang(spark, mpp, tmp_path):
+    """review r4: provably-empty inputs let AQE plan CollectMetrics away —
+    COPY TO and INSERT..SELECT must fall back instead of failing/hanging."""
+    mpp.sql("CREATE TABLE ec(a INT, b INT) PARTITION BY (a) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO ec VALUES (1, 2)")
+    assert mpp.sql("INSERT INTO ec SELECT a, b FROM ec WHERE 1 = 0") == 0
+    out = str(tmp_path / "empty_copy")
+    n = mpp.sql(f"COPY (SELECT * FROM ec WHERE 1 = 0) TO '{out}' (FORMAT PARQUET)")
+    assert n == 0
+    assert mpp.sql("SELECT COUNT(*) AS n FROM ec").collect()[0][0] == 1
