@@ -36,7 +36,7 @@ from duckdb_mpp_spark.operators.text import (
     _duck_stop_hits,
     _duck_tokens,
     language_id,
-    quality_features,
+    quality_score_col,
     token_count,
 )
 from duckdb_mpp_spark.queries import Query, register
@@ -50,9 +50,13 @@ def curate(spark, sf_dir: str):
     # scan-rooted → the parallelism guard is free here and every downstream
     # stage (scoring, dedup, LSH) inherits the spread partitioning
     docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    scored = (
-        docs.select("doc_id", "text", "source", language_id("text").alias("plang"))
-        .join(quality_features(docs).select("doc_id", "quality_score"), "doc_id")
+    # score attached in the SAME projection as language-ID (review r4: the
+    # old quality_features join re-scanned and shuffled the whole corpus to
+    # attach a pure per-row expression)
+    scored = docs.select(
+        "doc_id", "text", "source",
+        language_id("text").alias("plang"),
+        quality_score_col("text").alias("quality_score"),
     )
     kept0 = scored.where((F.col("plang") == "en") & (F.col("quality_score") >= QUALITY_MIN))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -100,8 +104,8 @@ def _oracle() -> str:
     score = f"""0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
            + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
                          / greatest(len(ws), 1) * 5.0, 1.0)
-           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
-           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))"""
+           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))"""
     return f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, text, source, {_duck_tokens()} AS ws FROM documents
@@ -127,10 +131,14 @@ def _oracle() -> str:
       ) t WHERE rn = 1
     ),
     shingles AS (
+      -- zero-token guard mirrors dedup._DUCK_SHINGLES and Spark shingles()
+      -- (review r4; today masked by kept0 requiring an 'en' stopword hit,
+      -- but the invariant must not live that far from the CTE)
       SELECT doc_id, array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' ') AS sh
       FROM kept1, LATERAL (
         SELECT unnest(range(1, greatest(len(ws) - {SHINGLE_WORDS - 1}, 1) + 1)) AS i
       ) t
+      WHERE len(ws) > 0
     ),
     hsh AS (
       SELECT doc_id,

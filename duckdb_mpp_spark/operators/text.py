@@ -71,6 +71,33 @@ def language_id(col: Column | str) -> Column:
     return expr
 
 
+def _punct_ratio(t: Column) -> Column:
+    # greatest(len, 1): a zero-length doc must score 0.0, not raise
+    # DIVIDE_BY_ZERO under ANSI Spark where DuckDB yields NULL (review r4)
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    return punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+
+def _upper_ratio(t: Column) -> Column:
+    upper = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    return upper.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as ONE per-row expression — exported so
+    pipelines (operators/curation.py) can attach it in their existing
+    projection instead of joining quality_features back onto the corpus
+    (review r4: that join was a second corpus scan + corpus-wide shuffle)."""
+    t = F.col(text_col)
+    n_toks = F.size(tokens(text_col))
+    return (
+        0.4 * F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stopword_ratio(text_col, "en") * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(_punct_ratio(t) * 10.0, F.lit(1.0)))
+        + 0.1 * (1.0 - F.least(_upper_ratio(t) * 10.0, F.lit(1.0)))
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / case features + composite score."""
     t = F.col(text_col)
@@ -78,27 +105,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     n_toks = F.size(toks)
     sum_tok_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
-    upper = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
     stop = stopword_ratio(text_col, "en")
-    out = df.select(
+    return df.select(
         "doc_id",
         n_chars.cast("int").alias("n_chars_calc"),
         n_toks.alias("n_tokens"),
         (sum_tok_len.cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")).alias(
             "avg_token_len"
         ),
-        (punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
-        (upper.cast("double") / n_chars.cast("double")).alias("upper_ratio"),
+        _punct_ratio(t).alias("punct_ratio"),
+        _upper_ratio(t).alias("upper_ratio"),
         stop.alias("stopword_ratio"),
+        quality_score_col(text_col).alias("quality_score"),
     )
-    score = (
-        0.4 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
-        + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
-        + 0.2 * (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0)))
-        + 0.1 * (1.0 - F.least(F.col("upper_ratio") * 10.0, F.lit(1.0)))
-    )
-    return out.withColumn("quality_score", score)
 
 
 def char_fingerprint(col: Column | str, k: int = 5) -> Column:
@@ -235,8 +254,8 @@ def duck_quality_cte(name: str = "quality") -> str:
              0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
            + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
                          / greatest(len(ws), 1) * 5.0, 1.0)
-           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
-           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
+           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
              AS quality_score
       FROM (SELECT doc_id, text, {_duck_tokens()} AS ws FROM documents)
     )"""
@@ -258,16 +277,16 @@ def _register_quality():
                CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE)
                  / greatest(len(ws), 1) AS avg_token_len,
                CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
-                 / length(text) AS punct_ratio,
+                 / greatest(length(text), 1) AS punct_ratio,
                CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
-                 / length(text) AS upper_ratio,
+                 / greatest(length(text), 1) AS upper_ratio,
                CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
                  / greatest(len(ws), 1) AS stopword_ratio,
                0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
              + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
                            / greatest(len(ws), 1) * 5.0, 1.0)
-             + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
-             + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0))
+             + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+             + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
                AS quality_score
         FROM toks ORDER BY doc_id
         """

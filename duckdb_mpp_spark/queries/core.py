@@ -691,8 +691,12 @@ register(
         spark="""
         SELECT vec_id, label,
           size(embedding) AS dim,
-          CAST(embedding[0] AS DOUBLE) AS e_first,
-          CAST(embedding[size(embedding) - 1] AS DOUBLE) AS e_last,
+          -- try_element_at: ANSI Spark throws INVALID_ARRAY_INDEX on an
+          -- empty array where DuckDB's list index yields NULL (review r4)
+          CAST(try_element_at(embedding, 1) AS DOUBLE) AS e_first,
+          CAST(CASE WHEN size(embedding) > 0
+                    THEN try_element_at(embedding, size(embedding)) END
+               AS DOUBLE) AS e_last,  -- try_element_at(_, 0) still throws
           aggregate(embedding, CAST(0.0 AS DOUBLE),
                     (acc, x) -> acc + CAST(x AS DOUBLE)) AS e_sum,
           array_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero,

@@ -184,10 +184,12 @@ register(
             WITH p AS (
               SELECT label,
                      len(list_filter(embedding, x -> x > 0)) AS n_pos,
-                     list_sum(list_transform(embedding,
-                       x -> CAST(floor(CAST(abs(x) AS DOUBLE) * 256) AS BIGINT))) AS q_l1,
-                     list_sum(list_transform(range(1, len(embedding) + 1),
-                       i -> CAST(floor(CAST(embedding[i] * embedding[len(embedding) + 1 - i] AS DOUBLE) * 256) AS BIGINT))) AS q_revdot
+                     -- COALESCE: DuckDB list_sum([]) is NULL while Spark's
+                     -- aggregate with a 0 seed is 0 (review r4)
+                     COALESCE(list_sum(list_transform(embedding,
+                       x -> CAST(floor(CAST(abs(x) AS DOUBLE) * 256) AS BIGINT))), 0) AS q_l1,
+                     COALESCE(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(floor(CAST(embedding[i] * embedding[len(embedding) + 1 - i] AS DOUBLE) * 256) AS BIGINT))), 0) AS q_revdot
               FROM embeddings
             )
             SELECT label, COUNT(*) AS n,

@@ -297,14 +297,18 @@ register(
     "agg_variance_corr",
     Query(
         """
+        -- nullif guards (review r4): a 1-row group makes (n - 1) = 0 and a
+        -- constant column makes the corr denominator exactly 0.0 (the
+        -- quantized power sums are exact) — ANSI Spark raises
+        -- DIVIDE_BY_ZERO where DuckDB yields NULL; NULL/NULL matches both.
         SELECT l_returnflag,
                CAST(n AS BIGINT) AS n_rows,
-               (sd2 - sd * sd / n) / (n - 1) AS var_disc,
-               sqrt((sd2 - sd * sd / n) / (n - 1)) AS stddev_disc,
-               (sdt - sd * st / n) / (n - 1) AS covar_disc_tax,
-               ((sdt - sd * st / n) / (n - 1))
-                 / (sqrt((sd2 - sd * sd / n) / (n - 1))
-                    * sqrt((st2 - st * st / n) / (n - 1))) AS corr_disc_tax
+               (sd2 - sd * sd / n) / nullif(n - 1, 0) AS var_disc,
+               sqrt((sd2 - sd * sd / n) / nullif(n - 1, 0)) AS stddev_disc,
+               (sdt - sd * st / n) / nullif(n - 1, 0) AS covar_disc_tax,
+               ((sdt - sd * st / n) / nullif(n - 1, 0))
+                 / nullif(sqrt((sd2 - sd * sd / n) / nullif(n - 1, 0))
+                    * sqrt((st2 - st * st / n) / nullif(n - 1, 0)), 0) AS corr_disc_tax
         FROM (
           SELECT l_returnflag,
                  CAST(COUNT(*) AS DOUBLE) AS n,

@@ -144,3 +144,39 @@ def test_zero_area_sgm_decodes(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
     got = decode_sgm_features(df).collect()[0]
     assert (got["n_pixels"], got["mean_pixel"]) == (0, 0)
+
+
+def test_quality_score_empty_text_no_ansi_crash(spark):
+    """review r4: length-0 text made the punct/upper ratios divide by zero
+    — ANSI Spark raises where DuckDB yields NULL. Empty docs score the
+    floor (all ratios 0)."""
+    from duckdb_mpp_spark.operators.text import quality_features, quality_score_col
+
+    docs = spark.createDataFrame(
+        [(1, "The quick. Brown fox!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert got[2]["punct_ratio"] == 0.0 and got[2]["upper_ratio"] == 0.0
+    assert got[2]["quality_score"] is not None
+    # the exported single-expression score agrees with the features column
+    s = {r["doc_id"]: r["q"] for r in docs.select(
+        "doc_id", quality_score_col("text").alias("q")).collect()}
+    for k in got:
+        assert s[k] == got[k]["quality_score"]
+
+
+def test_array_surface_empty_array_no_ansi_crash(spark):
+    """review r4: embedding[0] / embedding[size-1] throw INVALID_ARRAY_INDEX
+    on empty arrays under ANSI Spark; the gate text must yield NULLs."""
+    spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [])],
+        "vec_id long, label string, embedding array<float>",
+    ).createOrReplaceTempView("embeddings")
+    from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = {r["vec_id"]: r for r in
+            spark.sql(REGISTRY["array_struct_surface"].spark).collect()}
+    assert rows[1]["e_first"] == 1.0 and rows[1]["e_last"] == 2.0
+    assert rows[2]["e_first"] is None and rows[2]["e_last"] is None
