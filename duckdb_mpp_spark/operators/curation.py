@@ -31,10 +31,10 @@ from duckdb_mpp_spark.operators.dedup import (
     minhash_bands,
 )
 from duckdb_mpp_spark.operators.text import (
-    PUNCT_CLASS,
     STOPWORDS,
     _duck_stop_hits,
     _duck_tokens,
+    duck_quality_score_expr,
     language_id,
     quality_score_col,
     token_count,
@@ -101,11 +101,7 @@ def _oracle() -> str:
         f"CAST({_duck_stop_hits(lang)} AS DOUBLE) / greatest(len(ws), 1) AS r_{lang}"
         for lang in sorted(STOPWORDS)
     )
-    score = f"""0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-           + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
-                         / greatest(len(ws), 1) * 5.0, 1.0)
-           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
-           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))"""
+    score = duck_quality_score_expr()  # single source of truth (review r4)
     return f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, text, source, {_duck_tokens()} AS ws FROM documents

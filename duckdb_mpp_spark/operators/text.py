@@ -243,20 +243,27 @@ def _register_token_stats():
     register("text_token_stats", Query(spark=spark_fn, oracle=oracle))
 
 
+def duck_quality_score_expr() -> str:
+    """The composite-score SQL EXPRESSION over columns ``text`` and ``ws``
+    (the tokenized text) — the single source of truth for the DuckDB twin
+    of :func:`quality_score_col` (review r4: this float expression tree
+    previously lived in three hand-copied places; the gates depend on it
+    being bit-identical across engines, so one copy only)."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
+                         / greatest(len(ws), 1) * 5.0, 1.0)
+           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))"""
+
+
 def duck_quality_cte(name: str = "quality") -> str:
     """DuckDB CTE text ``<name> AS (SELECT doc_id, quality_score FROM …)``
     mirroring :func:`quality_features`'s composite score — reused by every
     oracle that ranks documents by quality (same float ops in the same
     order, so the doubles are bit-identical across engines)."""
-    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""{name} AS (
-      SELECT doc_id,
-             0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-           + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
-                         / greatest(len(ws), 1) * 5.0, 1.0)
-           + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
-           + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
-             AS quality_score
+      SELECT doc_id, {duck_quality_score_expr()} AS quality_score
       FROM (SELECT doc_id, text, {_duck_tokens()} AS ws FROM documents)
     )"""
 
@@ -282,12 +289,7 @@ def _register_quality():
                  / greatest(length(text), 1) AS upper_ratio,
                CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
                  / greatest(len(ws), 1) AS stopword_ratio,
-               0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-             + 0.3 * least(CAST(len(list_filter(ws, x -> x IN ({en}))) AS DOUBLE)
-                           / greatest(len(ws), 1) * 5.0, 1.0)
-             + 0.2 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
-             + 0.1 * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
-               AS quality_score
+               {duck_quality_score_expr()} AS quality_score
         FROM toks ORDER BY doc_id
         """
     register("text_quality_score", Query(spark=spark_fn, oracle=oracle))
