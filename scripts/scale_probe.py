@@ -161,6 +161,15 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
             rdd.unpersist()
 
     run("dedup_lsh_pairs", lambda: lsh_candidate_pairs(minhash_bands(docs)))
+
+    from duckdb_mpp_spark.operators.dedup import simhash32, simhash_neighbor_pairs
+
+    # r4: 5-block recall-complete banding replaced the single 16-bit prefix
+    # band — this row proves the blocked self-join stays linear at 10×
+    run(
+        "dedup_simhash_pairs",
+        lambda: simhash_neighbor_pairs(simhash32(docs)),
+    )
     run(
         "dedup_jaccard",
         # candidate-filtered verify + 64-bit gram keys, mirroring the gate
