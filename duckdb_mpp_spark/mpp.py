@@ -78,9 +78,12 @@ def _blank_literals(text: str) -> str:
     length-preserving, so keyword/identifier regexes can run over the
     result and their match positions map 1:1 back onto the original text.
     (A keyword inside a literal — ``'use ON CONFLICT here'`` — must never
-    trigger statement routing or clause rewrites; review r4.)"""
+    trigger statement routing or clause rewrites; review r4.) Consumes both
+    ``''``-doubled and ``\\'``-backslash escapes — Spark's default parser
+    treats ``\\'`` as an escaped quote, so ``'don\\'t'`` must blank as ONE
+    literal, not un-blank its tail (ADVICE r4)."""
     return re.sub(
-        r"'(?:[^']|'')*'",
+        r"'(?:[^'\\]|''|\\.)*'",
         lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
         text,
     )
@@ -96,6 +99,11 @@ def _find_keyword_top_level(text: str, word: str, start: int = 0) -> int:
         if ch == "'":
             i += 1
             while i < n:
+                if text[i] == "\\" and i + 1 < n:
+                    # Spark's default parser: backslash escapes the next
+                    # char inside a literal ('don\'t' is ONE literal)
+                    i += 2
+                    continue
                 if text[i] == "'":
                     if i + 1 < n and text[i + 1] == "'":
                         i += 2
@@ -963,6 +971,37 @@ class MppSession:
             > 1
         )
 
+    def _setop_confined_to_first_leg(self, query: str, name: str) -> bool:
+        """Pruning derives its predicate from the FIRST leg's top-level WHERE
+        (``_where_span`` stops at UNION/INTERSECT/EXCEPT). Applying that
+        predicate to a table whose relation reference lives in a LATER
+        set-op leg would silently drop that leg's rows (ADVICE r4:
+        ``SELECT k FROM v WHERE x=5 UNION ALL SELECT k FROM dist_t`` must
+        not prune dist_t on x=5). True when no top-level set-op exists, or
+        every relation reference of ``name`` precedes the first set-op
+        keyword. False disables pruning/zone maps for the table — Catalyst
+        still applies the real predicates, so this is purely conservative."""
+        idxs = [
+            _find_keyword_top_level(query, kw)
+            for kw in ("UNION", "INTERSECT", "EXCEPT")
+        ]
+        idxs = [i for i in idxs if i >= 0]
+        if not idxs:
+            return True
+        setop = min(idxs)
+        blank = _blank_literals(query)
+        refs = [
+            m.start()
+            for m in re.finditer(
+                rf"(?:\bFROM|\bJOIN|,)\s+{re.escape(name)}\b",
+                blank,
+                re.IGNORECASE,
+            )
+        ]
+        # no recognizable FROM/JOIN reference (CTE / subquery shapes the
+        # regex can't place relative to the set-op): stay conservative
+        return bool(refs) and all(r < setop for r in refs)
+
     def _rewrite_where_aliases(self, query: str) -> str:
         """DuckDB allows select-list aliases in WHERE (``SELECT id AS c0 ...
         WHERE c0=1``, test/sql/mpp_filter.test:55); Spark resolves lateral
@@ -1079,6 +1118,7 @@ class MppSession:
                 and len(names) == 1
                 and not tbl.meta.colocated
                 and not self._self_joined(query, name)
+                and self._setop_confined_to_first_leg(query, name)
             ):
                 from duckdb_mpp_spark.pruning import bucket_predicate_for_where
 
@@ -1258,8 +1298,12 @@ class MppSession:
         for name in names:
             tbl = self.table(name)
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
-            if self._self_joined(query, name):
-                ids = list(range(tbl.meta.buckets))  # pruning disabled (see _self_joined)
+            if self._self_joined(query, name) or not self._setop_confined_to_first_leg(
+                query, name
+            ):
+                # pruning disabled (see _self_joined / _setop_confined_to_first_leg);
+                # Shards header must match what the registered view actually scans
+                ids = list(range(tbl.meta.buckets))
             else:
                 ids = tbl.pruned_bucket_ids(
                     where, aliases, qualifiers=self._table_qualifiers(query, name)

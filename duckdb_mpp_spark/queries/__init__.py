@@ -137,10 +137,15 @@ def _registry_names_prioritized() -> list[str]:
     the round of their latest green row."""
     fresh = _freshest_green_round()
 
-    def prio(n: str) -> int:
+    def prio(n: str) -> tuple[int, int]:
         if n in _FORCE_FIRST:
-            return 0
-        return fresh.get(n, 0)  # 0 = never green → first
+            return (0, 0)
+        # Secondary key: within the never-green tier, streaming gates sort
+        # LAST — each one spends seconds of driver budget on checkpoint
+        # setup / trigger loops, and must not starve cheap batch gates of
+        # their first green row (ADVICE r4).
+        streaming = 1 if n.startswith("streaming_") else 0
+        return (fresh.get(n, 0), streaming)  # round 0 = never green → first
 
     return sorted(REGISTRY, key=prio)  # stable: registry order within tiers
 

@@ -627,3 +627,57 @@ def test_empty_input_counts_do_not_hang(spark, mpp, tmp_path):
     n = mpp.sql(f"COPY (SELECT * FROM ec WHERE 1 = 0) TO '{out}' (FORMAT PARQUET)")
     assert n == 0
     assert mpp.sql("SELECT COUNT(*) AS n FROM ec").collect()[0][0] == 1
+
+
+# -- set-op cross-leg pruning (ADVICE r4, medium) --------------------------
+
+@pytest.fixture()
+def setop_t(mpp):
+    mpp.sql("CREATE TABLE st(k INT, v INT) PARTITION BY (k) WITH BUCKETS 8")
+    mpp.sql("INSERT INTO st VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    mpp.spark.createDataFrame(
+        [(5, 5), (6, 7)], "k int, v int"
+    ).createOrReplaceTempView("tv_setop")
+    return mpp
+
+
+def test_setop_later_leg_not_pruned(setop_t):
+    # ADVICE r4: the first leg's WHERE (k = 5, on the temp view) must not
+    # derive a bucket/zone-map restriction for st, which is referenced only
+    # in the SECOND leg — pruning on k=5 would silently drop all st rows.
+    q = "SELECT k FROM tv_setop WHERE k = 5 UNION ALL SELECT k FROM st"
+    assert sorted(rows(setop_t.sql(q))) == [(1,), (2,), (3,), (4,), (5,)]
+
+
+def test_setop_later_leg_not_pruned_intersect(setop_t):
+    q = "SELECT k FROM tv_setop WHERE k = 5 EXCEPT SELECT k FROM st"
+    assert sorted(rows(setop_t.sql(q))) == [(5,)]
+
+
+def test_setop_first_leg_still_pruned_and_correct(setop_t):
+    # table confined to the first leg: pruning stays on and results match.
+    q = "SELECT k FROM st WHERE k = 2 UNION ALL SELECT k FROM tv_setop"
+    assert sorted(rows(setop_t.sql(q))) == [(2,), (5,), (6,)]
+    ex = setop_t.explain(q)
+    assert "Shards: 1/8" in ex
+
+
+def test_setop_explain_shows_full_shards_for_later_leg(setop_t):
+    q = "SELECT k FROM tv_setop WHERE k = 5 UNION ALL SELECT k FROM st"
+    ex = setop_t.explain(q)
+    assert "Shards: 8/8" in ex
+
+
+# -- backslash-escaped literals (ADVICE r4, low) ---------------------------
+
+def test_backslash_escaped_literal_keyword_guard(t1):
+    # 'don\'t ... ON CONFLICT' is ONE literal under Spark's default parser;
+    # the keyword guard must not spuriously raise NotImplementedError.
+    q = "SELECT id FROM t1 WHERE name = 'don\\'t use ON CONFLICT here'"
+    assert rows(t1.sql(q)) == []
+
+
+def test_backslash_escaped_literal_where_split(t1):
+    # the exposed tail after a mis-parsed \' must not corrupt WHERE handling
+    q = "SELECT id FROM t1 WHERE name = 'a\\'' OR id = 2"
+    assert rows(t1.sql(q), "id") == [(2,)]
