@@ -360,6 +360,22 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     of 32 longs). The previous formulation exploded every token ×32 before
     aggregating — pure compute/materialization tax at corpus scale.
     """
+    sums = _simhash_bit_sums(df, id_col, text_col, bits=32)
+    fp = F.lit(0).cast("bigint")
+    for j in range(32):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def _simhash_bit_sums(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """Per-doc signed bit-contribution sums ``s0..s{bits-1}`` — ``bits``
+    parallel aggregates over ONE materialized md5 per token, in one groupBy
+    (map-side combine; see simhash32's shape note). md5 has 32 hex digits =
+    128 usable bits, so any ``bits <= 128`` reads real hash entropy."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     hexed = toks.select(id_col, F.md5("tok").alias("hx"))
 
@@ -370,15 +386,41 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         bit = (F.floor(hexdigit / F.lit(1 << (j % 4))) % 2).cast("int")
         return bit * 2 - 1
 
-    sums = hexed.groupBy(id_col).agg(
-        *[F.sum(contrib(j)).alias(f"s{j}") for j in range(32)]
+    return hexed.groupBy(id_col).agg(
+        *[F.sum(contrib(j)).alias(f"s{j}") for j in range(bits)]
     )
-    fp = F.lit(0).cast("bigint")
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash, stored as TWO non-negative 32-bit halves:
+    ``sim_hi`` = bits 32..63 (md5 hex digits 9..16), ``sim_lo`` = bits
+    0..31 (digits 1..8); the conceptual fingerprint is
+    ``sim_hi * 2^32 + sim_lo``.
+
+    Why halves instead of one bigint: bit 63 would make a single BIGINT
+    fingerprint negative, and every banding block extraction would then
+    need sign-aware shifts that differ between Spark and DuckDB. Two
+    non-negative halves keep all div/mod block arithmetic portable and
+    bit-identical in both dialects — and hamming distance is just the sum
+    of two ``bit_count(xor)`` terms.
+
+    This is the production-scale fingerprint ADVICE r4 asked for: with
+    32-bit fingerprints and 5 blocks, per-block keys have only 2^6..2^7
+    values, so the banded self-join is ~all-pairs/100 — quadratic in n for
+    ANY corpus. At 64 bits the same 5-block construction yields 2^12..2^13
+    keys per block, pushing the quadratic term down by ~2^6."""
+    sums = _simhash_bit_sums(df, id_col, text_col, bits=64)
+    lo = F.lit(0).cast("bigint")
+    hi = F.lit(0).cast("bigint")
     for j in range(32):
-        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+        lo = lo + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return sums.select(id_col, fp.alias("simhash"))
+    for j in range(32, 64):
+        hi = hi + F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << (j - 32)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sums.select(id_col, hi.alias("sim_hi"), lo.alias("sim_lo"))
 
 
 def _simhash_blocks(n_blocks: int, bits: int = 32) -> list[tuple[int, int]]:
@@ -444,6 +486,82 @@ def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: 
         .withColumn(
             "hamming",
             F.expr("CAST(bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT)) AS INT)"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+def _simhash64_block_sql(start: int, end: int, div_op: str) -> str:
+    """SQL for block bits ``[start, end)`` of the two-halves 64-bit
+    fingerprint — piecewise over ``sim_lo``/``sim_hi`` so every div/mod
+    operand stays non-negative (dialect-portable; ``div_op`` is ``div``
+    for Spark, ``//`` for DuckDB). Single source of truth for BOTH
+    dialects of the ``dedup_simhash64_pairs`` gate."""
+    if end <= 32:
+        return f"(sim_lo {div_op} {1 << start}) % {1 << (end - start)}"
+    if start >= 32:
+        return f"(sim_hi {div_op} {1 << (start - 32)}) % {1 << (end - 32)}"
+    lo_width = 32 - start
+    return (
+        f"(sim_lo {div_op} {1 << start})"
+        f" + (sim_hi % {1 << (end - 32)}) * {1 << lo_width}"
+    )
+
+
+def _simhash64_bounds(n_blocks: int) -> list[tuple[int, int]]:
+    return [(64 * b // n_blocks, 64 * (b + 1) // n_blocks) for b in range(n_blocks)]
+
+
+def simhash64_neighbor_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming distance, banded on
+    ``max_hamming + 1`` disjoint bit blocks (pigeonhole-complete recall,
+    same construction as the 32-bit variant). With the default 5 blocks
+    each block carries 12-13 bits, so per-block keys are selective enough
+    that candidate fan-out stays ~linear on real corpora — the quadratic
+    32-bit bound (ADVICE r4) does not apply until n approaches 2^12 docs
+    PER DISTINCT BLOCK VALUE. Hamming distance is the sum of the two
+    halves' ``bit_count(xor)`` terms; fingerprints (two 8-byte columns per
+    doc) are materialized before the self-join."""
+    sim = sim.localCheckpoint(eager=False)
+    bounds = _simhash64_bounds(max_hamming + 1)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.expr(_simhash64_block_sql(s, e, "div")).alias("bval"),
+            )
+            for i, (s, e) in enumerate(bounds)
+        ]
+    )
+    banded = sim.select(
+        F.col(id_col), "sim_hi", "sim_lo", F.explode(block_structs).alias("x")
+    ).select(id_col, "sim_hi", "sim_lo", "x.blk", "x.bval")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+        "blk",
+        "bval",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+        "blk",
+        "bval",
+    )
+    return (
+        a.join(b, ["blk", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)"
+            ),
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
@@ -688,6 +806,55 @@ def _register():
             FROM banded a JOIN banded b
               ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+            ORDER BY doc_a, doc_b
+            """,
+        ),
+    )
+
+    def simhash64_pairs_fn(spark, sf_dir):
+        sim = simhash64(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
+        return simhash64_neighbor_pairs(sim).orderBy("doc_a", "doc_b")
+
+    _b64_cases = " ".join(
+        f"WHEN {i} THEN {_simhash64_block_sql(s, e, '//')}"
+        for i, (s, e) in enumerate(_simhash64_bounds(_SIMHASH_N_BLOCKS))
+    )
+    register(
+        "dedup_simhash64_pairs",
+        Query(
+            spark=simhash64_pairs_fn,
+            oracle=f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+            ),
+            bits AS (
+              SELECT doc_id, t.tok, j.j,
+                     CAST(floor((strpos('0123456789abcdef',
+                                        substring(md5(t.tok), CAST(j.j // 4 AS INT) + 1, 1)) - 1)
+                                / ([1, 2, 4, 8][(j.j % 4) + 1])) AS INT) % 2 AS bit
+              FROM toks t, (SELECT unnest(range(64)) AS j) j
+            ),
+            sums AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+            sim AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0 AND j >= 32
+                              THEN CAST(round(pow(2, j - 32), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi,
+                     CAST(SUM(CASE WHEN s > 0 AND j < 32
+                              THEN CAST(round(pow(2, j), 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
+              FROM sums GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, sim_hi, sim_lo, blk.i AS blk,
+                     CASE blk.i {_b64_cases} END AS bval
+              FROM sim, (SELECT unnest(range({_SIMHASH_N_BLOCKS})) AS i) blk
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                        + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+            FROM banded a JOIN banded b
+              ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+                  + bit_count(xor(a.sim_lo, b.sim_lo)) <= 4
             ORDER BY doc_a, doc_b
             """,
         ),

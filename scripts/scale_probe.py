@@ -314,6 +314,95 @@ def bench_storage(spark) -> dict[str, float]:
     }
 
 
+def probe_simhash64(spark) -> dict[str, object]:
+    """Candidate fan-out, 32-bit vs 64-bit simhash banding, on a
+    LOW-ENTROPY corpus (ADVICE r4): docs drawn from a ~40-word vocabulary
+    so fingerprints cluster. The measured quantity is the banded
+    self-join's PRE-hamming-filter candidate-pair count — sum over
+    (block, value) buckets of C(n,2) — computed from bucket sizes (exact,
+    no materialized join). 32-bit/5-block keys carry only 6-7 bits, so
+    candidates grow ~n^2/2^6.5; 64-bit blocks carry 12-13 bits and the
+    same corpus collapses to near-linear."""
+    from duckdb_mpp_spark.operators.dedup import (
+        _simhash64_block_sql,
+        _simhash64_bounds,
+        _simhash_blocks,
+        simhash32,
+        simhash64,
+    )
+
+    vocab = [f"w{i}" for i in range(40)]
+    n_docs = 20_000
+    docs = (
+        spark.range(n_docs)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                *[
+                    F.lit(vocab[0]),
+                    *[
+                        F.element_at(
+                            F.array(*[F.lit(w) for w in vocab]),
+                            ((F.xxhash64(F.col("id"), F.lit(k)) % 40 + 40) % 40 + 1)
+                            .cast("int"),
+                        )
+                        for k in range(12)
+                    ],
+                ],
+            ),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+    def bucket_pairs(banded) -> int:
+        sizes = banded.groupBy("blk", "bval").count()
+        row = sizes.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+        ).collect()[0]
+        return int(row["p"] or 0)
+
+    fp32 = simhash32(docs).localCheckpoint(eager=False)
+    b32 = fp32.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.expr(f"(simhash div {d}) % {m}").alias("bval"),
+                    )
+                    for i, (d, m) in enumerate(_simhash_blocks(5))
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.blk", "x.bval")
+    fp64 = simhash64(docs).localCheckpoint(eager=False)
+    b64 = fp64.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.expr(_simhash64_block_sql(s, e, "div")).alias("bval"),
+                    )
+                    for i, (s, e) in enumerate(_simhash64_bounds(5))
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.blk", "x.bval")
+    c32, c64 = bucket_pairs(b32), bucket_pairs(b64)
+    return {
+        "n_docs": n_docs,
+        "candidates_32bit": c32,
+        "candidates_64bit": c64,
+        "fanout_reduction": round(c32 / max(c64, 1), 1),
+        "candidates_per_doc_32bit": round(c32 / n_docs, 1),
+        "candidates_per_doc_64bit": round(c64 / n_docs, 1),
+    }
+
+
 def main() -> None:
     # parts: "core" (TPC-H shapes), "docs" (dedup/graph/substring),
     # "zonemap" (SORT BY A/B), "storage" (snapshot commit/upsert locality)
@@ -343,6 +432,8 @@ def main() -> None:
         result["zonemap_ab_sf1"] = bench_zonemap(spark)
     if "storage" in parts:
         result["storage_sf1"] = bench_storage(spark)
+    if "simhash64" in parts:
+        result["simhash64_fanout"] = probe_simhash64(spark)
     print(json.dumps(result))
     for p in (DST, DOCS_SMALL, DOCS_BIG):
         shutil.rmtree(p, ignore_errors=True)

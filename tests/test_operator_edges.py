@@ -13,6 +13,8 @@ from duckdb_mpp_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_bands,
     simhash_neighbor_pairs,
+    simhash64,
+    simhash64_neighbor_pairs,
 )
 from duckdb_mpp_spark.operators.similarity import brute_force_topk, kmeans_fit
 from duckdb_mpp_spark.operators.text import tokens
@@ -180,3 +182,45 @@ def test_array_surface_empty_array_no_ansi_crash(spark):
             spark.sql(REGISTRY["array_struct_surface"].spark).collect()}
     assert rows[1]["e_first"] == 1.0 and rows[1]["e_last"] == 2.0
     assert rows[2]["e_first"] is None and rows[2]["e_last"] is None
+
+
+def test_simhash64_banding_has_guaranteed_recall(spark):
+    """ADVICE r4: 64-bit fingerprints with the same 5-block construction —
+    every hamming<=4 neighbor must be found regardless of WHICH bits
+    differ, including bits spanning the hi/lo boundary (block 2 covers
+    bits 25..37)."""
+    hi, lo = 0b1011_0011_0101_1100_1111_0000_1010_1010, 0b0101_0101_0000_1111_0011_1010_1100_0110
+    rows = [("d0", hi, lo)]
+    # flip each of the 64 bits once (hamming-1 neighbors)
+    rows += [(f"lo{j:02d}", hi, lo ^ (1 << j)) for j in range(32)]
+    rows += [(f"hi{j:02d}", hi ^ (1 << j), lo) for j in range(32)]
+    # a hamming-4 neighbor straddling the boundary, and a hamming-5 miss
+    rows += [("h4", hi ^ 0b11, lo ^ (0b11 << 30))]
+    rows += [("h5", hi ^ 0b111, lo ^ (0b11 << 30))]
+    sim = spark.createDataFrame(rows, "doc_id string, sim_hi long, sim_lo long")
+    pairs = simhash64_neighbor_pairs(sim, max_hamming=4).collect()
+    with_d0 = {r["doc_b"] for r in pairs if r["doc_a"] == "d0"} | {
+        r["doc_a"] for r in pairs if r["doc_b"] == "d0"
+    }
+    expect = {f"lo{j:02d}" for j in range(32)} | {f"hi{j:02d}" for j in range(32)} | {"h4"}
+    assert with_d0 == expect
+    assert all(r["hamming"] <= 4 for r in pairs)
+    keys = [(r["doc_a"], r["doc_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_simhash64_halves_consistent_with_32bit_low_half(spark):
+    """sim_lo of the 64-bit fingerprint is BY CONSTRUCTION the 32-bit
+    fingerprint (same md5 digits 1..8), so the widening cannot drift from
+    the oracle-anchored 32-bit implementation."""
+    from duckdb_mpp_spark.operators.dedup import simhash32
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "over the lazy dog"), (3, "")],
+        "doc_id long, text string",
+    )
+    lo64 = {r["doc_id"]: r["sim_lo"] for r in simhash64(docs).collect()}
+    fp32 = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    assert lo64 == fp32
+    hv = {r["doc_id"]: r["sim_hi"] for r in simhash64(docs).collect()}
+    assert all(0 <= v < 2 ** 32 for v in hv.values())
