@@ -224,11 +224,22 @@ def jaccard_verify_from_docs(
     sh = shingles(docs_c, id_col, text_col).select(
         id_col, F.xxhash64("sh").alias("sh")
     )
-    return jaccard_verify(sh, pairs, id_col)
+    # pairs is already materialized above and sh is already restricted to
+    # candidate docs — skip both redundant steps inside the verify (r5:
+    # the old flow checkpointed pairs a second time and re-semi-joined the
+    # already-filtered shingle stream; two avoidable barriers/stages)
+    return jaccard_verify(
+        sh, pairs, id_col, materialize_pairs=False, sh_restricted=True
+    )
 
 
 def jaccard_verify(
-    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    materialize_pairs: bool = True,
+    sh_restricted: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
     Set semantics: distinct shingles per doc; integer intersection/union
@@ -248,41 +259,61 @@ def jaccard_verify(
     returned. Measured at sf0.1 this beat carrying per-doc ``collect_set``
     arrays through two joins + ``array_intersect`` (2.56 s vs 2.84 s
     end-to-end): the array payloads shuffle twice and ``array_intersect``
-    re-sorts both sides per pair."""
-    # pairs feeds two consumers (candidate-doc semi-join + routing join) and
-    # its lineage is the whole LSH pipeline — materialize once
-    pairs = pairs.localCheckpoint(eager=False)
-    cand_docs = _candidate_docs(pairs, id_col)
-    # set semantics: distinct (doc, shingle) after the map-side semi filter;
-    # materialized once — it feeds both sides of the routing join AND sizes
+    re-sorts both sides per pair.
+
+    r5 stage-count trims (VERDICT r4 #2): ``materialize_pairs=False`` lets
+    a caller that already checkpointed pairs skip the second barrier;
+    ``sh_restricted=True`` skips the candidate semi-join when the shingle
+    stream is already candidate-only (``jaccard_verify_from_docs`` filters
+    the DOCS before shingling). Per-doc shingle counts ride the routing
+    join as a window column instead of two post-hoc size joins — the
+    doc-set sizes are constant per doc, so ``max(na)``/``max(nb)`` in the
+    intersection aggregate recover them exactly."""
+    if materialize_pairs:
+        # pairs feeds two consumers (candidate-doc semi-join + routing
+        # join) and its lineage is the whole LSH pipeline — materialize once
+        pairs = pairs.localCheckpoint(eager=False)
+    if not sh_restricted:
+        sh = sh.join(_candidate_docs(pairs, id_col), id_col, "left_semi")
+    # set semantics + per-doc count in ONE exchange: collect_set dedups the
+    # doc's shingles map-side and groups by doc, size() is the set size,
+    # explode restores the routing-join row shape (a distinct() followed by
+    # a count-window would pay two exchanges for the same result);
+    # materialized once — feeds both routing-join sides
     dsh = (
-        sh.join(cand_docs, id_col, "left_semi")
-        .distinct()
+        sh.groupBy(id_col)
+        .agg(F.collect_set("sh").alias("_shs"))
+        .select(
+            id_col,
+            F.size("_shs").alias("n"),
+            F.explode("_shs").alias("sh"),
+        )
         .localCheckpoint(eager=False)
     )
-    sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = dsh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = dsh.select(F.col(id_col).alias("doc_b"), "sh")
+    a = dsh.select(
+        F.col(id_col).alias("doc_a"), "sh", F.col("n").alias("na")
+    )
+    b = dsh.select(
+        F.col(id_col).alias("doc_b"), "sh", F.col("n").alias("nb")
+    )
     inter = (
         pairs.join(a, "doc_a")
         .join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("i"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
         )
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 

@@ -162,8 +162,16 @@ def blocked_pair_scores(
             )
         return pd.concat(frames, ignore_index=True)
 
-    return rep.groupBy("bi", "bj").applyInPandas(
-        _score, schema="va long, vb long, cos_raw double"
+    # Pin the exchange to one partition per block-pair group: the CPU-heavy
+    # pandas kernel's parallelism must track the B(B+1)/2 natural groups,
+    # not spark.sql.shuffle.partitions (with a small shuffle-partition
+    # setting the 36 groups would collapse onto few tasks and run the GEMM
+    # near-serially). Hash partitioning on the exact grouping keys
+    # satisfies the aggregate's required distribution — no second exchange.
+    return (
+        rep.repartition(B * (B + 1) // 2, "bi", "bj")
+        .groupBy("bi", "bj")
+        .applyInPandas(_score, schema="va long, vb long, cos_raw double")
     )
 
 

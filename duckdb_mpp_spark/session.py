@@ -32,7 +32,18 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus), 8)
+        # Shuffle partitions track per-query DATA VOLUME, not core count:
+        # at the sub-GB local benchmark scale, 8 reduce partitions keep
+        # every shuffle partition ≥ a few MB and roughly halve per-stage
+        # scheduling overhead (r5 A/B, interleaved matched pairs: suite
+        # per-query-min 22.3 s at 8 vs 24.1 s at 32; streaming state
+        # maintenance 0.7 s vs 1.3 s — Structured Streaming shards its
+        # state store by this number and AQE never applies there). A
+        # cluster deployment overrides to O(2 × total cores) via the
+        # constructor or SPARK_GRAFT_CONF; CPU-bound Arrow kernels (the
+        # GEMM block pairs) pin their own parallelism explicitly, and
+        # map-side parallelism still follows defaultParallelism (= cores).
+        shuffle_partitions = max(int(cpus) // 4, 8)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -70,6 +81,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     (the driver hands us its own SparkSession in ``__spark_entry__``)."""
     conf = {
         "spark.sql.session.timeZone": "UTC",
+        # same volume-sized shuffle-partition policy as get_spark (the
+        # driver's own session arrives with Spark's 200 default)
+        "spark.sql.shuffle.partitions": str(
+            max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // 4, 8)
+        ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",

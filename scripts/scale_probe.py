@@ -405,9 +405,10 @@ def probe_simhash64(spark) -> dict[str, object]:
 
 def main() -> None:
     # parts: "core" (TPC-H shapes), "docs" (dedup/graph/substring),
-    # "zonemap" (SORT BY A/B), "storage" (snapshot commit/upsert locality)
+    # "zonemap" (SORT BY A/B), "storage" (snapshot commit/upsert locality),
+    # "simhash64" (32- vs 64-bit banding fan-out; opt-in, not in default)
     # — run separately to keep each under a CI/driver time budget; default
-    # runs everything.
+    # runs the first four.
     parts = set(sys.argv[1:]) or {"core", "docs", "zonemap", "storage"}
     spark = get_spark(app_name="scale-probe")
     small: dict[str, float] = {}
