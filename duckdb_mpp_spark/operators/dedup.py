@@ -265,55 +265,45 @@ def jaccard_verify(
     a caller that already checkpointed pairs skip the second barrier;
     ``sh_restricted=True`` skips the candidate semi-join when the shingle
     stream is already candidate-only (``jaccard_verify_from_docs`` filters
-    the DOCS before shingling). Per-doc shingle counts ride the routing
-    join as a window column instead of two post-hoc size joins — the
-    doc-set sizes are constant per doc, so ``max(na)``/``max(nb)`` in the
-    intersection aggregate recover them exactly."""
+    the DOCS before shingling). The size joins stay post-hoc on the small
+    ``inter`` frame — see the skew note below."""
     if materialize_pairs:
         # pairs feeds two consumers (candidate-doc semi-join + routing
         # join) and its lineage is the whole LSH pipeline — materialize once
         pairs = pairs.localCheckpoint(eager=False)
     if not sh_restricted:
         sh = sh.join(_candidate_docs(pairs, id_col), id_col, "left_semi")
-    # set semantics + per-doc count in ONE exchange: collect_set dedups the
-    # doc's shingles map-side and groups by doc, size() is the set size,
-    # explode restores the routing-join row shape (a distinct() followed by
-    # a count-window would pay two exchanges for the same result);
-    # materialized once — feeds both routing-join sides
-    dsh = (
-        sh.groupBy(id_col)
-        .agg(F.collect_set("sh").alias("_shs"))
-        .select(
-            id_col,
-            F.size("_shs").alias("n"),
-            F.explode("_shs").alias("sh"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    a = dsh.select(
-        F.col(id_col).alias("doc_a"), "sh", F.col("n").alias("na")
-    )
-    b = dsh.select(
-        F.col(id_col).alias("doc_b"), "sh", F.col("n").alias("nb")
-    )
+    # set semantics: distinct (doc, shingle) keyed by the PAIR — a hot doc's
+    # shingles spread across partitions, and the sizes aggregate below ships
+    # only per-doc counts. (r5 tried fusing size into one collect_set pass:
+    # measured flat at sf0.1 and rejected for the same reason the r1
+    # array-carrying formulation was — one pathological doc's whole shingle
+    # set would sit in a single aggregation buffer.) Materialized once —
+    # feeds both routing-join sides and the sizes aggregate.
+    dsh = sh.distinct().localCheckpoint(eager=False)
+    sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = dsh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = dsh.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
         pairs.join(a, "doc_a")
         .join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("i"),
-            F.max("na").alias("na"),
-            F.max("nb").alias("nb"),
-        )
+        .agg(F.count("*").alias("i"))
     )
-    return inter.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("i").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-            6,
-        ).alias("jaccard"),
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -162,14 +162,18 @@ def blocked_pair_scores(
             )
         return pd.concat(frames, ignore_index=True)
 
-    # Pin the exchange to one partition per block-pair group: the CPU-heavy
-    # pandas kernel's parallelism must track the B(B+1)/2 natural groups,
-    # not spark.sql.shuffle.partitions (with a small shuffle-partition
-    # setting the 36 groups would collapse onto few tasks and run the GEMM
-    # near-serially). Hash partitioning on the exact grouping keys
-    # satisfies the aggregate's required distribution — no second exchange.
+    # Pin the exchange so the CPU-heavy pandas kernel's parallelism tracks
+    # the B(B+1)/2 natural groups, not spark.sql.shuffle.partitions (with a
+    # small shuffle-partition setting the 36 groups would collapse onto few
+    # tasks and run the GEMM near-serially). 4× head-room over the group
+    # count because hashing g keys into g bins leaves ~1/e of bins empty
+    # and stacks groups 2-3 deep (review r5); at 4g the expected collision
+    # count is < g/8 and empty partitions cost ~nothing. Hash partitioning
+    # on the exact grouping keys satisfies the aggregate's required
+    # distribution — no second exchange.
+    n_groups = B * (B + 1) // 2
     return (
-        rep.repartition(B * (B + 1) // 2, "bi", "bj")
+        rep.repartition(4 * n_groups, "bi", "bj")
         .groupBy("bi", "bj")
         .applyInPandas(_score, schema="va long, vb long, cos_raw double")
     )

@@ -79,19 +79,29 @@ def get_spark(
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally provided session
     (the driver hands us its own SparkSession in ``__spark_entry__``)."""
+    # Volume-sized shuffle partitions, derived from the HANDED session's
+    # own parallelism (never a local-CPU env var — clamping a cluster
+    # session to a local heuristic would under-parallelize every reduce
+    # stage; review r5). Sessions that explicitly set a NON-DEFAULT value
+    # are respected: only Spark's out-of-the-box 200 is replaced.
+    try:
+        cores = int(spark.sparkContext.defaultParallelism)
+        current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        shuffle = (
+            str(max(cores // 4, 8)) if current == "200" else current
+        )
+    except Exception:
+        shuffle = None
     conf = {
         "spark.sql.session.timeZone": "UTC",
-        # same volume-sized shuffle-partition policy as get_spark (the
-        # driver's own session arrives with Spark's 200 default)
-        "spark.sql.shuffle.partitions": str(
-            max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // 4, 8)
-        ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }
+    if shuffle is not None:
+        conf["spark.sql.shuffle.partitions"] = shuffle
     conf.update(_graft_conf_overrides())
     for k, v in conf.items():
         try:

@@ -35,9 +35,15 @@ CORPUS_SCALE_DUCK_SEC = 0.3
 
 
 def _run_json(cmd: list[str]) -> dict:
-    out = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, check=True
-    ).stdout
+    try:
+        out = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, check=True
+        ).stdout
+    except subprocess.CalledProcessError as e:
+        # surface the child's actual error — a bare "exit status 1" after
+        # minutes of completed pairs is undiagnosable
+        sys.stderr.write(e.stderr or "")
+        raise
     for line in reversed(out.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -45,8 +51,25 @@ def _run_json(cmd: list[str]) -> dict:
     raise RuntimeError(f"no JSON line from {cmd}")
 
 
+def _sum_ratio(keys, spark_q: dict, duck_q: dict) -> float | None:
+    """sum(spark)/sum(duck) over ``keys``; None when the subset is empty
+    or the DuckDB side sums to zero (tiny fixtures) — never a crash after
+    minutes of completed measurement."""
+    if not keys:
+        return None
+    dt = sum(duck_q[q] for q in keys)
+    if dt <= 0:
+        return None
+    return round(sum(spark_q[q] for q in keys) / dt, 3)
+
+
+def _rng(vals):
+    vals = [v for v in vals if v is not None]
+    return [min(vals), max(vals)] if vals else None
+
+
 def main() -> None:
-    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_pairs = max(int(sys.argv[1]) if len(sys.argv) > 1 else 3, 1)
     spark_runs, duck_runs = [], []
     for i in range(n_pairs):
         spark_runs.append(_run_json([sys.executable, "bench.py"]))
@@ -56,39 +79,30 @@ def main() -> None:
     comparable = sorted(
         set(duck_runs[0]["queries"]) & set(spark_runs[0]["queries"])
     )
-    pair_ratios = []
-    for s, d in zip(spark_runs, duck_runs):
-        st = sum(s["queries"][q] for q in comparable)
-        dt = sum(d["queries"][q] for q in comparable)
-        pair_ratios.append(round(st / dt, 3))
-
     s_min = {q: min(r["queries"][q] for r in spark_runs) for q in comparable}
     d_min = {q: min(r["queries"][q] for r in duck_runs) for q in comparable}
     corpus = [q for q in comparable if d_min[q] >= CORPUS_SCALE_DUCK_SEC]
 
-    def ratio(keys, s, d):
-        return round(sum(s[q] for q in keys) / sum(d[q] for q in keys), 3)
-
+    pair_ratios = [
+        _sum_ratio(comparable, s["queries"], d["queries"])
+        for s, d in zip(spark_runs, duck_runs)
+    ]
     corpus_pairs = [
-        round(
-            sum(s["queries"][q] for q in corpus)
-            / sum(d["queries"][q] for q in corpus),
-            3,
-        )
+        _sum_ratio(corpus, s["queries"], d["queries"])
         for s, d in zip(spark_runs, duck_runs)
     ]
     print(json.dumps({
         "protocol": f"{n_pairs} back-to-back matched pairs, warm min-of-2 both engines",
         "n_comparable": len(comparable),
         "pair_ratios": pair_ratios,
-        "ratio_range": [min(pair_ratios), max(pair_ratios)],
-        "ratio_perquery_min": ratio(comparable, s_min, d_min),
+        "ratio_range": _rng(pair_ratios),
+        "ratio_perquery_min": _sum_ratio(comparable, s_min, d_min),
         "spark_total_perquery_min": round(sum(s_min.values()), 2),
         "duck_total_perquery_min": round(sum(d_min.values()), 2),
         "corpus_subset": corpus,
         "corpus_pair_ratios": corpus_pairs,
-        "corpus_ratio_range": [min(corpus_pairs), max(corpus_pairs)],
-        "corpus_ratio_perquery_min": ratio(corpus, s_min, d_min),
+        "corpus_ratio_range": _rng(corpus_pairs),
+        "corpus_ratio_perquery_min": _sum_ratio(corpus, s_min, d_min),
         "worst_fixed_overhead": sorted(
             ((q, round(s_min[q] / max(d_min[q], 1e-4), 1)) for q in comparable),
             key=lambda kv: -kv[1],
