@@ -963,8 +963,10 @@ class MppSession:
         return (
             len(
                 re.findall(
-                    rf"(?:\bFROM|\bJOIN|,)\s+{re.escape(name)}\b",
-                    query,
+                    # \s* after the comma: `FROM a,t` needs no space
+                    # (review r5 — same lexeme gap as the set-op guard)
+                    rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b",
+                    _blank_literals(query),
                     re.IGNORECASE,
                 )
             )
@@ -989,11 +991,21 @@ class MppSession:
         if not idxs:
             return True
         setop = min(idxs)
+        # The top-level WHERE the pruner derives from must itself be in the
+        # FIRST leg: _find_keyword_top_level finds the first top-level
+        # WHERE anywhere, so in `SELECT .. FROM t UNION ALL SELECT .. FROM
+        # v WHERE p` the span starts in leg 2 — pruning leg 1's table on
+        # leg 2's predicate silently drops rows (review r5, confirmed).
+        span = self._where_span(query)
+        if span is not None and span[0] > setop:
+            return False
         blank = _blank_literals(query)
+        # \s* not \s+: `FROM tv,st` is valid SQL with no space after the
+        # comma (review r5)
         refs = [
             m.start()
             for m in re.finditer(
-                rf"(?:\bFROM|\bJOIN|,)\s+{re.escape(name)}\b",
+                rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b",
                 blank,
                 re.IGNORECASE,
             )

@@ -25,7 +25,7 @@ unchanged.
 Everything is integer arithmetic — exact DuckDB oracle, no float drift.
 """
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_mpp_spark.operators.dedup import (
@@ -53,23 +53,26 @@ def triangles(edges: DataFrame) -> DataFrame:
     materialized frame (the LSH pair builder already localCheckpoints) so
     the corpus pipeline isn't recomputed per leg.
 
-    Orientation is built WITHOUT degree joins (VERDICT r4 #4: the two
-    deg-joins cost ~20-45% at sf0.1): each undirected edge is exploded
-    into both directions, a window count over ``node`` attaches deg(node)
-    to every half-edge (one exchange), and re-grouping on the canonical
-    (lo, hi) edge key picks the lower-(deg, id) endpoint as ``u`` via
-    min_by (second exchange) — 2 shuffles total vs the old
-    deg-agg + 2 joins (5 exchanges). Duplicate input edges would merge
-    here (set semantics) — candidate-pair builders already emit distinct
+    Orientation needs only ONE degree join (VERDICT r4 #4: the old shape
+    paid two): each undirected edge is exploded into both directions, the
+    degree comes from a map-side-combined count over ``node`` joined back
+    onto the half-edges (AQE broadcasts the tiny deg frame or splits a
+    skewed join), and re-grouping on the canonical (lo, hi) edge key picks
+    the lower-(deg, id) endpoint as ``u`` via min_by. A window-count
+    variant (2 exchanges, no join) measured faster at sf0.1 but was
+    rejected (review r5): WindowExec buffers ALL of a hub's half-edges in
+    one task with no partial aggregation and no AQE skew handling — a
+    single-task O(d_max) stage at exactly the hot-hub scale this
+    orientation exists to protect. Duplicate input edges would merge here
+    (set semantics) — candidate-pair builders already emit distinct
     pairs."""
     half = edges.select(
         F.col("doc_a").alias("node"), F.col("doc_b").alias("other")
     ).unionAll(
         edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("other"))
     )
-    withdeg = half.withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("node"))
-    )
+    deg = half.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    withdeg = half.join(deg, "node")
     key = F.struct("deg", "node")
     oriented = (
         withdeg.groupBy(

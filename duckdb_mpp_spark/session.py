@@ -79,19 +79,22 @@ def get_spark(
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally provided session
     (the driver hands us its own SparkSession in ``__spark_entry__``)."""
-    # Volume-sized shuffle partitions, derived from the HANDED session's
-    # own parallelism (never a local-CPU env var — clamping a cluster
-    # session to a local heuristic would under-parallelize every reduce
-    # stage; review r5). Sessions that explicitly set a NON-DEFAULT value
-    # are respected: only Spark's out-of-the-box 200 is replaced.
+    # Volume-sized shuffle partitions — LOCAL masters only (review r5,
+    # twice): the cores/4 heuristic is measured on sub-GB local runs; on a
+    # real cluster it would cap reduce parallelism at a quarter of core
+    # count, below even Spark's 200 default, and AQE only coalesces
+    # DOWNWARD so the cap could never be recovered. Cluster sessions keep
+    # whatever they arrived with (their own tuning or the 200 default);
+    # local sessions still at the out-of-the-box 200 get the bench-measured
+    # sizing. Explicit non-default settings are always respected.
+    shuffle = None
     try:
-        cores = int(spark.sparkContext.defaultParallelism)
-        current = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        shuffle = (
-            str(max(cores // 4, 8)) if current == "200" else current
-        )
+        if spark.sparkContext.master.startswith("local"):
+            cores = int(spark.sparkContext.defaultParallelism)
+            if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+                shuffle = str(max(cores // 4, 8))
     except Exception:
-        shuffle = None
+        pass
     conf = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",

@@ -681,3 +681,23 @@ def test_backslash_escaped_literal_where_split(t1):
     # the exposed tail after a mis-parsed \' must not corrupt WHERE handling
     q = "SELECT id FROM t1 WHERE name = 'a\\'' OR id = 2"
     assert rows(t1.sql(q), "id") == [(2,)]
+
+
+def test_setop_where_in_later_leg_does_not_prune_first_leg(setop_t):
+    # review r5 (confirmed): the only top-level WHERE lives in the SECOND
+    # leg; deriving a bucket/zone-map restriction from it for st (first
+    # leg) dropped all st rows.
+    q = "SELECT k FROM st UNION ALL SELECT k FROM tv_setop WHERE k = 5"
+    assert sorted(rows(setop_t.sql(q))) == [(1,), (2,), (3,), (4,), (5,)]
+    ex = setop_t.explain(q)
+    assert "Shards: 8/8" in ex
+
+
+def test_setop_comma_ref_without_space_detected(setop_t):
+    # review r5: `FROM tv_setop,st` (no space) must count as a reference
+    # to st — the shared temp view backs BOTH legs, so pruning on leg 1's
+    # WHERE would drop leg 2's rows.
+    q = ("SELECT k FROM st WHERE k = 2 "
+         "UNION ALL SELECT st.k AS k FROM tv_setop,st")
+    got = sorted(r[0] for r in rows(setop_t.sql(q)))
+    assert got == [1, 1, 2, 2, 2, 3, 3, 4, 4]
