@@ -83,6 +83,14 @@ class TableMeta:
     # so cross-shard duplicates are invisible there too; same semantics
     # here). COW flavor only.
     unique_columns: list[str] = field(default_factory=list)
+    # Shard placement, FROZEN at create time (reference semantics: shard i
+    # → node (start + i) % #nodes over the nodes registered at creation,
+    # create_distributed_table.cpp:135-140 — registering a node later never
+    # moves existing shards). One "host:port" string per shard. Spark owns
+    # *physical* placement (SURVEY §1.1); this is the observable metadata
+    # surface the reference's multi-DB test reads
+    # (test/sql/mpp.test:47-52). None on legacy metas → derived on read.
+    placement: list[str] | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -217,6 +225,16 @@ class MppCatalog:
                 colocated=colocated,
                 sort_column=sort_column,
                 unique_columns=list(unique_columns or []),
+                # round-robin over the nodes registered NOW; start offset is
+                # a deterministic stand-in for the reference's random start
+                # (placement counts per node — what the reference test
+                # asserts — are identical for any start)
+                placement=[
+                    "{}:{}".format(
+                        *self._nodes[(self._next_oid + i) % len(self._nodes)]
+                    )
+                    for i in range(buckets)
+                ],
             )
             self._next_oid += 1
             self._tables[name] = meta
@@ -286,14 +304,21 @@ class MppCatalog:
         return spark.createDataFrame(rows, TABLES_SCHEMA)
 
     def shards_df(self, spark: SparkSession) -> DataFrame:
-        # Shard placement is Spark's job (SURVEY §1.1) — we surface one row
-        # per bucket, round-robin over registered nodes to mirror the
-        # reference's placement (create_distributed_table.cpp:135-140).
+        # PHYSICAL placement is Spark's job (SURVEY §1.1) — this is the
+        # reference's observable metadata surface: placement frozen at
+        # CREATE (TableMeta.placement), so later master_add_node calls
+        # never move existing shards, exactly as in the reference's
+        # two-database test (test/sql/mpp.test:47-52). Legacy metas
+        # (pre-r5, placement=None) derive round-robin over current nodes.
         rows = []
         for m in self._tables.values():
             for shard in range(m.buckets):
-                host, port = self._nodes[shard % len(self._nodes)]
-                rows.append((m.oid, shard, f"{host}:{port}"))
+                if m.placement is not None:
+                    node = m.placement[shard]
+                else:
+                    host, port = self._nodes[shard % len(self._nodes)]
+                    node = f"{host}:{port}"
+                rows.append((m.oid, shard, node))
         return spark.createDataFrame(rows, SHARDS_SCHEMA)
 
     def register_system_views(self, spark: SparkSession) -> None:

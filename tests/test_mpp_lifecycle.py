@@ -330,3 +330,58 @@ def test_optimize_statement_compacts(spark, mpp):
     assert len(tbl2.snapshot_files()) < files_before
     assert mpp.sql("SELECT COUNT(*) AS n FROM opt").collect()[0][0] == 6
     assert mpp.sql("VACUUM opt") == files_before  # old generations reclaimed
+
+
+def test_shard_placement_frozen_at_create(session):
+    """Reference semantics (create_distributed_table.cpp:135-140 +
+    test/sql/mpp.test:47-52): placement is computed at CREATE over the
+    nodes registered at that moment — registering a node LATER never moves
+    an existing table's shards, while new tables spread over all nodes."""
+    session.sql("CREATE TABLE pf(c0 INT) PARTITION BY (c0) WITH BUCKETS 4")
+    before = rows(
+        session.sql(
+            "SELECT shard_id, node FROM __mpp_system.shards ORDER BY shard_id"
+        )
+    )
+    assert sorted(n for _, n in before).count(before[0][1]) == 2  # 2 nodes, 2 each
+    session.master_add_node("127.0.0.1", 34567)
+    after = rows(
+        session.sql(
+            "SELECT shard_id, node FROM __mpp_system.shards ORDER BY shard_id"
+        )
+    )
+    assert after == before  # frozen
+    session.sql("CREATE TABLE pf2(c0 INT) PARTITION BY (c0) WITH BUCKETS 6")
+    counts = rows(
+        session.sql(
+            "SELECT node, count(*) AS n FROM __mpp_system.shards s "
+            "JOIN __mpp_system.tables t ON s.table_oid = t.table_oid "
+            "GROUP BY node ORDER BY node"
+        )
+    )
+    # pf2's 6 shards spread 2/2/2 over the THREE nodes now registered
+    pf2_counts = rows(
+        session.sql(
+            "SELECT node, count(*) AS n FROM __mpp_system.shards "
+            "WHERE table_oid = (SELECT max(table_oid) FROM __mpp_system.tables) "
+            "GROUP BY node"
+        )
+    )
+    assert sorted(n for _, n in pf2_counts) == [2, 2, 2]
+
+
+def test_shard_placement_survives_catalog_reload(spark, session, tmp_path):
+    """Placement is persisted metadata, not a per-read derivation."""
+    from duckdb_mpp_spark.catalog import MppCatalog
+
+    session.sql("CREATE TABLE pr(c0 INT) PARTITION BY (c0) WITH BUCKETS 4")
+    before = {
+        (r[0], r[1]): r[2]
+        for r in rows(session.sql("SELECT * FROM __mpp_system.shards"))
+    }
+    reloaded = MppCatalog(session.catalog.warehouse)
+    after = {
+        (r["table_oid"], r["shard_id"]): r["node"]
+        for r in reloaded.shards_df(spark).collect()
+    }
+    assert after == before
