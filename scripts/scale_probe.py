@@ -314,6 +314,63 @@ def bench_storage(spark) -> dict[str, float]:
     }
 
 
+def probe_events_overhead(spark) -> dict[str, object]:
+    """Fixed-overhead decomposition evidence (SCALING.md bench section):
+    the sub-second events queries are the entire remaining gap vs DuckDB
+    at sf0.1. If their cost were data-bound, 10× rows → ~10× wall; if it
+    is Spark's per-stage scheduling constant, wall barely moves. Measures
+    the SQL-string events gates on the sf0.1 events table and a 10×
+    replica (user_id/ts shifted per replica — key cardinality scales with
+    data, preserving group counts per row)."""
+    from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
+    from duckdb_mpp_spark.sources import load_table
+
+    _ensure_loaded()
+    names = [
+        "events_cohort_retention",
+        "events_sessionization",
+        "events_resample_ffill",
+        "events_user_features",
+    ]
+    ev = load_table(spark, SRC, "events")
+    reps = []
+    for i in range(REPLICAS):
+        reps.append(
+            ev.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+            )
+        )
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.union(r)
+    big_path = "/tmp/mpp_scale_events10"
+    if os.path.exists(big_path):
+        shutil.rmtree(big_path)
+    big.repartition(32).write.parquet(big_path)
+
+    out: dict[str, object] = {}
+    for label, df in (
+        ("sf0.1", ev),
+        ("x10", spark.read.parquet(big_path)),
+    ):
+        df.createOrReplaceTempView("events")
+        for n in names:
+            sql = REGISTRY[n].spark
+            spark.sql(sql).write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spark.sql(sql).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{n}__{label}"] = round(best, 3)
+    out["per_row_ratio_vs_linear"] = {
+        n: round(out[f"{n}__x10"] / out[f"{n}__sf0.1"] / REPLICAS, 2)
+        for n in names
+    }
+    shutil.rmtree(big_path, ignore_errors=True)
+    return out
+
+
 def probe_simhash64(spark) -> dict[str, object]:
     """Candidate fan-out, 32-bit vs 64-bit simhash banding, on a
     LOW-ENTROPY corpus (ADVICE r4): docs drawn from a ~40-word vocabulary
@@ -435,6 +492,8 @@ def main() -> None:
         result["storage_sf1"] = bench_storage(spark)
     if "simhash64" in parts:
         result["simhash64_fanout"] = probe_simhash64(spark)
+    if "events" in parts:
+        result["events_overhead"] = probe_events_overhead(spark)
     print(json.dumps(result))
     for p in (DST, DOCS_SMALL, DOCS_BIG):
         shutil.rmtree(p, ignore_errors=True)

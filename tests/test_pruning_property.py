@@ -194,3 +194,49 @@ def test_zonemap_skipping_never_changes_results(gen_table, pred):
         key=key,
     )
     assert got == want, pred
+
+
+_setop_kw = st.sampled_from(["UNION ALL", "UNION", "EXCEPT", "INTERSECT"])
+_templates = st.sampled_from([
+    # {T} = the distributed table's name in the front-door text and the
+    # raw view's name in the ground-truth text; every shape the r5 set-op
+    # guard must handle: WHERE in first leg, WHERE in later leg, table in
+    # either leg, comma-join with and without a space.
+    "SELECT c0 FROM {T} WHERE {P} {OP} SELECT c0 FROM tvx",
+    "SELECT c0 FROM tvx WHERE {P} {OP} SELECT c0 FROM {T}",
+    "SELECT c0 FROM {T} {OP} SELECT c0 FROM tvx WHERE {P}",
+    "SELECT c0 FROM tvx {OP} SELECT c0 FROM {T} WHERE {P}",
+    "SELECT {T}.c0 AS c0 FROM tvx,{T} WHERE {P}",
+    "SELECT {T}.c0 AS c0 FROM tvx, {T} WHERE {P}",
+    "SELECT c0 FROM {T} WHERE {P} {OP} SELECT {T}.c0 FROM tvx,{T}",
+])
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pred=_atom, op=_setop_kw, tmpl=_templates)
+def test_setop_shapes_never_lose_rows_to_pruning(table, pred, op, tmpl):
+    """review r5 regression class, generalized: for ANY set-op shape and
+    ANY predicate, the front door (with bucket pruning / zone maps active)
+    must return exactly what the same query over the raw unbucketed data
+    returns — pruning may only skip buckets a leg cannot touch."""
+    mpp, spark = table
+    spark.createDataFrame(
+        [(5, "mango"), (-2, "apple"), (None, "kiwi")], "c0 int, c1 string"
+    ).createOrReplaceTempView("tvx")
+    if ",{T}" in tmpl or ", {T}" in tmpl:
+        # comma-join legs see BOTH relations — qualify the predicate's
+        # column refs or Spark rejects them as ambiguous (both tables
+        # carry c0/c1; the fruit literals contain no such substring)
+        pred = pred.replace("c0", "{T}.c0").replace("c1", "{T}.c1")
+    q_mpp = tmpl.replace("{T}", "p").format(P=pred.replace("{T}", "p"), OP=op)
+    q_raw = tmpl.replace("{T}", "p_raw").format(
+        P=pred.replace("{T}", "p_raw"), OP=op
+    )
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    got = sorted((tuple(r) for r in mpp.sql(q_mpp).collect()), key=key)
+    want = sorted((tuple(r) for r in spark.sql(q_raw).collect()), key=key)
+    assert got == want, f"{q_mpp!r}: {got} != {want}"
