@@ -963,9 +963,11 @@ class MppSession:
         return (
             len(
                 re.findall(
-                    # \s* after the comma: `FROM a,t` needs no space
-                    # (review r5 — same lexeme gap as the set-op guard)
-                    rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b",
+                    # \s* after the comma: `FROM a,t` needs no space;
+                    # (?!\.) keeps `, t.v` select-list items from
+                    # counting as relations (review r5 — same lexeme
+                    # gaps as the set-op guard)
+                    rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b(?!\.)",
                     _blank_literals(query),
                     re.IGNORECASE,
                 )
@@ -1001,11 +1003,12 @@ class MppSession:
             return False
         blank = _blank_literals(query)
         # \s* not \s+: `FROM tv,st` is valid SQL with no space after the
-        # comma (review r5)
+        # comma; (?!\.) so a qualified SELECT-list item `, st.v` is a
+        # COLUMN ref, not a second relation (review r5, twice)
         refs = [
             m.start()
             for m in re.finditer(
-                rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b",
+                rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b(?!\.)",
                 blank,
                 re.IGNORECASE,
             )

@@ -89,10 +89,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # sizing. Explicit non-default settings are always respected.
     shuffle = None
     try:
-        if spark.sparkContext.master.startswith("local"):
-            cores = int(spark.sparkContext.defaultParallelism)
+        sc = spark.sparkContext
+        # a session whose BUILDER set the key explicitly — even to 200 —
+        # keeps it (SparkConf records only startup-set keys, so this
+        # distinguishes an explicit 200 from the runtime default)
+        explicitly_set = sc.getConf().contains("spark.sql.shuffle.partitions")
+        if sc.master.startswith("local") and not explicitly_set:
             if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-                shuffle = str(max(cores // 4, 8))
+                shuffle = str(max(int(sc.defaultParallelism) // 4, 8))
     except Exception:
         pass
     conf = {

@@ -320,8 +320,10 @@ def probe_events_overhead(spark) -> dict[str, object]:
     at sf0.1. If their cost were data-bound, 10× rows → ~10× wall; if it
     is Spark's per-stage scheduling constant, wall barely moves. Measures
     the SQL-string events gates on the sf0.1 events table and a 10×
-    replica (user_id/ts shifted per replica — key cardinality scales with
-    data, preserving group counts per row)."""
+    replica. Replication shifts user_id only (user-key cardinality scales
+    with data); timestamps repeat, so TIME-keyed group density is 10×
+    denser than a real 10× corpus — fine for these user-keyed gates, but
+    a time-keyed gate added here would need a ts shift too."""
     from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
     from duckdb_mpp_spark.sources import load_table
 
@@ -346,28 +348,32 @@ def probe_events_overhead(spark) -> dict[str, object]:
     big_path = "/tmp/mpp_scale_events10"
     if os.path.exists(big_path):
         shutil.rmtree(big_path)
-    big.repartition(32).write.parquet(big_path)
-
     out: dict[str, object] = {}
-    for label, df in (
-        ("sf0.1", ev),
-        ("x10", spark.read.parquet(big_path)),
-    ):
-        df.createOrReplaceTempView("events")
-        for n in names:
-            sql = REGISTRY[n].spark
-            spark.sql(sql).write.format("noop").mode("overwrite").save()  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                spark.sql(sql).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            out[f"{n}__{label}"] = round(best, 3)
-    out["per_row_ratio_vs_linear"] = {
-        n: round(out[f"{n}__x10"] / out[f"{n}__sf0.1"] / REPLICAS, 2)
-        for n in names
-    }
-    shutil.rmtree(big_path, ignore_errors=True)
+    try:
+        big.repartition(32).write.parquet(big_path)
+        for label, df in (
+            ("sf0.1", ev),
+            ("x10", spark.read.parquet(big_path)),
+        ):
+            df.createOrReplaceTempView("events")
+            for n in names:
+                sql = REGISTRY[n].spark
+                spark.sql(sql).write.format("noop").mode("overwrite").save()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    spark.sql(sql).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                out[f"{n}__{label}"] = round(best, 3)
+        out["per_row_ratio_vs_linear"] = {
+            n: round(out[f"{n}__x10"] / out[f"{n}__sf0.1"] / REPLICAS, 2)
+            for n in names
+        }
+    finally:
+        # the x10 view points at the replica we delete — leave the view on
+        # the real table, and reclaim the replica even on mid-probe failure
+        ev.createOrReplaceTempView("events")
+        shutil.rmtree(big_path, ignore_errors=True)
     return out
 
 

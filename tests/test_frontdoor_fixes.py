@@ -701,3 +701,12 @@ def test_setop_comma_ref_without_space_detected(setop_t):
          "UNION ALL SELECT st.k AS k FROM tv_setop,st")
     got = sorted(r[0] for r in rows(setop_t.sql(q)))
     assert got == [1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_qualified_select_item_does_not_disable_pruning(setop_t):
+    # review r5 (2nd pass): `SELECT k, st.v FROM st` — the ', st.v'
+    # select-list item is a COLUMN ref, not a second relation; it must not
+    # trip the self-join detector and silently turn pruning off.
+    q = "SELECT k, st.v FROM st WHERE k = 2"
+    assert rows(setop_t.sql(q)) == [(2, 20)]
+    assert "Shards: 1/8" in setop_t.explain(q)

@@ -359,6 +359,9 @@ def test_shard_placement_frozen_at_create(session):
             "GROUP BY node ORDER BY node"
         )
     )
+    # combined: pf's 4 shards over the original 2 nodes (2/2) + pf2's 6
+    # over all 3 (2/2/2) → per-node totals 4/4/2
+    assert sorted(n for _, n in counts) == [2, 4, 4]
     # pf2's 6 shards spread 2/2/2 over the THREE nodes now registered
     pf2_counts = rows(
         session.sql(
