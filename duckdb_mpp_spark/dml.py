@@ -187,7 +187,9 @@ def update(
 
 def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     """MERGE-style upsert: input rows REPLACE existing rows with equal
-    ``key_cols``; non-matching input rows append — all in ONE snapshot
+    ``key_cols`` (standard SQL MERGE matching — NULL keys never match, so
+    NULL-key input rows APPEND; declare the key NOT NULL to forbid them);
+    non-matching input rows append — all in ONE snapshot
     commit, so readers see either the pre-merge or the post-merge table,
     never a half-applied mix (the daily-crawl dedup-merge step of a
     training-data pipeline, built directly on the snapshot-commit protocol).
@@ -236,7 +238,13 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         existing = existing.where(F.col(BUCKET_COL).isin(ids))
     # anti-join on the input's key set; AQE broadcasts it when the batch is
     # small (the common daily-merge case) and falls back to a key-partitioned
-    # join for huge batches — don't force either.
+    # join for huge batches — don't force either. Equality is deliberately
+    # null-UNSAFE (standard SQL MERGE matching: NULL never equals NULL), so
+    # NULL-key input rows APPEND — a contract, not an accident
+    # (tests/test_upsert_timetravel.py::test_upsert_null_keys_append);
+    # re-adjudicated r5: keeping MERGE parity beats silent NULL<=>NULL
+    # matching, and pipelines that must not accumulate NULL keys declare
+    # the key NOT NULL (enforced on every DML path).
     survivors = existing.join(
         new_rows.select(*key_cols).distinct(), key_cols, "left_anti"
     )

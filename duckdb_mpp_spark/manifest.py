@@ -58,6 +58,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import time
 from typing import Any
 
 COMMITS_DIR = "_commits"
@@ -401,6 +402,7 @@ def vacuum(
     bucket_col: str,
     keep_commits: int = 1,
     sort_col: str | None = None,
+    orphan_grace_seconds: float = 300.0,
 ) -> int:
     """Prune the commit log to the newest ``keep_commits`` versions, then
     delete data files referenced by NONE of the retained snapshots (COW
@@ -410,9 +412,15 @@ def vacuum(
     stop being readable (the Delta/Iceberg vacuum trade). ``sort_col``
     keeps a legacy bootstrap's zone maps populated (ADVICE r3).
 
-    Single-writer-safe by construction; with concurrent readers you would
-    add a retention window (only vacuum files unreferenced for > T), which
-    is a policy knob, not a protocol change."""
+    ``orphan_grace_seconds`` (review r5): an in-flight writer moves
+    ingested files into the bucket dirs BEFORE its snapshot commit — with
+    the distributed footer-stats pass that pre-commit window is seconds
+    long. A file referenced by NO resolvable version (past or retained) is
+    therefore kept while younger than the grace window — it may be that
+    writer's uncommitted batch (Iceberg's remove-orphan-files age cutoff,
+    default 5 minutes; pass 0 for trust-single-writer). Files referenced
+    by a PRUNED snapshot are known-committed garbage and reclaimed
+    immediately regardless of age."""
     load(table_path, bucket_col, sort_col)  # materialize a bootstrap commit if needed
     # Retention is decided over RESOLVABLE versions only (review r4): a
     # torn/partially-synced head must never shadow the snapshot readers
@@ -450,10 +458,26 @@ def vacuum(
         if doc is not None and "buckets" in doc:
             live_manifests.update(doc["buckets"].values())
         live.update(resolved[v])
+    ever_referenced: set[str] = set()
+    for files in resolved.values():
+        ever_referenced.update(files)
     removed = 0
+    now = time.time()
     for rel in _list_data_files(table_path, bucket_col):
         if rel not in live:
-            os.unlink(os.path.join(table_path, rel))
+            path = os.path.join(table_path, rel)
+            if rel not in ever_referenced:
+                # never committed: possibly an in-flight writer's
+                # pre-commit batch — only reclaim past the grace window
+                try:
+                    if now - os.path.getmtime(path) < orphan_grace_seconds:
+                        continue
+                except OSError:
+                    continue  # already gone
+            try:
+                os.unlink(path)
+            except OSError:
+                continue
             removed += 1
     cdir = _commits_path(table_path)
     if os.path.isdir(cdir):

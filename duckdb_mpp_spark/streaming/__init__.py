@@ -250,6 +250,12 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # Memory sink = GATE HARNESS ONLY (review r5): it retains every
+    # (user, micro-batch) update row on the driver — O(users × batches) —
+    # which is fine for the bounded fixture but NOT the production shape;
+    # a real deployment sinks update-mode rows to files/Kafka/foreachBatch
+    # (the distributed-sink gates show that path) and the per-group state
+    # itself stays bounded in the executors' state store either way.
     updates = run_stream_to_memory(out, mode="update")
     # update mode emits one row per (user, micro-batch); n_events is strictly
     # increasing per user, so the max struct is the final state.
@@ -332,8 +338,6 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactly-once here comes from availableNow + the file sink's atomic
     commit per batch; a production multi-batch run would also record
     batch_id in the target (the standard idempotent-foreachBatch recipe)."""
-    import tempfile
-
     from duckdb_mpp_spark.mpp import MppSession
 
     mpp = MppSession(spark, _gate_tmpdir("mpp_stream_ingest_"))
@@ -386,8 +390,6 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (floor(value·256)), so results are bit-identical to the batch
     oracle. This is the standard continuous-rollup recipe (foreachBatch +
     idempotent-able MERGE) that plain append sinks can't express."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from duckdb_mpp_spark.mpp import MppSession
@@ -458,8 +460,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py. At 100 TB the index is ~10⁻³ of corpus bytes
     and the per-batch cost is O(batch + matches), independent of corpus
     size."""
-    import tempfile as _tempfile
-
     from duckdb_mpp_spark.operators.dedup import minhash_bands
     from duckdb_mpp_spark.sources import load_table
 
@@ -478,25 +478,45 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
     day's documents (one file → one micro-batch), dedup each batch against
     the persisted index, append verdicts, append the batch's signatures to
     the index. Reusable across days — tests drive multiple days to prove
-    the index actually grows."""
-    import tempfile
+    the index actually grows.
 
+    Retry idempotence (review r5): foreachBatch offers at-least-once — a
+    crash between the two appends and the checkpoint commit re-runs the
+    batch, and by then the index already holds the batch's own signatures,
+    so every doc would re-verdict as a duplicate OF ITSELF alongside its
+    original verdict. A per-batch marker file (written LAST) makes the
+    body skip re-delivered batch ids — the same recipe the distributed
+    sinks use via their atomic snapshot commit."""
     from duckdb_mpp_spark.operators.dedup import incremental_dedup, minhash_bands
 
     src_dir = _gate_tmpdir("dedup_src_") + "/crawl"
     day_docs.coalesce(1).write.parquet(src_dir)
+    # markers live WITH the checkpoint: batch ids are only unique within
+    # one checkpoint lineage (each delivery/day restarts at 0), so keying
+    # them off the shared index would skip every later delivery's batch 0
+    ckpt_dir = _gate_tmpdir("dedup_ckpt_")
+    marker_dir = os.path.join(ckpt_dir, "_applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
 
-    def dedup_batch(batch, _id):
+    def dedup_batch(batch, batch_id):
+        marker = os.path.join(marker_dir, f"b{batch_id}")
+        if os.path.exists(marker):
+            return  # re-delivered batch: both appends already happened
         bands = minhash_bands(batch).localCheckpoint(eager=True)
         idx = spark.read.parquet(index_dir)
         incremental_dedup(idx, bands).write.mode("append").parquet(verdict_dir)
         bands.write.mode("append").parquet(index_dir)  # index grows per batch
+        with open(marker, "w") as f:
+            f.write("done")  # written last: a crash before this re-runs the
+            # batch against an index that may already hold its bands — the
+            # narrow double-append window a transactional sink would close;
+            # the marker closes the WIDE window (re-delivery after success)
 
     q = (
         spark.readStream.schema(day_docs.schema)
         .parquet(src_dir)
         .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", _gate_tmpdir("dedup_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -228,13 +228,21 @@ class DistributedTable:
         }
         _manifest_mod.commit(self.path, {**survivors, **new_entries}, base)
 
-    def vacuum(self, keep_commits: int = 1) -> int:
+    def vacuum(
+        self, keep_commits: int = 1, orphan_grace_seconds: float = 300.0
+    ) -> int:
         """Physically delete data files no current snapshot references and
         prune the commit log; returns files removed (see manifest.vacuum).
         The sort column rides along so a legacy-bootstrap commit keeps its
-        zone-map stats populated (ADVICE r3)."""
+        zone-map stats populated (ADVICE r3). Unreferenced files younger
+        than ``orphan_grace_seconds`` are kept — they may be an in-flight
+        writer's ingested-but-uncommitted batch (review r5)."""
         return _manifest_mod.vacuum(
-            self.path, BUCKET_COL, keep_commits, self.meta.sort_column
+            self.path,
+            BUCKET_COL,
+            keep_commits,
+            self.meta.sort_column,
+            orphan_grace_seconds,
         )
 
     def route(self, df: DataFrame) -> DataFrame:
@@ -351,6 +359,12 @@ class DistributedTable:
         try:
             routed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
             new_entries = self._ingest_staged(tmp)
+            # An EMPTY insert still publishes a (no-op) snapshot: one
+            # version per insert call is a load-bearing contract — time
+            # travel / VERSION AS OF arithmetic counts operations, and the
+            # r5 attempt to skip the commit broke exactly that. Pipelines
+            # with frequently-empty batches guard with df.isEmpty() at the
+            # source (the streaming sinks already do).
             revalidate = (
                 (lambda bf: self._revalidate_unique(new_entries, bf))
                 if self.meta.unique_columns
@@ -644,9 +658,25 @@ class DistributedTable:
         sort_cols = [BUCKET_COL] + (
             [self.meta.sort_column] if self.meta.sort_column else []
         )
+        # repartition on BUCKET_COL alone hashes every row of a bucket to
+        # ONE task — target_files_per_bucket > 1 would be a silent no-op
+        # and a 100 TB bucket a single-task rewrite (review r5). A
+        # deterministic intra-bucket split key (row-content hash mod
+        # target) spreads each bucket over `target` tasks/files; sort
+        # clustering stays per-file, which is what footer zone maps need.
+        if target_files_per_bucket > 1:
+            split = F.pmod(
+                F.xxhash64(*[f.name for f in self.meta.schema.fields]),
+                F.lit(target_files_per_bucket),
+            ).alias("__split")
+            df = df.withColumn("__split", split)
+            shuffle_cols = [BUCKET_COL, "__split"]
+        else:
+            shuffle_cols = [BUCKET_COL]
         try:
             (
-                df.repartition(n_parts, BUCKET_COL)
+                df.repartition(n_parts, *shuffle_cols)
+                .drop("__split")
                 .sortWithinPartitions(*sort_cols)  # re-clusters SORT BY tables
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)

@@ -12,6 +12,7 @@ the commit log is fresh or bootstrap-rebuilt.
 import datetime
 import json
 import os
+import time
 
 import pytest
 
@@ -53,7 +54,9 @@ def test_scan_plans_from_snapshot_not_listing(sorted_table, spark):
 
     shutil.copyfile(os.path.join(sorted_table.path, src), orphan)
     assert sorted_table.scan().count() == 300  # duplicate file not double-read
-    assert sorted_table.vacuum() == 1  # ...and vacuum removes exactly it
+    # grace 0: this test exercises the reclaim mechanism itself; the
+    # default 5-min orphan grace (in-flight-writer safety) is tested below
+    assert sorted_table.vacuum(orphan_grace_seconds=0) == 1
     assert not os.path.exists(orphan)
 
 
@@ -303,3 +306,18 @@ def test_distributed_stats_job_matches_threadpool(spark, mpp, monkeypatch):
         assert entry["rows"] >= 1 and entry["min"] is not None
     # and the table reads back intact through the snapshot
     assert mpp.sql("SELECT COUNT(*) AS n FROM dstats").collect()[0][0] == 40
+
+
+def test_vacuum_orphan_grace_keeps_young_files(sorted_table):
+    """review r5: a writer moves ingested files into the bucket dirs BEFORE
+    its snapshot commit; a concurrent vacuum must not reclaim files younger
+    than the grace window (they may be that in-flight batch)."""
+    young = os.path.join(sorted_table.path, "__bucket=0", "cfresh-part-x.parquet")
+    with open(young, "wb") as f:
+        f.write(b"PAR1garbagePAR1")
+    assert sorted_table.vacuum() == 0  # default grace keeps it
+    assert os.path.exists(young)
+    old = time.time() - 3600
+    os.utime(young, (old, old))
+    assert sorted_table.vacuum() == 1  # aged past the window -> reclaimed
+    assert not os.path.exists(young)

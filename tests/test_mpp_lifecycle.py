@@ -388,3 +388,26 @@ def test_shard_placement_survives_catalog_reload(spark, session, tmp_path):
         for r in reloaded.shards_df(spark).collect()
     }
     assert after == before
+
+
+def test_compact_honors_target_files_per_bucket(mpp):
+    """review r5: repartition on the bucket column alone hashed every row
+    of a bucket into one task, so target_files_per_bucket > 1 silently
+    produced exactly 1 file per bucket (and a huge bucket a single-task
+    rewrite). The deterministic intra-bucket split must spread a bucket
+    over multiple files when asked."""
+    mpp.sql("CREATE TABLE cf(a INT, b INT) PARTITION BY (a) WITH BUCKETS 2")
+    vals = ", ".join(f"({i % 7}, {i})" for i in range(400))
+    mpp.sql(f"INSERT INTO cf VALUES {vals}")
+    tbl = mpp.table("cf")
+    before = sorted(tuple(r) for r in tbl.scan().collect())
+    tbl.compact(target_files_per_bucket=3)
+    files = tbl.snapshot_files()
+    per_bucket = {}
+    for rel in files:
+        per_bucket.setdefault(rel.split("/", 1)[0], 0)
+        per_bucket[rel.split("/", 1)[0]] += 1
+    # every populated bucket spreads over >1 file (3 targeted; hash
+    # collisions may merge some splits, but 1-file-per-bucket means no-op)
+    assert all(n >= 2 for n in per_bucket.values()), per_bucket
+    assert sorted(tuple(r) for r in tbl.scan().collect()) == before
