@@ -44,7 +44,12 @@ import uuid
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
-from duckdb_mpp_spark.table import BUCKET_COL, DistributedTable
+from duckdb_mpp_spark.table import (
+    BUCKET_COL,
+    DistributedTable,
+    spread_for_bucket_write,
+    write_split_factor,
+)
 
 _DEFAULT_RE = re.compile(r"^\s*DEFAULT\s*$", re.IGNORECASE)
 
@@ -164,7 +169,13 @@ def update(
             .alias("matched"),
         )
         .select(*out_cols)
-        .repartition(len(ids), BUCKET_COL)
+        .transform(
+            # big-bucket rewrites fan out over input_parts/len(ids) tasks
+            # per bucket (content-independent split key; see table.py)
+            lambda d: spread_for_bucket_write(
+                d, len(ids), write_split_factor(df, len(ids))
+            )
+        )
         .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
@@ -252,7 +263,9 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     staged = survivors.unionByName(new_rows)
     tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
     (
-        staged.repartition(len(ids), BUCKET_COL)
+        spread_for_bucket_write(
+            staged, len(ids), write_split_factor(existing, len(ids))
+        )
         .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
@@ -301,7 +314,11 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
             .alias("matched"),
         )
         .where(~pred)
-        .repartition(len(ids), BUCKET_COL)
+        .transform(
+            lambda d: spread_for_bucket_write(
+                d, len(ids), write_split_factor(df, len(ids))
+            )
+        )
         .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)

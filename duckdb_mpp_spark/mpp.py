@@ -975,6 +975,30 @@ class MppSession:
             > 1
         )
 
+    def _cte_indirected(self, query: str, name: str) -> bool:
+        """True when a relation reference of ``name`` sits inside the WITH
+        prefix (before the main top-level SELECT). A CTE body feeds every
+        consumer of the CTE — including later set-op legs and renamed
+        column projections — so a bucket/zone-map restriction derived from
+        the MAIN query's WHERE must never be pushed onto the CTE's source
+        table (ADVICE r5, confirmed repro: ``WITH x AS (SELECT k FROM st)
+        SELECT k FROM x WHERE k=2 UNION ALL SELECT k FROM x`` dropped leg-2
+        rows). Conservative: Catalyst still applies the real predicates."""
+        if not re.match(r"^\s*WITH\b", query, re.IGNORECASE):
+            return False
+        main_sel = _find_keyword_top_level(query, "SELECT")
+        if main_sel < 0:
+            return True  # unparseable WITH shape: stay conservative
+        blank = _blank_literals(query)
+        return any(
+            m.start() < main_sel
+            for m in re.finditer(
+                rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b(?!\.)",
+                blank,
+                re.IGNORECASE,
+            )
+        )
+
     def _setop_confined_to_first_leg(self, query: str, name: str) -> bool:
         """Pruning derives its predicate from the FIRST leg's top-level WHERE
         (``_where_span`` stops at UNION/INTERSECT/EXCEPT). Applying that
@@ -1014,8 +1038,11 @@ class MppSession:
             )
         ]
         # no recognizable FROM/JOIN reference (CTE / subquery shapes the
-        # regex can't place relative to the set-op): stay conservative
-        return bool(refs) and all(r < setop for r in refs)
+        # regex can't place relative to the set-op): stay conservative.
+        # Refs must ALSO sit after the main top-level SELECT — a ref before
+        # it lives in a CTE body, which feeds every leg (ADVICE r5).
+        main_sel = max(_find_keyword_top_level(query, "SELECT"), 0)
+        return bool(refs) and all(main_sel <= r < setop for r in refs)
 
     def _rewrite_where_aliases(self, query: str) -> str:
         """DuckDB allows select-list aliases in WHERE (``SELECT id AS c0 ...
@@ -1133,6 +1160,7 @@ class MppSession:
                 and len(names) == 1
                 and not tbl.meta.colocated
                 and not self._self_joined(query, name)
+                and not self._cte_indirected(query, name)
                 and self._setop_confined_to_first_leg(query, name)
             ):
                 from duckdb_mpp_spark.pruning import bucket_predicate_for_where
@@ -1313,10 +1341,13 @@ class MppSession:
         for name in names:
             tbl = self.table(name)
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
-            if self._self_joined(query, name) or not self._setop_confined_to_first_leg(
-                query, name
+            if (
+                self._self_joined(query, name)
+                or self._cte_indirected(query, name)
+                or not self._setop_confined_to_first_leg(query, name)
             ):
-                # pruning disabled (see _self_joined / _setop_confined_to_first_leg);
+                # pruning disabled (see _self_joined / _cte_indirected /
+                # _setop_confined_to_first_leg);
                 # Shards header must match what the registered view actually scans
                 ids = list(range(tbl.meta.buckets))
             else:

@@ -86,7 +86,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # DOWNWARD so the cap could never be recovered. Cluster sessions keep
     # whatever they arrived with (their own tuning or the 200 default);
     # local sessions still at the out-of-the-box 200 get the bench-measured
-    # sizing. Explicit non-default settings are always respected.
+    # sizing. Explicit BUILDER-time settings are always respected; known
+    # limitation (ADVICE r5): a runtime ``spark.conf.set(...,"200")`` made
+    # before handing the session over is indistinguishable from the
+    # untouched default and gets resized — set the key at builder time (or
+    # via SPARK_GRAFT_CONF, which wins below) to pin it.
     shuffle = None
     try:
         sc = spark.sparkContext

@@ -36,6 +36,7 @@ snapshot read (no filesystem listing).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +53,70 @@ BUCKET_COL = "__bucket"
 # commits touching more files than this run the footer-stats pass as a
 # Spark job instead of a driver threadpool (see _ingest_staged)
 _STATS_JOB_THRESHOLD = 64
+
+
+def _max_partition_bytes(df: DataFrame) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int — the engine's own
+    bytes-per-scan-task granularity, reused as bytes-per-write-task."""
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    m = re.match(r"^(\d+)\s*([kmgt]?)b?$", raw)
+    if not m:
+        return 128 << 20
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
+def write_split_factor(df: DataFrame, n_groups: int, cap: int = 64) -> int:
+    """Intra-bucket write fan-out for a bucket-routed write, floored at 1
+    and capped at ``cap`` files per bucket per write. Volume is estimated
+    from TWO planner-side proxies (neither runs a job) and the MINIMUM is
+    used: input partition count / n_groups (file scans split at
+    ``maxPartitionBytes``, so partitions ≈ bytes / 128 MB — but a tiny
+    in-memory frame parallelized over defaultParallelism would oversplit
+    on this alone), and Catalyst's optimizedPlan sizeInBytes /
+    (n_groups × maxPartitionBytes) (real for file scans and local
+    relations, but Long.MaxValue for RDD-backed plans like localCheckpoint
+    — call this BEFORE checkpointing). A batch smaller than one write task
+    per bucket keeps the one-file-per-bucket layout (no small-file
+    explosion on incremental writes); a 100 TB initial load or big-bucket
+    COW rewrite fans each bucket out across the cluster instead of
+    serializing on #buckets single-task writers (SCALING.md's named
+    write-side wall). Callers pair this with a CONTENT-INDEPENDENT split
+    key (monotonically_increasing_id, ADVICE r5) so buckets full of
+    identical rows — the norm in a dedup corpus — still spread; the key
+    affects file layout only, never semantics."""
+    n_groups = max(n_groups, 1)
+    try:
+        in_parts = df.rdd.getNumPartitions()
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 1
+    by_parts = in_parts // n_groups
+    by_bytes = size // (n_groups * _max_partition_bytes(df))
+    return max(1, min(by_parts, by_bytes, cap))
+
+
+def spread_for_bucket_write(df: DataFrame, n_groups: int, split: int) -> DataFrame:
+    """Repartition a bucket-routed frame for writing: ~``split`` tasks per
+    bucket when ``split > 1``, else one per bucket. Partition count is 2×
+    the (bucket, split) group count: hash partitioning is approximate, and
+    at small split factors two groups of one bucket colliding into one
+    partition would silently halve that bucket's write parallelism — the
+    oversubscription makes collisions rare (empty partitions schedule a
+    no-op task and write nothing)."""
+    if split > 1:
+        return (
+            df.withColumn(
+                "__split", F.pmod(F.monotonically_increasing_id(), F.lit(split))
+            )
+            .repartition(n_groups * split * 2, BUCKET_COL, "__split")
+            .drop("__split")
+        )
+    return df.repartition(n_groups, BUCKET_COL)
 
 
 class DistributedTable:
@@ -339,6 +404,9 @@ class DistributedTable:
         import uuid as _uuid
 
         routed = self.route(self._aligned_for_insert(df))
+        # volume estimate BEFORE any checkpoint (an RDD-backed plan reports
+        # Long.MaxValue stats — see write_split_factor)
+        split = self._insert_split_factor(routed)
         if self.meta.unique_columns:
             # single evaluation: the uniqueness check and the write job
             # both read the materialized batch
@@ -346,7 +414,14 @@ class DistributedTable:
             self._enforce_unique(routed)
         # One shuffle so each bucket directory is written by few tasks (no
         # small-file explosion when every input task holds every bucket).
-        routed = routed.repartition(self.meta.buckets, BUCKET_COL)
+        # Routing on BUCKET_COL alone caps write parallelism at #affected
+        # buckets (SCALING.md names it as the first write-side wall at
+        # initial-load scale): when the batch is large relative to the
+        # bucket count, add a content-independent intra-bucket split key so
+        # each bucket spreads over ~input_parts/buckets write tasks. Small
+        # batches (the common incremental case) keep one file per bucket —
+        # no small-file explosion, and the bench insert path is unchanged.
+        routed = spread_for_bucket_write(routed, self.meta.buckets, split)
         if self.meta.sort_column:
             # SORT BY clustering: rows inside each written file are ordered
             # on the sort column, so footer min/max become tight zone maps
@@ -381,6 +456,9 @@ class DistributedTable:
             # dml._observed_matched). The committed footer row counts are
             # the exact answer and cost nothing.
             return sum(e["rows"] for e in new_entries.values())
+
+    def _insert_split_factor(self, routed: DataFrame) -> int:
+        return write_split_factor(routed, self.meta.buckets)
 
     def _revalidate_unique(
         self, new_entries: dict[str, dict], base_files: dict[str, dict]
@@ -660,13 +738,16 @@ class DistributedTable:
         )
         # repartition on BUCKET_COL alone hashes every row of a bucket to
         # ONE task — target_files_per_bucket > 1 would be a silent no-op
-        # and a 100 TB bucket a single-task rewrite (review r5). A
-        # deterministic intra-bucket split key (row-content hash mod
-        # target) spreads each bucket over `target` tasks/files; sort
-        # clustering stays per-file, which is what footer zone maps need.
+        # and a 100 TB bucket a single-task rewrite (review r5). The split
+        # key is CONTENT-INDEPENDENT (ADVICE r5): a row-content hash would
+        # collapse a bucket full of identical rows — the norm in a dedup
+        # framework — back onto one task/file, and xxhash64 errors on
+        # MapType columns. The key only affects file layout, never
+        # semantics, so determinism is not required; sort clustering stays
+        # per-file, which is what footer zone maps need.
         if target_files_per_bucket > 1:
             split = F.pmod(
-                F.xxhash64(*[f.name for f in self.meta.schema.fields]),
+                F.monotonically_increasing_id(),
                 F.lit(target_files_per_bucket),
             ).alias("__split")
             df = df.withColumn("__split", split)

@@ -76,8 +76,13 @@ def main() -> None:
         duck_runs.append(_run_json([sys.executable, "scripts/duck_bench.py"]))
         print(f"pair {i + 1}/{n_pairs} done", file=sys.stderr)
 
+    # intersect across ALL runs, not just run 0 (ADVICE r5): a gate that
+    # errored or was skipped mid-protocol must narrow the comparable set,
+    # not KeyError away minutes of completed measurement
     comparable = sorted(
-        set(duck_runs[0]["queries"]) & set(spark_runs[0]["queries"])
+        set.intersection(
+            *(set(r["queries"]) for r in spark_runs + duck_runs)
+        )
     )
     s_min = {q: min(r["queries"][q] for r in spark_runs) for q in comparable}
     d_min = {q: min(r["queries"][q] for r in duck_runs) for q in comparable}

@@ -314,6 +314,56 @@ def bench_storage(spark) -> dict[str, float]:
     }
 
 
+def probe_write_split(spark) -> dict[str, object]:
+    """Write-parallelism probe (VERDICT r5 #6): a big batch into FEW
+    buckets must not serialize on #buckets single-task writers. Builds a
+    2-bucket table from the replicated sf≈1 orders (input partitions >>
+    buckets), inserts, and reports files per bucket (== tasks per bucket,
+    since each (bucket, split) shuffle group writes one file) plus a
+    round-trip row count. Done-bar: files_per_bucket > 1 with count
+    unchanged; the hash-green gate (mpp_create_insert_scan) holds
+    correctness at driver scale."""
+    import tempfile
+
+    from duckdb_mpp_spark.mpp import MppSession
+
+    mpp = MppSession(spark, tempfile.mkdtemp(prefix="mpp_split_"))
+    # Write fan-out is sized in units of maxPartitionBytes (one write task
+    # ≈ one scan task); sf≈1 fixtures are ~26 MB, so shrink the unit to put
+    # the probe in the same bytes-per-bucket ≫ task-size regime a 100 TB
+    # load hits with the 128 MB default.
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    try:
+        orders = spark.read.parquet(f"{DST}/orders.parquet")
+        n_in = orders.count()
+        tbl = mpp.create_distributed_table(
+            "orders_split", orders.schema, "o_custkey", 2
+        )
+        t0 = time.perf_counter()
+        tbl.insert(orders)
+        t_ins = time.perf_counter() - t0
+        in_parts = orders.rdd.getNumPartitions()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    per_bucket: dict[str, int] = {}
+    for rel in tbl.snapshot_files():
+        b = rel.split("/", 1)[0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    n_out = tbl.scan().count()
+    return {
+        "insert_sec": round(t_ins, 3),
+        "input_partitions": in_parts,
+        "buckets": 2,
+        "files_per_bucket": dict(sorted(per_bucket.items())),
+        "min_files_per_bucket": min(per_bucket.values()),
+        "rows_round_trip_ok": bool(n_in == n_out),
+    }
+
+
 def probe_events_overhead(spark) -> dict[str, object]:
     """Fixed-overhead decomposition evidence (SCALING.md bench section):
     the sub-second events queries are the entire remaining gap vs DuckDB
@@ -496,6 +546,7 @@ def main() -> None:
         result["zonemap_ab_sf1"] = bench_zonemap(spark)
     if "storage" in parts:
         result["storage_sf1"] = bench_storage(spark)
+        result["write_split_sf1"] = probe_write_split(spark)
     if "simhash64" in parts:
         result["simhash64_fanout"] = probe_simhash64(spark)
     if "events" in parts:

@@ -209,6 +209,16 @@ _templates = st.sampled_from([
     "SELECT {T}.c0 AS c0 FROM tvx,{T} WHERE {P}",
     "SELECT {T}.c0 AS c0 FROM tvx, {T} WHERE {P}",
     "SELECT c0 FROM {T} WHERE {P} {OP} SELECT {T}.c0 FROM tvx,{T}",
+    # CTE indirection (ADVICE r5): the CTE body feeds EVERY leg, so a
+    # WHERE in any one leg must never prune the CTE's source table.
+    "WITH x AS (SELECT c0, c1 FROM {T}) "
+    "SELECT c0 FROM x WHERE {P} {OP} SELECT c0 FROM x",
+    "WITH x AS (SELECT c0, c1 FROM {T}) "
+    "SELECT c0 FROM x {OP} SELECT c0 FROM x WHERE {P}",
+    # CTE renames the partition column: pruning the source on the main
+    # WHERE would restrict on the WRONG values even without a set-op.
+    "WITH x AS (SELECT c0 + 100 AS c0, c1 FROM {T}) "
+    "SELECT c0 FROM x WHERE {P}",
 ])
 
 
