@@ -250,13 +250,28 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # Memory sink = GATE HARNESS ONLY (review r5): it retains every
-    # (user, micro-batch) update row on the driver — O(users × batches) —
-    # which is fine for the bounded fixture but NOT the production shape;
-    # a real deployment sinks update-mode rows to files/Kafka/foreachBatch
-    # (the distributed-sink gates show that path) and the per-group state
-    # itself stays bounded in the executors' state store either way.
-    updates = run_stream_to_memory(out, mode="update")
+    # Production sink shape (VERDICT r5 #8 — previously a memory sink that
+    # retained O(users × batches) rows ON THE DRIVER): foreachBatch appends
+    # each micro-batch's update rows to distributed storage, executor-side;
+    # the driver never materializes a row. The append log is the standard
+    # update-mode landing shape (a serving deployment would instead upsert
+    # per-user latest — streaming_upsert_distributed shows that path); the
+    # per-group state stays bounded in the executors' state store.
+    sink_dir = _gate_tmpdir("stream_totals_sink_")
+
+    def sink_batch(batch, _id):
+        if not batch.isEmpty():
+            batch.write.mode("append").parquet(sink_dir)
+
+    q = (
+        out.writeStream.foreachBatch(sink_batch)
+        .outputMode("update")
+        .option("checkpointLocation", _gate_tmpdir("stream_totals_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.read.parquet(sink_dir)
     # update mode emits one row per (user, micro-batch); n_events is strictly
     # increasing per user, so the max struct is the final state.
     final = (
