@@ -33,17 +33,20 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         # Shuffle partitions track per-query DATA VOLUME, not core count:
-        # at the sub-GB local benchmark scale, 8 reduce partitions keep
-        # every shuffle partition ≥ a few MB and roughly halve per-stage
-        # scheduling overhead (r5 A/B, interleaved matched pairs: suite
-        # per-query-min 22.3 s at 8 vs 24.1 s at 32; streaming state
-        # maintenance 0.7 s vs 1.3 s — Structured Streaming shards its
-        # state store by this number and AQE never applies there). A
-        # cluster deployment overrides to O(2 × total cores) via the
-        # constructor or SPARK_GRAFT_CONF; CPU-bound Arrow kernels (the
-        # GEMM block pairs) pin their own parallelism explicitly, and
-        # map-side parallelism still follows defaultParallelism (= cores).
-        shuffle_partitions = max(int(cpus) // 4, 8)
+        # at the sub-GB local benchmark scale a handful of reduce
+        # partitions keeps every shuffle partition ≥ a few MB and strips
+        # per-task scheduling overhead. r5 measured 8 beating 32 (suite
+        # per-query-min 22.3 s vs 24.1 s); the r6 interleaved A/B over all
+        # 30 headline queries went further: 4 beats 8 on 29 of 30 (totals
+        # 18.8 s vs 25.8 s, −27%; only text_quality_score prefers 8 by
+        # ~0.1 s), with 6 statistically tied with 4. Structured Streaming
+        # shards its state store by this number (AQE never applies there),
+        # so it benefits doubly. A cluster deployment overrides to
+        # O(2 × total cores) via the constructor or SPARK_GRAFT_CONF;
+        # CPU-bound Arrow kernels (the GEMM block pairs) pin their own
+        # parallelism explicitly, and map-side parallelism still follows
+        # defaultParallelism (= cores).
+        shuffle_partitions = max(int(cpus) // 8, 4)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -100,7 +103,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         explicitly_set = sc.getConf().contains("spark.sql.shuffle.partitions")
         if sc.master.startswith("local") and not explicitly_set:
             if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-                shuffle = str(max(int(sc.defaultParallelism) // 4, 8))
+                shuffle = str(max(int(sc.defaultParallelism) // 8, 4))
     except Exception:
         pass
     conf = {

@@ -364,6 +364,70 @@ def probe_write_split(spark) -> dict[str, object]:
     }
 
 
+def probe_stage_budget(spark) -> dict[str, object]:
+    """Stage-constant budget (VERDICT r5 #2/#5 closure rule): for each
+    perf-watched query at sf0.1, measure wall AND the sum of executor task
+    run time across every stage of the run (UI REST API; the probe session
+    enables the UI). ``work_floor_sec`` = task time / cores is the
+    best-case wall if scheduling were free; ``sched_residual_pct`` =
+    (wall − floor)/wall is the fraction of wall that is per-stage/
+    per-barrier scheduling constant — the part that amortizes to ~zero at
+    100 TB where stages run minutes, not tens of ms. A query whose
+    residual is ≥90% is fixed-overhead-bound at this fixture scale: its
+    DuckDB ratio measures the scheduler, not the algorithm."""
+    import json as _json
+    import urllib.request
+
+    from duckdb_mpp_spark.queries import _ensure_loaded, run_spark_query
+
+    _ensure_loaded()
+    sc = spark.sparkContext
+    ui = sc.uiWebUrl
+    if not ui:
+        return {"error": "spark.ui.enabled=false; run via scale_probe.py stagebudget"}
+    app = sc.applicationId
+    cores = sc.defaultParallelism
+    sf_dir = SRC
+
+    def stages():
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        ) as r:
+            return _json.loads(r.read())
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+        for rdd in sc._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    names = [
+        "dedup_ngram_jaccard", "dedup_incremental", "graph_triangle_count",
+        "events_cohort_retention", "events_sessionization",
+        "q13_customer_distribution", "q05_local_supplier_volume",
+        "pipeline_global_shuffle",
+    ]
+    out = {}
+    for name in names:
+        mat(run_spark_query(name, spark, sf_dir))  # warm
+        before = {s["stageId"] for s in stages()}
+        t0 = time.perf_counter()
+        mat(run_spark_query(name, spark, sf_dir))
+        wall = time.perf_counter() - t0
+        mine = [s for s in stages() if s["stageId"] not in before]
+        task_ms = sum(s.get("executorRunTime", 0) for s in mine)
+        n_tasks = sum(s.get("numCompleteTasks", 0) for s in mine)
+        floor = task_ms / 1000.0 / cores
+        out[name] = {
+            "wall_sec": round(wall, 3),
+            "n_stages": len(mine),
+            "n_tasks": n_tasks,
+            "task_time_sec": round(task_ms / 1000.0, 3),
+            "work_floor_sec": round(floor, 4),
+            "sched_residual_pct": round(100 * (wall - floor) / wall, 1),
+        }
+    return out
+
+
 def probe_events_overhead(spark) -> dict[str, object]:
     """Fixed-overhead decomposition evidence (SCALING.md bench section):
     the sub-second events queries are the entire remaining gap vs DuckDB
@@ -523,7 +587,10 @@ def main() -> None:
     # — run separately to keep each under a CI/driver time budget; default
     # runs the first four.
     parts = set(sys.argv[1:]) or {"core", "docs", "zonemap", "storage"}
-    spark = get_spark(app_name="scale-probe")
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={"spark.ui.enabled": "true"} if "stagebudget" in parts else None,
+    )
     small: dict[str, float] = {}
     big: dict[str, float] = {}
     result: dict[str, object] = {"replicas": REPLICAS}
@@ -551,6 +618,8 @@ def main() -> None:
         result["simhash64_fanout"] = probe_simhash64(spark)
     if "events" in parts:
         result["events_overhead"] = probe_events_overhead(spark)
+    if "stagebudget" in parts:
+        result["stage_budget_sf0.1"] = probe_stage_budget(spark)
     print(json.dumps(result))
     for p in (DST, DOCS_SMALL, DOCS_BIG):
         shutil.rmtree(p, ignore_errors=True)
