@@ -112,6 +112,12 @@ def main() -> None:
             ((q, round(s_min[q] / max(d_min[q], 1e-4), 1)) for q in comparable),
             key=lambda kv: -kv[1],
         )[:5],
+        # raw per-run query timings — the auditable artifact (VERDICT r5
+        # #1b): any party can recompute every estimator above from these
+        "raw_runs": {
+            "spark": [r["queries"] for r in spark_runs],
+            "duck": [r["queries"] for r in duck_runs],
+        },
     }))
 
 
