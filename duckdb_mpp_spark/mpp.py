@@ -1342,13 +1342,17 @@ class MppSession:
             tbl = self.table(name)
             aliases = self._alias_names(query, tbl.meta.partition_column) if where else None
             if (
-                self._self_joined(query, name)
+                (len(names) != 1 and not tbl.meta.colocated)
+                or self._self_joined(query, name)
                 or self._cte_indirected(query, name)
                 or not self._setop_confined_to_first_leg(query, name)
             ):
-                # pruning disabled (see _self_joined / _cte_indirected /
-                # _setop_confined_to_first_leg);
-                # Shards header must match what the registered view actually scans
+                # pruning disabled — the guard mirrors _register_views_for_query
+                # (multi-table scans never embed the derived bucket
+                # predicate, review r6); the Shards header must match what
+                # the registered view actually scans. Colocated tables are
+                # exempt: their native bucketed scan is pruned by Catalyst
+                # itself, and pruning maths == bucketBy maths.
                 ids = list(range(tbl.meta.buckets))
             else:
                 ids = tbl.pruned_bucket_ids(
