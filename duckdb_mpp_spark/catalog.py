@@ -179,6 +179,16 @@ class MppCatalog:
         with self._lock:
             if name in self._tables:
                 raise ValueError(f'table "{name}" already exists')
+            # "__bucket" is the storage layout's partition directory column
+            # and "__split" the transient write fan-out key — a user column
+            # with either name would be silently clobbered by the write
+            # path (review r6)
+            for f in schema.fields:
+                if f.name in ("__bucket", "__split"):
+                    raise ValueError(
+                        f'column name "{f.name}" is reserved by the storage '
+                        "layout"
+                    )
             for uc in unique_columns or []:
                 if colocated:
                     raise NotImplementedError(

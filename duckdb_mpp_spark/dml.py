@@ -47,6 +47,9 @@ from pyspark.sql import functions as F
 from duckdb_mpp_spark.table import (
     BUCKET_COL,
     DistributedTable,
+    _max_partition_bytes,
+    plan_size_bytes,
+    split_from_bytes,
     spread_for_bucket_write,
     write_split_factor,
 )
@@ -232,9 +235,12 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     # bucket-discovery count and the staged union both read the
     # materialized blocks, so a computed input pipeline (or a re-readable
     # file batch) is never run twice (VERDICT r3 "What's wrong" #1).
-    new_rows = table.route(table._aligned_for_insert(df)).localCheckpoint(
-        eager=True
-    )
+    routed = table.route(table._aligned_for_insert(df))
+    # volume estimate BEFORE the checkpoint (RDD-backed plans report no
+    # stats); the batch is often the dominant write volume — an initial
+    # load via upsert into an empty table must still fan out (review r6)
+    batch_bytes = plan_size_bytes(routed)
+    new_rows = routed.localCheckpoint(eager=True)
     # one O(#buckets) job yields both the affected-bucket set and the
     # applied count (no Observation: foreachBatch + AQE empty-relation
     # propagation can plan CollectMetrics away and leave .get blocking)
@@ -261,11 +267,16 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     )
 
     staged = survivors.unionByName(new_rows)
+    # staged volume ≈ surviving-bucket bytes + batch bytes (either side
+    # may dominate: daily merge into a big table vs bulk load into an
+    # empty one)
+    staged_bytes = (plan_size_bytes(existing) or 0) + (batch_bytes or 0)
+    split = split_from_bytes(
+        staged_bytes or None, len(ids), _max_partition_bytes(staged)
+    )
     tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"
     (
-        spread_for_bucket_write(
-            staged, len(ids), write_split_factor(existing, len(ids))
-        )
+        spread_for_bucket_write(staged, len(ids), split)
         .sortWithinPartitions(*_rewrite_sort_cols(table))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
@@ -315,8 +326,12 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
         )
         .where(~pred)
         .transform(
+            # size on the SURVIVOR plan (anti-filter applied): a delete
+            # removing most of a bucket must not oversplit the small
+            # remainder into near-empty files (review r6); Catalyst's
+            # filter-selectivity estimate is the best job-free proxy
             lambda d: spread_for_bucket_write(
-                d, len(ids), write_split_factor(df, len(ids))
+                d, len(ids), write_split_factor(df.where(~pred), len(ids))
             )
         )
         .sortWithinPartitions(*_rewrite_sort_cols(table))

@@ -271,7 +271,12 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    updates = spark.read.parquet(sink_dir)
+    # explicit schema: an all-empty-batch stream leaves the sink dir
+    # fileless, and schema inference would raise instead of returning the
+    # empty frame the memory sink used to (review r6)
+    updates = spark.read.schema(
+        "user_id long, n_events long, total_q long"
+    ).parquet(sink_dir)
     # update mode emits one row per (user, micro-batch); n_events is strictly
     # increasing per user, so the max struct is the final state.
     final = (

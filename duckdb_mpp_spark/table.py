@@ -68,50 +68,78 @@ def _max_partition_bytes(df: DataFrame) -> int:
     return int(m.group(1)) * mult[m.group(2)]
 
 
-def write_split_factor(df: DataFrame, n_groups: int, cap: int = 64) -> int:
-    """Intra-bucket write fan-out for a bucket-routed write, floored at 1
-    and capped at ``cap`` files per bucket per write. Volume is estimated
-    from TWO planner-side proxies (neither runs a job) and the MINIMUM is
-    used: input partition count / n_groups (file scans split at
-    ``maxPartitionBytes``, so partitions ≈ bytes / 128 MB — but a tiny
-    in-memory frame parallelized over defaultParallelism would oversplit
-    on this alone), and Catalyst's optimizedPlan sizeInBytes /
-    (n_groups × maxPartitionBytes) (real for file scans and local
-    relations, but Long.MaxValue for RDD-backed plans like localCheckpoint
-    — call this BEFORE checkpointing). A batch smaller than one write task
-    per bucket keeps the one-file-per-bucket layout (no small-file
-    explosion on incremental writes); a 100 TB initial load or big-bucket
-    COW rewrite fans each bucket out across the cluster instead of
-    serializing on #buckets single-task writers (SCALING.md's named
-    write-side wall). Callers pair this with a CONTENT-INDEPENDENT split
-    key (monotonically_increasing_id, ADVICE r5) so buckets full of
-    identical rows — the norm in a dedup corpus — still spread; the key
-    affects file layout only, never semantics."""
-    n_groups = max(n_groups, 1)
+# Catalyst's "statistics unavailable" sentinel region: RDD-backed plans
+# (localCheckpoint) report spark.sql.defaultSizeInBytes = Long.MaxValue.
+_STATS_UNKNOWN = 1 << 60
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizedPlan sizeInBytes — a planner-side volume
+    estimate that runs NO job (real for file scans and local relations;
+    ``None`` when unavailable, e.g. RDD-backed plans after localCheckpoint
+    — estimate BEFORE checkpointing). Deliberately not ``df.rdd
+    .getNumPartitions()``: finalizing partitioning under AQE EXECUTES any
+    upstream shuffle stages (review r6 — the same trap `_spread`'s
+    docstring records), which would run a computed insert input twice."""
     try:
-        in_parts = df.rdd.getNumPartitions()
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:
+        return None
+    return None if size >= _STATS_UNKNOWN else size
+
+
+def write_split_factor(df: DataFrame, n_groups: int, cap: int = 64) -> int:
+    """Intra-bucket write fan-out for a bucket-routed write:
+    ``plan bytes / (n_groups × maxPartitionBytes)``, floored at 1 and
+    capped at ``cap`` files per bucket per write — one write task per
+    scan-task-sized slice of each bucket. A batch smaller than one write
+    task per bucket keeps the one-file-per-bucket layout (no small-file
+    explosion on incremental writes); a 100 TB initial load or big-bucket
+    COW rewrite fans each bucket out across the cluster instead of
+    serializing on #buckets single-task writers (SCALING.md's named
+    write-side wall). Unknown volume (checkpointed input) conservatively
+    keeps split = 1 — layout-only, never a correctness risk."""
+    return split_from_bytes(plan_size_bytes(df), n_groups, _max_partition_bytes(df), cap)
+
+
+def split_from_bytes(
+    size: int | None, n_groups: int, bytes_per_task: int, cap: int = 64
+) -> int:
+    if size is None:
         return 1
-    by_parts = in_parts // n_groups
-    by_bytes = size // (n_groups * _max_partition_bytes(df))
-    return max(1, min(by_parts, by_bytes, cap))
+    return max(1, min(size // (max(n_groups, 1) * bytes_per_task), cap))
 
 
 def spread_for_bucket_write(df: DataFrame, n_groups: int, split: int) -> DataFrame:
     """Repartition a bucket-routed frame for writing: ~``split`` tasks per
-    bucket when ``split > 1``, else one per bucket. Partition count is 2×
-    the (bucket, split) group count: hash partitioning is approximate, and
-    at small split factors two groups of one bucket colliding into one
-    partition would silently halve that bucket's write parallelism — the
-    oversubscription makes collisions rare (empty partitions schedule a
-    no-op task and write nothing)."""
+    bucket when ``split > 1``, else one per bucket.
+
+    The split key is ``pmod(spark_partition_id(), split)`` — the one key
+    that is simultaneously (a) CONTENT-independent, so a bucket full of
+    identical rows — the norm in a dedup corpus — still spreads (ADVICE
+    r5; a row-content hash cannot do this, and xxhash64 errors on MapType
+    columns), and (b) RETRY-deterministic: a recomputed map task keeps its
+    partition id and emits every row to the same reducer, so a partial
+    map-stage recompute after a fetch failure can never lose or duplicate
+    rows (review r6 — a monotonically_increasing_id key depends on row
+    ORDER, which is not stable for shuffle-fed inputs; that is the exact
+    hazard SPARK-23207 fixed for round-robin repartition). Granularity:
+    each INPUT partition maps wholly to one split, which is exactly the
+    fan-out wanted — a bucket's rows arriving from many input partitions
+    spread over ~split writers; split never exceeds the input partition
+    count for any volume-derived factor.
+
+    Partition count is 2× the (bucket, split) group count: hash
+    partitioning is approximate, and at small split factors two groups of
+    one bucket colliding into one partition would silently halve that
+    bucket's write parallelism — the oversubscription makes collisions
+    rare (empty partitions schedule a no-op task and write nothing)."""
     if split > 1:
         return (
             df.withColumn(
-                "__split", F.pmod(F.monotonically_increasing_id(), F.lit(split))
+                "__split", F.pmod(F.spark_partition_id(), F.lit(split))
             )
             .repartition(n_groups * split * 2, BUCKET_COL, "__split")
             .drop("__split")
@@ -742,8 +770,12 @@ class DistributedTable:
         # key is CONTENT-INDEPENDENT (ADVICE r5): a row-content hash would
         # collapse a bucket full of identical rows — the norm in a dedup
         # framework — back onto one task/file, and xxhash64 errors on
-        # MapType columns. The key only affects file layout, never
-        # semantics, so determinism is not required; sort clustering stays
+        # MapType columns. monotonically_increasing_id is retry-safe HERE
+        # because compact's input is a raw parquet scan — partition
+        # contents and row order are deterministic, so a recomputed map
+        # task re-emits identical split keys (the DML paths, whose inputs
+        # may be shuffle-fed, use the spark_partition_id key instead —
+        # see spread_for_bucket_write, review r6). Sort clustering stays
         # per-file, which is what footer zone maps need.
         if target_files_per_bucket > 1:
             split = F.pmod(

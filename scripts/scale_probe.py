@@ -390,10 +390,22 @@ def probe_stage_budget(spark) -> dict[str, object]:
     sf_dir = SRC
 
     def stages():
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app}/stages?status=complete"
-        ) as r:
-            return _json.loads(r.read())
+        # the UI store is fed by an async listener bus; poll until the
+        # completed-stage set stops growing so late-arriving final stages
+        # don't undercount task time (review r6)
+        prev = None
+        for _ in range(20):
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete"
+            ) as r:
+                cur = _json.loads(r.read())
+            if prev is not None and {s["stageId"] for s in cur} == {
+                s["stageId"] for s in prev
+            }:
+                return cur
+            prev = cur
+            time.sleep(0.05)
+        return prev
 
     def mat(df):
         df.write.format("noop").mode("overwrite").save()
