@@ -417,6 +417,10 @@ def probe_stage_budget(spark) -> dict[str, object]:
         "events_cohort_retention", "events_sessionization",
         "q13_customer_distribution", "q05_local_supplier_volume",
         "pipeline_global_shuffle",
+        # text group (r6): 96-99% residual — same fixed-overhead regime
+        "text_quality_score", "text_tfidf_keywords",
+        "text_repetition_stats", "text_contamination_overlap",
+        "dedup_substring_spans",
     ]
     out = {}
     for name in names:
