@@ -48,6 +48,14 @@ from pyspark.sql import functions as F
 from duckdb_mpp_spark.table import DistributedTable
 
 
+def _bq(ident: str) -> str:
+    """Backtick-quote a SQL identifier (escaping embedded backticks) — the
+    table/column names reach CREATE TABLE text, and names the python API
+    accepts (hyphens, spaces, reserved words) must not break the COLOCATED
+    flavor or smuggle SQL (review r6)."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
 class ColocatedTable(DistributedTable):
     """Append-only bucketed table; see module docstring."""
 
@@ -55,14 +63,17 @@ class ColocatedTable(DistributedTable):
     def ident(self) -> str:
         """Session-catalog identifier: unique per (warehouse, name, oid) so
         concurrent MppSessions over different warehouses never collide, and a
-        DROP+CREATE of the same name gets a fresh identity (oid bump)."""
+        DROP+CREATE of the same name gets a fresh identity (oid bump). The
+        user-supplied name is reduced to a sanitized slug (the oid+hash keep
+        identity); quoting handles whatever remains."""
         wh = hashlib.md5(self.catalog.warehouse.encode()).hexdigest()[:6]
         return f"mpp_{self.meta.name}_{self.meta.oid}_{wh}"
 
     @property
     def _sql_schema(self) -> str:
         return ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in self.meta.schema.fields
+            f"{_bq(f.name)} {f.dataType.simpleString()}"
+            for f in self.meta.schema.fields
         )
 
     def ensure_registered(self) -> None:
@@ -72,17 +83,18 @@ class ColocatedTable(DistributedTable):
         import os
 
         os.makedirs(self.path, exist_ok=True)  # quiet first-touch listing
-        key = self.meta.partition_column
+        key = _bq(self.meta.partition_column)
+        loc = self.path.replace("'", "\\'")
         self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.ident} ({self._sql_schema}) "
+            f"CREATE TABLE IF NOT EXISTS {_bq(self.ident)} ({self._sql_schema}) "
             f"USING parquet CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {self.meta.buckets} BUCKETS LOCATION '{self.path}'"
+            f"INTO {self.meta.buckets} BUCKETS LOCATION '{loc}'"
         )
 
     def unregister(self) -> None:
         """Drop the session-catalog entry (files stay — DROP parity with the
         reference, mpp_schema_entry.cpp:141-156)."""
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.ident}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {_bq(self.ident)}")
 
     # -- write path -------------------------------------------------------
     def insert(self, df: DataFrame) -> int:
@@ -102,7 +114,7 @@ class ColocatedTable(DistributedTable):
             .sortBy(key)
             .mode("append")
             .option("path", self.path)
-            .saveAsTable(self.ident)
+            .saveAsTable(_bq(self.ident))
         )
         return int(obs.get["cnt"])
 
@@ -132,7 +144,7 @@ class ColocatedTable(DistributedTable):
                 "(no snapshot commit log; use the directory-per-bucket flavor)"
             )
         self.ensure_registered()
-        df = self.spark.table(self.ident)
+        df = self.spark.table(_bq(self.ident))
         if where:
             df = df.where(where)
         return df.select(*(columns or [f.name for f in self.meta.schema.fields]))

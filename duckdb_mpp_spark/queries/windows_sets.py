@@ -1,7 +1,10 @@
 """Window functions, grouping analytics (CUBE/ROLLUP/GROUPING SETS), set
 operations, distinct aggregates, pivot/unpivot — SURVEY §2.B inherited
 surface. Window frames are fully ordered by a unique key so both engines
-produce identical frames.
+produce identical frames; window ORDER BYs over NULLABLE keys carry an
+explicit NULLS LAST because the engines' defaults diverge (Spark: NULLS
+FIRST ascending; DuckDB: NULLS LAST — a frame-content difference the
+null-free fixtures can never catch, review r6).
 """
 
 from pyspark.sql import functions as F
@@ -38,7 +41,8 @@ register(
         """
         SELECT o_custkey, o_orderkey,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS running_spend
         FROM orders
@@ -57,7 +61,7 @@ register(
                RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
                NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
         ORDER BY o_custkey, o_orderkey
         """,
         oracle="""
@@ -66,7 +70,7 @@ register(
                CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
                CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS quartile
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
         ORDER BY o_custkey, o_orderkey
         """,
     ),
@@ -301,14 +305,18 @@ register(
         -- constant column makes the corr denominator exactly 0.0 (the
         -- quantized power sums are exact) — ANSI Spark raises
         -- DIVIDE_BY_ZERO where DuckDB yields NULL; NULL/NULL matches both.
+        -- greatest(.., 0.0) under sqrt (review r6): at very large n the
+        -- rounded sd*sd/n can leave a tiny NEGATIVE variance for a
+        -- constant column — Spark's sqrt returns NaN, DuckDB raises Out
+        -- of Range; clamping keeps both at 0.
         SELECT l_returnflag,
                CAST(n AS BIGINT) AS n_rows,
                (sd2 - sd * sd / n) / nullif(n - 1, 0) AS var_disc,
-               sqrt((sd2 - sd * sd / n) / nullif(n - 1, 0)) AS stddev_disc,
+               sqrt(greatest((sd2 - sd * sd / n), 0.0) / nullif(n - 1, 0)) AS stddev_disc,
                (sdt - sd * st / n) / nullif(n - 1, 0) AS covar_disc_tax,
                ((sdt - sd * st / n) / nullif(n - 1, 0))
-                 / nullif(sqrt((sd2 - sd * sd / n) / nullif(n - 1, 0))
-                    * sqrt((st2 - st * st / n) / nullif(n - 1, 0)), 0) AS corr_disc_tax
+                 / nullif(sqrt(greatest((sd2 - sd * sd / n), 0.0) / nullif(n - 1, 0))
+                    * sqrt(greatest((st2 - st * st / n), 0.0) / nullif(n - 1, 0)), 0) AS corr_disc_tax
         FROM (
           SELECT l_returnflag,
                  CAST(COUNT(*) AS DOUBLE) AS n,
@@ -343,7 +351,7 @@ register(
                          AND rn <= floor(n / 2.0) + 1 THEN v END) AS median_price
         FROM (
           SELECT o_orderstatus, v,
-                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY v, tie) AS rn,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY v NULLS LAST, tie) AS rn,
                  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
           FROM (
             SELECT o_orderstatus,

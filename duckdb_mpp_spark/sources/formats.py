@@ -32,6 +32,12 @@ _CSV_OPTS = {
     # written as \N (the classic MySQL/Hive convention) so they stay
     # distinguishable from empty strings; external readers must be told
     # (DuckDB: read_csv(..., nullstr='\N') — its default is '').
+    # Known CSV-format limitation (review r6): a STRING whose literal
+    # value equals the null token (the two characters backslash-N) is
+    # written unquoted and reads back as NULL — CSV has no universally
+    # readable way to escape the null sentinel (Spark's reader compares
+    # nullValue after unquoting, so quoteAll would not help). Adversarial
+    # text corpora must land as parquet (the default), not CSV.
     "header": "true",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "nullValue": "\\N",
@@ -47,12 +53,23 @@ _JSON_OPTS = {
 }
 
 
-def write_df(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None, **options) -> None:
+def write_df(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Write ``df`` at ``path``. ``mode`` follows DataFrameWriter semantics
+    (``overwrite`` default matches COPY TO; pass ``append``/``error`` for
+    incremental landings — review r6: the save mode was previously
+    hard-coded and un-overridable through **options)."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     opts = dict(_CSV_OPTS) if fmt == "csv" else dict(_JSON_OPTS) if fmt == "json" else {}
     opts.update(options)
-    w = df.write.mode("overwrite").format(fmt).options(**opts)
+    w = df.write.mode(mode).format(fmt).options(**opts)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
@@ -67,7 +84,13 @@ def read_df(
 ) -> DataFrame:
     """Read ``path`` in ``fmt``. For schemaless text formats (csv/json) pass
     ``schema`` — inference costs an extra full pass over 100 TB and can
-    drift between runs; production reads are always schema-pinned."""
+    drift between runs; production reads are always schema-pinned.
+
+    CSV/JSON defaults are the ROUND-TRIP conventions of :func:`write_df`
+    (header=true, ``\\N`` nulls, µs timestamps). For an EXTERNAL file that
+    follows different conventions, override them explicitly (e.g.
+    ``header="false"``, ``nullValue=""``) — the defaults are only correct
+    for files this module wrote (review r6)."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     opts = dict(_CSV_OPTS) if fmt == "csv" else dict(_JSON_OPTS) if fmt == "json" else {}

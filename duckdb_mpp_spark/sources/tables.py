@@ -38,10 +38,23 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     try:
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
-        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+        try:
+            schema = pq.read_schema(path)  # single-file parquet
+        except Exception:
+            import pyarrow.dataset as ds  # directory-style parquet
+
+            schema = ds.dataset(path, format="parquet").schema
     except Exception:
-        return []
+        # Detection impossible (pyarrow missing/broken). Swallowing this
+        # while nanosAsLong is already set session-wide (streaming sets
+        # it) would silently expose ns columns as raw int64 BIGINTs
+        # (review r6) — fail loudly instead; without the conf Spark
+        # itself refuses ns files, so there is no silent path either way.
+        raise RuntimeError(
+            "pyarrow is required to detect parquet TIMESTAMP(NANOS) "
+            f"columns in {path} (nanosAsLong may be active session-wide)"
+        )
+    return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,11 +95,17 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    if names is None:
-        try:
+    try:
+        if names is None:
             spark.conf.set(key, sf_dir)
-        except Exception:
-            pass
+        elif local is not None and local != sf_dir:
+            # a names-scoped registration from a DIFFERENT dir leaves the
+            # session in a mixed state; the cache key must not let a later
+            # full registration for the old dir early-return past it
+            # (review r6 — silent cross-dir joins otherwise)
+            spark.conf.unset(key)
+    except Exception:
+        pass
 
 
 def _conf_readable(spark: SparkSession) -> bool:
