@@ -49,6 +49,23 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
+    """Total order for a SMALL result frame without the range-sampling pass.
+
+    ``orderBy`` plans a range-partitioned sort, which first runs a separate
+    sampling job over the input to pick partition bounds — the right plan
+    when the result itself is large, but a pure scheduling tax (~0.1–0.3 s
+    per query at bench scale) when the frame being ordered is a final
+    aggregate/top-k/thresholded result that is orders of magnitude smaller
+    than the corpus it came from. For those, a single-partition sort is the
+    plan a human would pick at any scale: the rows must land on the driver
+    (or one writer) anyway. Use ONLY for result-shaped frames (summaries,
+    pair lists post-threshold, paginated slices) — corpus-sized outputs
+    keep ``orderBy``.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def register(name: str, query: Query) -> None:
     assert name not in REGISTRY, f"duplicate query {name}"
     REGISTRY[name] = query
