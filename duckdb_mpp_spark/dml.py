@@ -67,15 +67,20 @@ def _commit_rewrite(
     bucket_ids: list[int],
     base: int,
     base_files: dict[str, dict],
+    dirty_buckets: list[int] | None = None,
 ) -> None:
     """Ingest the staged rewrite and publish the snapshot that swaps the
     affected buckets' files. A bucket with no surviving rows simply has no
-    files in the new snapshot."""
+    files in the new snapshot. ``dirty_buckets``: None inherits the base
+    snapshot's routing-dirty set; a list replaces it (partition-column
+    UPDATE widens it — see ``DistributedTable.routing_dirty_ids``)."""
     try:
         new_entries = table._ingest_staged(tmp_path)
     finally:
         shutil.rmtree(tmp_path, ignore_errors=True)
-    table._commit_replace(bucket_ids, new_entries, base, base_files)
+    table._commit_replace(
+        bucket_ids, new_entries, base, base_files, dirty_buckets=dirty_buckets
+    )
 
 
 def _observed_matched(obs: Observation, df, pred) -> int:
@@ -195,7 +200,16 @@ def update(
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-    _commit_rewrite(table, tmp, ids, base, snap_files)
+    # Assigning the partition column keeps rows in their bucket (reference
+    # shard-local semantics, see module docstring) — which breaks the
+    # bucket == pmod(hash(col), n) invariant pruning relies on. Flag every
+    # rewritten bucket routing-dirty so pruned reads keep including them
+    # (wrong-results class caught by tests/test_pruning_property.py r6);
+    # OPTIMIZE/compact re-routes and clears.
+    dirty = None
+    if meta.partition_column in assignments:
+        dirty = sorted(set(table.routing_dirty_ids()) | set(ids))
+    _commit_rewrite(table, tmp, ids, base, snap_files, dirty_buckets=dirty)
     return matched
 
 
@@ -245,10 +259,14 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     # applied count (no Observation: foreachBatch + AQE empty-relation
     # propagation can plan CollectMetrics away and leave .get blocking)
     per_bucket = new_rows.groupBy(BUCKET_COL).count().collect()
-    ids = sorted(r[0] for r in per_bucket)
     applied = sum(r[1] for r in per_bucket)
-    if not ids:
+    if not per_bucket:
         return 0
+    # Routing-dirty buckets (partition-column UPDATE history — see
+    # routing_dirty_ids) may hold a matching key that no longer hashes to
+    # its bucket; bucket-local matching must look there too or the merge
+    # would duplicate the key. Clean tables: dirty is empty, no widening.
+    ids = sorted({r[0] for r in per_bucket} | set(table.routing_dirty_ids()))
 
     existing = table.scan(where=None, keep_bucket=True)
     if len(ids) < meta.buckets:

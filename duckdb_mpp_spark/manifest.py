@@ -271,8 +271,43 @@ def _bucket_of(rel: str) -> str:
     return rel.split("/", 1)[0]
 
 
-def commit(table_path: str, files: dict[str, dict], base_version: int) -> int:
+def dirty_buckets(table_path: str, version: int | None = None) -> list[int]:
+    """Bucket ids flagged *routing-dirty* in a snapshot: they may hold rows
+    whose partition-column value no longer hashes to their bucket (an
+    UPDATE assigned the partition column; reference parity keeps such rows
+    on their shard — ``test/sql/mpp_update.test:63``). Bucket pruning must
+    always include these buckets or pruned reads silently lose the
+    re-valued rows; ``compact()`` re-routes and clears the flag.
+
+    ``version=None`` reads the head, with the same readable-AND-resolvable
+    head rule as ``load``/``current_version`` — the dirty set must describe
+    the snapshot readers actually plan from."""
+    if not os.path.isdir(table_path):
+        return []
+    if version is not None:
+        doc = _read_version_doc(table_path, version)
+        return sorted(int(b) for b in (doc or {}).get("dirty", []))
+    for v in reversed(_list_versions(table_path)):
+        doc = _read_version_doc(table_path, v)
+        if doc is not None and _resolve_doc(table_path, doc) is not None:
+            return sorted(int(b) for b in doc.get("dirty", []))
+    return []
+
+
+def commit(
+    table_path: str,
+    files: dict[str, dict],
+    base_version: int,
+    dirty_buckets: "list[int] | None" = None,
+) -> int:
     """Publish ``files`` as the next snapshot after ``base_version``.
+
+    ``dirty_buckets``: routing-dirty bucket ids for the NEW snapshot —
+    ``None`` inherits the base snapshot's set (appends/deletes/rewrites
+    that neither create nor repair misplacement), a list replaces it
+    (``update`` widens it, ``compact`` clears it with ``[]``). Either way
+    ids whose bucket holds no files in the new snapshot are dropped — an
+    emptied bucket cannot hold misplaced rows.
 
     Sharded encoding: ``files`` is grouped by bucket; a bucket whose
     content is identical to the base snapshot's reuses the base's manifest
@@ -302,14 +337,24 @@ def commit(table_path: str, files: dict[str, dict], base_version: int) -> int:
 
     # base bucket → manifest-name map (for unchanged-bucket reuse)
     base_map: dict[str, str] = {}
+    base_dirty: list[int] = []
     if base_version:
         base_doc = _read_version_doc(table_path, base_version)
         if base_doc is not None and "buckets" in base_doc:
             base_map = base_doc["buckets"]
+        if base_doc is not None:
+            base_dirty = [int(b) for b in base_doc.get("dirty", [])]
 
     by_bucket: dict[str, dict[str, dict]] = {}
     for rel, ent in files.items():
         by_bucket.setdefault(_bucket_of(rel), {})[rel] = ent
+
+    if dirty_buckets is None:
+        dirty_buckets = base_dirty
+    live_ids = {
+        int(b.split("=", 1)[1]) for b in by_bucket if "=" in b
+    }
+    dirty = sorted({int(b) for b in dirty_buckets} & live_ids)
 
     bucket_manifests: dict[str, str] = {}
     for bucket, content in sorted(by_bucket.items()):
@@ -323,8 +368,11 @@ def commit(table_path: str, files: dict[str, dict], base_version: int) -> int:
     # writers racing one version must not overwrite each other's staged
     # content before the link — the loser must lose with ITS OWN file intact
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+    doc: dict = {"format": 2, "buckets": bucket_manifests}
+    if dirty:
+        doc["dirty"] = dirty
     with open(tmp, "w") as f:
-        json.dump({"format": 2, "buckets": bucket_manifests}, f)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     try:

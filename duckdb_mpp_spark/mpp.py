@@ -1172,6 +1172,9 @@ class MppSession:
                     where, tbl.meta.partition_column, tbl._part_type_ddl,
                     tbl.meta.buckets, aliases, qualifiers=quals,
                 )
+                # routing-dirty buckets always survive pruning
+                # (partition-column UPDATE history — table.routing_dirty_ids)
+                pred = tbl.widen_pred_for_dirty(pred)
                 df = None
                 snap_files = tbl.snapshot_files()
                 if snap_files:

@@ -299,6 +299,7 @@ class DistributedTable:
         new_entries: dict[str, dict],
         base: int,
         base_files: dict[str, dict],
+        dirty_buckets: list[int] | None = None,
     ) -> None:
         """Publish a COW rewrite: the affected buckets' old files leave the
         snapshot, the staged files enter. The base version pins optimistic
@@ -319,7 +320,10 @@ class DistributedTable:
             for rel, ent in base_files.items()
             if not any(rel.startswith(p) for p in rewritten)
         }
-        _manifest_mod.commit(self.path, {**survivors, **new_entries}, base)
+        _manifest_mod.commit(
+            self.path, {**survivors, **new_entries}, base,
+            dirty_buckets=dirty_buckets,
+        )
 
     def vacuum(
         self, keep_commits: int = 1, orphan_grace_seconds: float = 300.0
@@ -550,6 +554,8 @@ class DistributedTable:
             where, self.meta.partition_column, self._part_type_ddl,
             self.meta.buckets, aliases, qualifiers or {self.meta.name},
         )
+        # routing-dirty buckets always survive pruning (see routing_dirty_ids)
+        bucket_pred = self.widen_pred_for_dirty(bucket_pred, version)
         df = self._zonemap_read(
             where, aliases, qualifiers, snap_files, bucket_pred=bucket_pred
         )
@@ -605,9 +611,11 @@ class DistributedTable:
         if not bounds:
             return None
         if bucket_pred is DistributedTable._UNSET:
-            bucket_pred = bucket_predicate_for_where(
-                where, self.meta.partition_column, self._part_type_ddl,
-                self.meta.buckets, aliases, qualifiers or {self.meta.name},
+            bucket_pred = self.widen_pred_for_dirty(
+                bucket_predicate_for_where(
+                    where, self.meta.partition_column, self._part_type_ddl,
+                    self.meta.buckets, aliases, qualifiers or {self.meta.name},
+                )
             )
         bucket_ids = set(
             evaluate_bucket_ids(self.spark, bucket_pred, self.meta.buckets)
@@ -688,6 +696,31 @@ class DistributedTable:
             df = df.where(where)
         return df.select("rowid", *base_cols)
 
+    def routing_dirty_ids(self, version: int | None = None) -> list[int]:
+        """Buckets that may hold rows whose partition-column value no
+        longer hashes to their bucket: an UPDATE assigned the partition
+        column, and (reference parity — ``test/sql/mpp_update.test:63``
+        updates it in place, shard-locally) the row stays where it is.
+        Every pruned read must include these buckets or it silently loses
+        the re-valued rows; ``compact()``/OPTIMIZE re-routes and clears.
+        Tracked per-snapshot in the manifest so time travel sees the dirty
+        set that matches the files it reads."""
+        return _manifest_mod.dirty_buckets(self.path, version)
+
+    def widen_pred_for_dirty(
+        self, bucket_pred: str | None, version: int | None = None
+    ) -> str | None:
+        """OR the routing-dirty buckets into a derived ``__bucket``
+        predicate. No-op (None cost) on clean tables — the overwhelmingly
+        common case."""
+        if bucket_pred is None:
+            return None
+        dirty = self.routing_dirty_ids(version)
+        if not dirty:
+            return bucket_pred
+        ids = ", ".join(str(b) for b in dirty)
+        return f"(({bucket_pred}) OR {BUCKET_COL} IN ({ids}))"
+
     def pruned_bucket_ids(
         self,
         where: str | None,
@@ -698,6 +731,7 @@ class DistributedTable:
             where, self.meta.partition_column, self._part_type_ddl,
             self.meta.buckets, aliases, qualifiers or {self.meta.name},
         )
+        bucket_pred = self.widen_pred_for_dirty(bucket_pred)
         return evaluate_bucket_ids(self.spark, bucket_pred, self.meta.buckets)
 
     def explain(self, where: str | None = None, aliases: set[str] | None = None) -> str:
@@ -759,6 +793,15 @@ class DistributedTable:
         if not snap_files:
             return 0
         df = self._read_files(snap_files)
+        # Repair routing-dirty buckets (a partition-column UPDATE left rows
+        # whose value no longer hashes to their bucket — see
+        # routing_dirty_ids): recompute __bucket from the live column
+        # values, so rows migrate home and full pruning power returns. The
+        # commit below clears the dirty flag; clean tables skip this
+        # entirely (no recompute, no flag churn).
+        dirty = self.routing_dirty_ids()
+        if dirty:
+            df = self.route(df)
         tmp = self.path + f".compact-{_uuid.uuid4().hex[:8]}"
         n_parts = max(self.meta.buckets * target_files_per_bucket, 1)
         sort_cols = [BUCKET_COL] + (
@@ -799,10 +842,18 @@ class DistributedTable:
         finally:
             _shutil.rmtree(tmp, ignore_errors=True)
         rewritten = {rel.split("/", 1)[0] for rel in new_entries}
+        replaced = {int(b.split("=", 1)[1]) for b in rewritten}
+        # every base bucket was read and rewritten — when re-routing moved
+        # rows OUT of a bucket entirely, its old files must still leave the
+        # snapshot even though no new file landed there
+        replaced |= {
+            int(rel.split("=", 1)[1].split("/", 1)[0]) for rel in snap_files
+        }
         self._commit_replace(
-            sorted(int(b.split("=", 1)[1]) for b in rewritten),
+            sorted(replaced),
             new_entries,
             base,
             snap_files,
+            dirty_buckets=[] if dirty else None,
         )
         return len(rewritten)

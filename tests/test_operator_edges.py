@@ -224,3 +224,50 @@ def test_simhash64_halves_consistent_with_32bit_low_half(spark):
     assert lo64 == fp32
     hv = {r["doc_id"]: r["sim_hi"] for r in simhash64(docs).collect()}
     assert all(0 <= v < 2 ** 32 for v in hv.values())
+
+
+def test_incremental_dedup_edge_shapes(spark):
+    """r6 one-join rework guardrails: the left-outer + tagged-reference
+    shape must preserve the old two-join semantics on inputs the sf
+    fixtures' %7 split never produces — an EMPTY index (first crawl run),
+    an index doc sharing the batch doc's id (index wins, dup_of may equal
+    the doc itself), and a doc matching both an index doc and an earlier
+    batch doc via different bands (index precedence, not band order)."""
+    from duckdb_mpp_spark.operators.dedup import incremental_dedup
+
+    schema = "doc_id long, band int, band_key string"
+
+    # empty index: batch-internal precedence only
+    idx = spark.createDataFrame([], schema)
+    batch = spark.createDataFrame(
+        [(3, 0, "x"), (1, 0, "x"), (2, 1, "y"), (9, 2, "z")], schema
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in incremental_dedup(idx, batch).collect()
+    }
+    assert got == {
+        1: ("new", None),       # smallest id in its bucket
+        2: ("new", None),       # alone in band 1
+        3: ("dup_batch", 1),    # earlier (smaller-id) batch doc wins
+        9: ("new", None),
+    }
+
+    # id collision + dual match: index match must win over an earlier
+    # batch match even when the batch match has a smaller id
+    idx = spark.createDataFrame([(7, 0, "x"), (5, 3, "q")], schema)
+    batch = spark.createDataFrame(
+        [(5, 3, "q"), (2, 0, "x"), (7, 0, "x"), (8, 0, "x"), (8, 5, "w"), (4, 5, "w")],
+        schema,
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in incremental_dedup(idx, batch).collect()
+    }
+    assert got == {
+        2: ("dup_index", 7),    # index match even though batch has no earlier doc
+        4: ("new", None),
+        5: ("dup_index", 5),    # same-id collision: index wins, self-referential
+        7: ("dup_index", 7),
+        8: ("dup_index", 7),    # index precedence over earlier batch docs 2 and 4
+    }

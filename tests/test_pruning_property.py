@@ -250,3 +250,88 @@ def test_setop_shapes_never_lose_rows_to_pruning(table, pred, op, tmpl):
     got = sorted((tuple(r) for r in mpp.sql(q_mpp).collect()), key=key)
     want = sorted((tuple(r) for r in spark.sql(q_raw).collect()), key=key)
     assert got == want, f"{q_mpp!r}: {got} != {want}"
+
+
+def test_partition_column_update_keeps_pruned_reads_exact(spark):
+    """r6 wrong-results regression (hypothesis counterexample, pinned):
+    UPDATE assigning the partition column keeps rows in their bucket
+    (reference shard-local semantics, mpp_update.test:63), so the bucket
+    routing invariant breaks. The snapshot flags the rewritten buckets
+    routing-dirty; every pruned read — scan, front-door SQL, a second
+    UPDATE — must keep including them, and OPTIMIZE re-routes + clears."""
+    import shutil as _sh
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="mpp_dirty_")
+    mpp = MppSession(spark, wh)
+    try:
+        mpp.sql("CREATE TABLE dd(c0 INT, c1 TEXT) PARTITION BY (c0) WITH BUCKETS 8")
+        vals = ", ".join(
+            f"({'NULL' if v is None else v}, {'NULL' if s is None else repr(s)})"
+            for v, s in VALUES
+        )
+        mpp.sql(f"INSERT INTO dd VALUES {vals}")
+        # pruning fully active pre-update
+        assert "Shards: 1/8" in mpp.sql("EXPLAIN SELECT * FROM dd WHERE c0 = 0")
+
+        # (NULL, 'pear') becomes (0, 'pear') but STAYS in NULL's bucket
+        mpp.sql("UPDATE dd SET c0 = 0 WHERE c0 IS NULL")
+
+        # pruned front-door read must still see the re-valued row
+        got = sorted(
+            (r["c1"] or "") for r in mpp.sql("SELECT c1 FROM dd WHERE c0 = 0").collect()
+        )
+        assert got == ["", "pear"]
+        # a second pruned UPDATE must reach it too (the falsifying sequence)
+        assert mpp.sql("UPDATE dd SET c1 = upper(c1) WHERE c0 = 0") == 2
+        got = sorted(
+            (r["c1"] or "") for r in mpp.sql("SELECT c1 FROM dd WHERE c0 = 0").collect()
+        )
+        assert got == ["", "PEAR"]
+        # explain header reflects the widened (honest) shard set
+        shards_line = [
+            ln for ln in mpp.sql("EXPLAIN SELECT * FROM dd WHERE c0 = 0").splitlines()
+            if ln.startswith("Shards:")
+        ][0]
+        k = int(shards_line.split()[1].split("/")[0])
+        assert k > 1  # dirty buckets force extra shards into the pruned read
+
+        # OPTIMIZE re-routes rows home and restores full pruning
+        mpp.sql("OPTIMIZE dd")
+        assert "Shards: 1/8" in mpp.sql("EXPLAIN SELECT * FROM dd WHERE c0 = 0")
+        got = sorted(
+            (r["c1"] or "") for r in mpp.sql("SELECT c1 FROM dd WHERE c0 = 0").collect()
+        )
+        assert got == ["", "PEAR"]
+        # nothing lost or duplicated table-wide
+        assert mpp.sql("SELECT count(*) AS n FROM dd").collect()[0]["n"] == len(VALUES)
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+def test_upsert_matches_misplaced_key_after_partition_update(spark):
+    """A key whose partition value changed via UPDATE lives in the 'wrong'
+    bucket; a later upsert of that key must still replace it (via the
+    routing-dirty widening), not duplicate it."""
+    import shutil as _sh
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="mpp_dirty_ups_")
+    mpp = MppSession(spark, wh)
+    try:
+        mpp.sql("CREATE TABLE du(k INT, v TEXT) PARTITION BY (k) WITH BUCKETS 8")
+        mpp.sql("INSERT INTO du VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        mpp.sql("UPDATE du SET k = 40 WHERE k = 2")  # (40,'b') stays in k=2's bucket
+        t = mpp.catalog  # sanity: table is dirty now
+        tbl = mpp.table("du")
+        assert tbl.routing_dirty_ids()
+        batch = spark.createDataFrame([(40, "B2")], "k int, v string")
+        from duckdb_mpp_spark.dml import upsert
+
+        assert upsert(tbl, batch, ["k"]) == 1
+        rows = sorted(
+            tuple(r) for r in mpp.sql("SELECT k, v FROM du").collect()
+        )
+        assert rows == [(1, "a"), (3, "c"), (40, "B2")]
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
