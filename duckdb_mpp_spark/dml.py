@@ -96,25 +96,45 @@ def _observed_matched(obs: Observation, df, pred) -> int:
 
 
 def _check_unique_staged(
-    table: DistributedTable, tmp_path: str, cols: list[str]
+    table: DistributedTable,
+    tmp_path: str,
+    cols: list[str],
+    global_cols: list[str] | None = None,
+    base: int | None = None,
+    rewritten_ids: list[int] | None = None,
 ) -> None:
-    """Bucket-local UNIQUE/PRIMARY KEY enforcement for COW rewrites (review
-    r4 — the reference's per-shard index rejects duplicate-creating DML on
-    every path, not just INSERT). The staged rewrite IS the complete
-    post-commit content of every affected bucket, and unaffected buckets
-    cannot gain duplicates (UPDATE never re-routes, upsert replaces by
-    key), so checking the staged files alone is sound. Cost: one re-read of
-    the affected buckets' new files, paid only when a unique column could
-    have changed. Raises (and the caller discards the staging dir) before
-    any snapshot publish, leaving the table untouched."""
+    """UNIQUE/PRIMARY KEY enforcement for COW rewrites (review r4 — the
+    reference's per-shard index rejects duplicate-creating DML on every
+    path, not just INSERT). Bucket-local columns: the staged rewrite IS the
+    complete post-commit content of every affected bucket, and unaffected
+    buckets cannot gain bucket-local duplicates (the rewrite never
+    re-routes, upsert replaces by key), so the staged files alone suffice.
+    ``global_cols`` (⊆ cols): value-GLOBAL constraints — the partition
+    column, whose re-assignment can collide with a row in a bucket the
+    rewrite never touched (review r6) — additionally compare staged values
+    against the rest of snapshot ``base`` outside ``rewritten_ids``. Cost:
+    one re-read of the staged files, plus one single-column pass over the
+    untouched buckets only when a global column changed. Raises (and the
+    caller discards the staging dir) before any snapshot publish, leaving
+    the table untouched."""
     if not cols:
         return
     staged = table.spark.read.option("basePath", tmp_path).parquet(tmp_path)
+    global_set = set(global_cols or [])
     for col in cols:
+        side = staged.select(BUCKET_COL, col).where(F.col(col).isNotNull())
+        group = [BUCKET_COL, col]
+        if col in global_set:
+            group = [col]
+            rest = (
+                table.scan(where=None, keep_bucket=True, version=base or None)
+                .where(~F.col(BUCKET_COL).isin(rewritten_ids or []))
+                .select(BUCKET_COL, col)
+                .where(F.col(col).isNotNull())
+            )
+            side = side.unionByName(rest)
         dup = (
-            staged.select(BUCKET_COL, col)
-            .where(F.col(col).isNotNull())
-            .groupBy(BUCKET_COL, col)
+            side.groupBy(*group)
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > 1)
             .limit(1)
@@ -143,11 +163,14 @@ def update(
 ) -> int:
     """``UPDATE t SET col=expr,... [WHERE pred]`` → matched-row count."""
     meta = table.meta
-    ids = table.pruned_bucket_ids(where)
-    base, snap_files = table.snapshot()
+    base, snap_files, dirty0 = table.snapshot_full()
+    ids = table.pruned_bucket_ids(where, dirty=dirty0)
     if not snap_files or not ids:
         return 0
-    df = table.scan(where=None, keep_bucket=True)
+    # scan pinned to the SAME version the commit below is based on — a
+    # concurrent commit aborts ours (CommitConflict) instead of leaking
+    # its rows into our rewrite (review r6)
+    df = table.scan(where=None, keep_bucket=True, version=base or None)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
 
@@ -195,8 +218,19 @@ def update(
         return 0
     changed_unique = [c for c in meta.unique_columns if c in assignments]
     if changed_unique:
+        # the partition-column constraint is value-GLOBAL (table.py
+        # _enforce_unique): an assignment like SET k = 1 lands the new
+        # value in a bucket the staged rewrite never touched, so the
+        # staged-only bucket-local check cannot see the collision —
+        # compare staged values against the rest of the table too
+        global_cols = [
+            c for c in changed_unique if c == meta.partition_column
+        ]
         try:
-            _check_unique_staged(table, tmp, changed_unique)
+            _check_unique_staged(
+                table, tmp, changed_unique,
+                global_cols=global_cols, base=base, rewritten_ids=ids,
+            )
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
@@ -205,10 +239,13 @@ def update(
     # bucket == pmod(hash(col), n) invariant pruning relies on. Flag every
     # rewritten bucket routing-dirty so pruned reads keep including them
     # (wrong-results class caught by tests/test_pruning_property.py r6);
-    # OPTIMIZE/compact re-routes and clears.
+    # OPTIMIZE/compact re-routes and clears. A STRUCT-typed partition
+    # column ('s.a') is re-valued by assigning its top-level field ('s'),
+    # so match on the top-level name too (review r6).
     dirty = None
-    if meta.partition_column in assignments:
-        dirty = sorted(set(table.routing_dirty_ids()) | set(ids))
+    part_top = meta.partition_column.split(".", 1)[0]
+    if meta.partition_column in assignments or part_top in assignments:
+        dirty = sorted(set(dirty0) | set(ids))
     _commit_rewrite(table, tmp, ids, base, snap_files, dirty_buckets=dirty)
     return matched
 
@@ -244,7 +281,7 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         if c not in [f.name for f in meta.schema.fields]:
             raise ValueError(f"unknown key column {c!r}")
 
-    base, snap_files = table.snapshot()
+    base, snap_files, dirty0 = table.snapshot_full()
     # localCheckpoint: the input batch is evaluated exactly ONCE — the
     # bucket-discovery count and the staged union both read the
     # materialized blocks, so a computed input pipeline (or a re-readable
@@ -262,13 +299,30 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     applied = sum(r[1] for r in per_bucket)
     if not per_bucket:
         return 0
+    batch_ids = {r[0] for r in per_bucket}
     # Routing-dirty buckets (partition-column UPDATE history — see
     # routing_dirty_ids) may hold a matching key that no longer hashes to
     # its bucket; bucket-local matching must look there too or the merge
-    # would duplicate the key. Clean tables: dirty is empty, no widening.
-    ids = sorted({r[0] for r in per_bucket} | set(table.routing_dirty_ids()))
+    # would duplicate the key. But REWRITING every dirty bucket on every
+    # merge forever would be unbounded write amplification for a one-time
+    # UPDATE (review r6) — probe which dirty buckets actually contain a
+    # matching key (one cheap semi-join, dirty buckets only) and widen the
+    # rewrite set to just those. Clean tables: no probe, no widening.
+    dirty_extra = sorted(set(dirty0) - batch_ids)
+    if dirty_extra:
+        hit = (
+            table.scan(where=None, keep_bucket=True, version=base or None)
+            .where(F.col(BUCKET_COL).isin(dirty_extra))
+            .join(new_rows.select(*key_cols).distinct(), key_cols, "left_semi")
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        )
+        batch_ids |= {r[0] for r in hit}
+    ids = sorted(batch_ids)
 
-    existing = table.scan(where=None, keep_bucket=True)
+    # pinned to the commit's base version — see update()
+    existing = table.scan(where=None, keep_bucket=True, version=base or None)
     if len(ids) < meta.buckets:
         existing = existing.where(F.col(BUCKET_COL).isin(ids))
     # anti-join on the input's key set; AQE broadcasts it when the batch is
@@ -313,8 +367,8 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
 def delete(table: DistributedTable, where: str | None = None) -> int:
     """``DELETE FROM t [WHERE pred]`` → deleted-row count."""
     meta = table.meta
-    ids = table.pruned_bucket_ids(where)
-    base, snap_files = table.snapshot()
+    base, snap_files, dirty0 = table.snapshot_full()
+    ids = table.pruned_bucket_ids(where, dirty=dirty0)
     if not snap_files or not ids:
         return 0
 
@@ -327,7 +381,7 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
         _manifest_mod.commit(table.path, {}, base)
         return total
 
-    df = table.scan(where=None, keep_bucket=True)
+    df = table.scan(where=None, keep_bucket=True, version=base or None)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
     pred = F.coalesce(F.expr(where), F.lit(False))

@@ -389,7 +389,23 @@ def commit(
 def load(
     table_path: str, bucket_col: str, sort_col: str | None
 ) -> tuple[int, dict[str, dict]]:
-    """Current snapshot ``(version, {relpath: {rows, min, max}})``.
+    """Current snapshot ``(version, {relpath: {rows, min, max}})`` —
+    see ``load_full`` (this drops the dirty set for callers that only
+    plan from the file list)."""
+    v, files, _dirty = load_full(table_path, bucket_col, sort_col)
+    return v, files
+
+
+def load_full(
+    table_path: str, bucket_col: str, sort_col: str | None
+) -> tuple[int, dict[str, dict], list[int]]:
+    """Current snapshot ``(version, {relpath: {rows, min, max}}, dirty)``.
+
+    ``dirty`` is the routing-dirty bucket list of the SAME version doc the
+    file list was resolved from — callers must never pair a file list with
+    a separately-resolved dirty set (a concurrent commit between the two
+    reads could clear the flag for files that still hold misplaced rows,
+    review r6).
 
     The head is the latest READABLE version (a torn head file — only
     possible if written by something other than ``commit`` — falls back to
@@ -404,7 +420,7 @@ def load(
     crashed insert are never absorbed (ADVICE r3).
     """
     if not os.path.isdir(table_path):
-        return 0, {}
+        return 0, {}, []
     versions = _list_versions(table_path)
     for v in reversed(versions):
         doc = _read_version_doc(table_path, v)
@@ -412,29 +428,38 @@ def load(
             continue
         files = _resolve_doc(table_path, doc)
         if files is not None:
-            return v, files
+            return v, files, sorted(int(b) for b in doc.get("dirty", []))
     if os.path.isdir(_commits_path(table_path)) and not versions:
-        return 0, {}  # snapshot-native table, nothing committed yet
+        return 0, {}, []  # snapshot-native table, nothing committed yet
     files = {
         rel: file_entry(os.path.join(table_path, rel), sort_col)
         for rel in _list_data_files(table_path, bucket_col)
     }
     if not files:
-        return 0, {}
+        return 0, {}, []
     # All-corrupt/unresolvable log (or none): base on the readable head —
     # 0 here, since any resolvable version would have returned above.
     # ``commit`` still publishes ABOVE the torn filenames via
     # max(listed + [base]) + 1, so the bootstrap cannot collide with them
-    # and cannot raise a spurious CommitConflict (review r4).
+    # and cannot raise a spurious CommitConflict (review r4). Bootstrap
+    # files were routed by hash at write time — never dirty.
     try:
-        return commit(table_path, files, current_version(table_path)), files
+        return commit(table_path, files, current_version(table_path)), files, []
     except OSError:
-        return 0, files  # read-only storage: serve the listing, uncommitted
+        return 0, files, []  # read-only storage: serve the listing, uncommitted
 
 
 def load_version(table_path: str, version: int) -> dict[str, dict]:
     """Snapshot at an explicit version — time travel. Raises if that commit
     has been vacuumed away (or never existed)."""
+    return load_version_full(table_path, version)[0]
+
+
+def load_version_full(
+    table_path: str, version: int
+) -> tuple[dict[str, dict], list[int]]:
+    """Time-travel snapshot ``(files, dirty)`` — both from the one version
+    doc, so the dirty set always describes exactly these files."""
     doc = _read_version_doc(table_path, version)
     files = _resolve_doc(table_path, doc) if doc is not None else None
     if files is None:
@@ -442,7 +467,7 @@ def load_version(table_path: str, version: int) -> dict[str, dict]:
             f"no snapshot v{version} for {table_path} "
             f"(existing: {_list_versions(table_path) or 'none'})"
         )
-    return files
+    return files, sorted(int(b) for b in doc.get("dirty", []))
 
 
 def vacuum(

@@ -1172,11 +1172,13 @@ class MppSession:
                     where, tbl.meta.partition_column, tbl._part_type_ddl,
                     tbl.meta.buckets, aliases, qualifiers=quals,
                 )
-                # routing-dirty buckets always survive pruning
-                # (partition-column UPDATE history — table.routing_dirty_ids)
-                pred = tbl.widen_pred_for_dirty(pred)
+                # routing-dirty buckets always survive pruning; dirty set
+                # and file list resolved from ONE snapshot doc (review r6)
+                from duckdb_mpp_spark.table import widen_bucket_pred
+
+                _v, snap_files, dirty = tbl.snapshot_full()
+                pred = widen_bucket_pred(pred, dirty)
                 df = None
-                snap_files = tbl.snapshot_files()
                 if snap_files:
                     df = tbl._zonemap_read(
                         where, aliases, quals, snap_files, bucket_pred=pred
@@ -1184,7 +1186,7 @@ class MppSession:
                     if tbl.last_file_skip is not None:
                         self.last_file_skip[name] = tbl.last_file_skip
                     if df is None:
-                        df = tbl.scan(where=None, keep_bucket=True)
+                        df = tbl._read_files(snap_files)
                 else:
                     df = tbl._empty_df(True)
                 if pred and snap_files:  # snap_files already loaded above

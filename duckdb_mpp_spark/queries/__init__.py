@@ -62,6 +62,16 @@ def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     (or one writer) anyway. Use ONLY for result-shaped frames (summaries,
     pair lists post-threshold, paginated slices) — corpus-sized outputs
     keep ``orderBy``.
+
+    CAVEAT (review r6): ``coalesce(1)`` propagates back to the nearest
+    shuffle boundary, so the whole final stage — including the post-shuffle
+    merge of the aggregation that PRODUCED the small frame — runs as one
+    task. That final merge is itself result-sized here (its input is the
+    partial-aggregated stream), so the collapse is the documented trade,
+    not an accident — but it is why this helper must never wrap a frame
+    whose last stage does corpus-sized work (e.g. a high-cardinality
+    aggregate or a wide join): that would serialize the heavy stage, a far
+    worse outcome than orderBy's sampling pass.
     """
     return df.coalesce(1).sortWithinPartitions(*cols)
 

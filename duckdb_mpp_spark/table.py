@@ -50,6 +50,19 @@ from duckdb_mpp_spark.pruning import (
 
 BUCKET_COL = "__bucket"
 
+
+def widen_bucket_pred(
+    bucket_pred: str | None, dirty: list[int]
+) -> str | None:
+    """OR routing-dirty bucket ids into a derived ``__bucket`` predicate
+    so misplaced rows (partition-column UPDATE history) always survive
+    pruning. ``dirty`` must come from the SAME snapshot doc as the file
+    list being planned (``snapshot_full``). No-op on clean tables."""
+    if bucket_pred is None or not dirty:
+        return bucket_pred
+    ids = ", ".join(str(b) for b in dirty)
+    return f"(({bucket_pred}) OR {BUCKET_COL} IN ({ids}))"
+
 # commits touching more files than this run the footer-stats pass as a
 # Spark job instead of a driver threadpool (see _ingest_staged)
 _STATS_JOB_THRESHOLD = 64
@@ -179,6 +192,22 @@ class DistributedTable:
         — the single source of truth for which data files are live and for
         their plan-time footer stats (manifest.py)."""
         return _manifest_mod.load(self.path, BUCKET_COL, self.meta.sort_column)
+
+    def snapshot_full(
+        self, version: int | None = None
+    ) -> tuple[int, dict[str, dict], list[int]]:
+        """``(version, files, routing_dirty_bucket_ids)`` — all three from
+        ONE version doc. Every read or DML that both plans from a file list
+        and consults the dirty set must use this (not ``snapshot_files`` +
+        ``routing_dirty_ids`` separately): a concurrent OPTIMIZE committing
+        between two reads would pair old files with a cleared dirty set and
+        silently un-widen pruning over still-misplaced rows (review r6)."""
+        if version is not None:
+            files, dirty = _manifest_mod.load_version_full(self.path, version)
+            return version, files, dirty
+        return _manifest_mod.load_full(
+            self.path, BUCKET_COL, self.meta.sort_column
+        )
 
     def snapshot_files(self, version: int | None = None) -> dict[str, dict]:
         """Current snapshot's files, or — time travel — the files of an
@@ -389,10 +418,14 @@ class DistributedTable:
         the reference's semantics exactly: constraints ride into shard DDL
         and DuckDB's per-shard index enforces them within each shard only
         (create_distributed_table.cpp:107), so a duplicate landing in a
-        DIFFERENT bucket is accepted there and here (global uniqueness
-        holds precisely when the unique column IS the partition column).
-        Multiple NULLs are allowed (SQL UNIQUE). Cost: one keyed shuffle
-        per declared unique column over the batch plus the AFFECTED buckets
+        DIFFERENT bucket is accepted there and here. The one constraint
+        users read as GLOBAL — the unique column IS the partition column,
+        where routing makes same-value-same-bucket — is enforced by VALUE
+        (bucket-ignorant), so it stays global even when a partition-column
+        UPDATE has left misplaced rows in routing-dirty buckets (which the
+        existing-side filter therefore includes; review r6). Multiple NULLs
+        are allowed (SQL UNIQUE). Cost: one keyed shuffle per declared
+        unique column over the batch plus the AFFECTED (+dirty) buckets
         only — opt-in, and the batch is already checkpointed so nothing is
         re-evaluated. A failing check raises before any file is staged, so
         the table is untouched."""
@@ -401,19 +434,34 @@ class DistributedTable:
             for r in routed.select(BUCKET_COL).distinct().collect()
             if r[0] is not None
         )
+        dirty = self.routing_dirty_ids()
+        scan_ids = sorted(set(ids) | set(dirty))
         existing = self.scan(keep_bucket=True)
-        if len(ids) < self.meta.buckets:
-            existing = existing.where(F.col(BUCKET_COL).isin(ids))
+        if len(scan_ids) < self.meta.buckets:
+            existing = existing.where(F.col(BUCKET_COL).isin(scan_ids))
         for col in self.meta.unique_columns:
+            # partition-column constraint: value-global (same value can sit
+            # in different buckets only via routing-dirty misplacement, and
+            # that's exactly the duplicate this must catch)
+            group = [col] if col == self.meta.partition_column else [BUCKET_COL, col]
             keys = (
                 existing.select(BUCKET_COL, col)
-                .unionByName(routed.select(BUCKET_COL, col))
+                .withColumn("__new", F.lit(0))
+                .unionByName(
+                    routed.select(BUCKET_COL, col).withColumn("__new", F.lit(1))
+                )
                 .where(F.col(col).isNotNull())
             )
+            # require a batch row in the duplicate group: THIS insert is
+            # only rejected for duplicates it would create, never for an
+            # inconsistency already on disk
             dup = (
-                keys.groupBy(BUCKET_COL, col)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") > 1)
+                keys.groupBy(*group)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("__new").alias("has_new"),
+                )
+                .where((F.col("n") > 1) & (F.col("has_new") == 1))
                 .limit(1)
                 .collect()
             )
@@ -507,10 +555,15 @@ class DistributedTable:
         ]
         merged = self.spark.read.option("basePath", self.path).parquet(*paths)
         for col in self.meta.unique_columns:
+            # partition-column constraint is value-global (_enforce_unique);
+            # within the rebase window the check covers the affected
+            # buckets — the pre-write pass already compared the batch
+            # against the head's dirty buckets
+            group = [col] if col == self.meta.partition_column else [BUCKET_COL, col]
             dup = (
                 merged.select(BUCKET_COL, col)
                 .where(F.col(col).isNotNull())
-                .groupBy(BUCKET_COL, col)
+                .groupBy(*group)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") > 1)
                 .limit(1)
@@ -538,7 +591,7 @@ class DistributedTable:
         Catalyst; the derived ``__bucket`` predicate only narrows which
         partition directories the file index keeps (pruning is an
         optimization, never a filter)."""
-        snap_files = self.snapshot_files(version)
+        _v, snap_files, dirty = self.snapshot_full(version)
         if not snap_files:
             df = self._empty_df(with_bucket=keep_bucket)
             if where:
@@ -554,8 +607,9 @@ class DistributedTable:
             where, self.meta.partition_column, self._part_type_ddl,
             self.meta.buckets, aliases, qualifiers or {self.meta.name},
         )
-        # routing-dirty buckets always survive pruning (see routing_dirty_ids)
-        bucket_pred = self.widen_pred_for_dirty(bucket_pred, version)
+        # routing-dirty buckets always survive pruning — dirty set from
+        # the SAME version doc as snap_files (see snapshot_full)
+        bucket_pred = widen_bucket_pred(bucket_pred, dirty)
         df = self._zonemap_read(
             where, aliases, qualifiers, snap_files, bucket_pred=bucket_pred
         )
@@ -704,34 +758,41 @@ class DistributedTable:
         Every pruned read must include these buckets or it silently loses
         the re-valued rows; ``compact()``/OPTIMIZE re-routes and clears.
         Tracked per-snapshot in the manifest so time travel sees the dirty
-        set that matches the files it reads."""
+        set that matches the files it reads.
+
+        Diagnostic accessor: code that also resolves a file list must take
+        BOTH from one ``snapshot_full`` call instead (review r6)."""
         return _manifest_mod.dirty_buckets(self.path, version)
 
     def widen_pred_for_dirty(
         self, bucket_pred: str | None, version: int | None = None
     ) -> str | None:
-        """OR the routing-dirty buckets into a derived ``__bucket``
-        predicate. No-op (None cost) on clean tables — the overwhelmingly
-        common case."""
+        """OR the HEAD snapshot's routing-dirty buckets into a derived
+        ``__bucket`` predicate — for callers that don't hold a resolved
+        snapshot (EXPLAIN); plan-from-file-list paths use
+        ``widen_bucket_pred`` with ``snapshot_full``'s dirty set."""
         if bucket_pred is None:
             return None
-        dirty = self.routing_dirty_ids(version)
-        if not dirty:
-            return bucket_pred
-        ids = ", ".join(str(b) for b in dirty)
-        return f"(({bucket_pred}) OR {BUCKET_COL} IN ({ids}))"
+        return widen_bucket_pred(bucket_pred, self.routing_dirty_ids(version))
 
     def pruned_bucket_ids(
         self,
         where: str | None,
         aliases: set[str] | None = None,
         qualifiers: set[str] | None = None,
+        dirty: "list[int] | None" = None,
     ) -> list[int]:
+        """Surviving bucket ids for ``where``. ``dirty``: the routing-dirty
+        set of the snapshot the caller plans against (from
+        ``snapshot_full``); None reads the head — only for callers that
+        don't pair the result with a file list."""
         bucket_pred = bucket_predicate_for_where(
             where, self.meta.partition_column, self._part_type_ddl,
             self.meta.buckets, aliases, qualifiers or {self.meta.name},
         )
-        bucket_pred = self.widen_pred_for_dirty(bucket_pred)
+        if dirty is None:
+            dirty = self.routing_dirty_ids()
+        bucket_pred = widen_bucket_pred(bucket_pred, dirty)
         return evaluate_bucket_ids(self.spark, bucket_pred, self.meta.buckets)
 
     def explain(self, where: str | None = None, aliases: set[str] | None = None) -> str:
@@ -789,7 +850,7 @@ class DistributedTable:
         import shutil as _shutil
         import uuid as _uuid
 
-        base, snap_files = self.snapshot()
+        base, snap_files, dirty = self.snapshot_full()
         if not snap_files:
             return 0
         df = self._read_files(snap_files)
@@ -798,8 +859,8 @@ class DistributedTable:
         # routing_dirty_ids): recompute __bucket from the live column
         # values, so rows migrate home and full pruning power returns. The
         # commit below clears the dirty flag; clean tables skip this
-        # entirely (no recompute, no flag churn).
-        dirty = self.routing_dirty_ids()
+        # entirely (no recompute, no flag churn). Dirty set and file list
+        # from ONE snapshot doc; a racing commit aborts ours (base pin).
         if dirty:
             df = self.route(df)
         tmp = self.path + f".compact-{_uuid.uuid4().hex[:8]}"

@@ -710,3 +710,45 @@ def test_qualified_select_item_does_not_disable_pruning(setop_t):
     q = "SELECT k, st.v FROM st WHERE k = 2"
     assert rows(setop_t.sql(q)) == [(2, 20)]
     assert "Shards: 1/8" in setop_t.explain(q)
+
+
+def test_partition_col_update_cannot_shadow_global_unique(spark, mpp):
+    """review r6: the partition-column UNIQUE constraint is value-GLOBAL.
+    UPDATE SET k = <existing value> lands the new value in a bucket the
+    staged rewrite never touches (rows stay shard-local), so the old
+    staged-only bucket-local check silently accepted a global duplicate."""
+    mpp.sql(
+        "CREATE TABLE gu(k INT UNIQUE, v TEXT) PARTITION BY (k) WITH BUCKETS 8"
+    )
+    assert mpp.sql("INSERT INTO gu VALUES (1, 'a'), (2, 'b')") == 2
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("UPDATE gu SET k = 1 WHERE k = 2")
+    # rejected update leaves the table untouched
+    rows = sorted(tuple(r) for r in mpp.sql("SELECT k, v FROM gu").collect())
+    assert rows == [(1, "a"), (2, "b")]
+    # a non-colliding partition-column update still works
+    assert mpp.sql("UPDATE gu SET k = 40 WHERE k = 2") == 1
+    rows = sorted(tuple(r) for r in mpp.sql("SELECT k, v FROM gu").collect())
+    assert rows == [(1, "a"), (40, "b")]
+
+
+def test_insert_sees_misplaced_unique_value_in_dirty_bucket(spark, mpp):
+    """review r6: after a partition-column UPDATE leaves (40,'b') in k=2's
+    bucket, INSERT k=40 routes to a DIFFERENT bucket — the value-global
+    check must still reject the duplicate (the old bucket-local check
+    grouped by (bucket, value) and never saw it)."""
+    mpp.sql(
+        "CREATE TABLE gi(k INT UNIQUE, v TEXT) PARTITION BY (k) WITH BUCKETS 8"
+    )
+    assert mpp.sql("INSERT INTO gi VALUES (1, 'a'), (2, 'b')") == 2
+    assert mpp.sql("UPDATE gi SET k = 40 WHERE k = 2") == 1
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("INSERT INTO gi VALUES (40, 'dup')")
+    # non-colliding values insert fine while the table is routing-dirty
+    assert mpp.sql("INSERT INTO gi VALUES (7, 'c')") == 1
+    rows = sorted(tuple(r) for r in mpp.sql("SELECT k, v FROM gi").collect())
+    assert rows == [(1, "a"), (7, "c"), (40, "b")]
+    # OPTIMIZE re-routes; constraint still holds after repair
+    mpp.sql("OPTIMIZE gi")
+    with pytest.raises(ValueError, match="unique constraint"):
+        mpp.sql("INSERT INTO gi VALUES (40, 'dup2')")

@@ -335,3 +335,77 @@ def test_upsert_matches_misplaced_key_after_partition_update(spark):
         assert rows == [(1, "a"), (3, "c"), (40, "B2")]
     finally:
         _sh.rmtree(wh, ignore_errors=True)
+
+
+def test_struct_partition_update_flags_dirty(spark):
+    """review r6: a STRUCT-typed partition column ('s.a') is re-valued by
+    assigning its TOP-LEVEL field ('s') — the dirty flag must key on the
+    top-level name too, or pruned reads lose the re-valued rows."""
+    import shutil as _sh
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="mpp_dirty_struct_")
+    mpp = MppSession(spark, wh)
+    try:
+        mpp.sql(
+            "CREATE TABLE sd(id INT, s STRUCT(a INT, b TEXT)) "
+            "PARTITION BY (s.a) WITH BUCKETS 6"
+        )
+        mpp.sql(
+            "INSERT INTO sd VALUES (1, named_struct('a', 1, 'b', 'x')), "
+            "(2, named_struct('a', 2, 'b', 'y')), (3, named_struct('a', 5, 'b', 'z'))"
+        )
+        # re-value the partition field via the top-level struct assignment
+        mpp.sql("UPDATE sd SET s = named_struct('a', 1, 'b', 'moved') WHERE id = 2")
+        assert mpp.table("sd").routing_dirty_ids()
+        got = sorted(
+            r["id"] for r in mpp.sql("SELECT id FROM sd WHERE s.a = 1").collect()
+        )
+        assert got == [1, 2]
+        mpp.sql("OPTIMIZE sd")
+        assert not mpp.table("sd").routing_dirty_ids()
+        got = sorted(
+            r["id"] for r in mpp.sql("SELECT id FROM sd WHERE s.a = 1").collect()
+        )
+        assert got == [1, 2]
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+def test_upsert_rewrites_only_matched_dirty_buckets(spark):
+    """review r6: an upsert on a routing-dirty table must rewrite the
+    batch's buckets plus only the dirty buckets that actually hold a
+    matching key — NOT every dirty bucket forever (write amplification)."""
+    import shutil as _sh
+    import tempfile
+
+    from duckdb_mpp_spark.dml import upsert
+
+    wh = tempfile.mkdtemp(prefix="mpp_dirty_amp_")
+    mpp = MppSession(spark, wh)
+    try:
+        mpp.sql("CREATE TABLE da(k INT, v TEXT) PARTITION BY (k) WITH BUCKETS 8")
+        mpp.sql("INSERT INTO da VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        mpp.sql("UPDATE da SET k = 40 WHERE k = 2")  # dirty: k=2's bucket
+        tbl = mpp.table("da")
+        dirty = set(tbl.routing_dirty_ids())
+        assert dirty
+        before = {
+            rel for rel in tbl.snapshot_files()
+            if int(rel.split("=", 1)[1].split("/", 1)[0]) in dirty
+        }
+        # unrelated-key upsert: dirty bucket's files must survive untouched
+        batch = spark.createDataFrame([(7, "new")], "k int, v string")
+        assert upsert(tbl, batch, ["k"]) == 1
+        after = {
+            rel for rel in tbl.snapshot_files()
+            if int(rel.split("=", 1)[1].split("/", 1)[0]) in dirty
+        }
+        assert after == before
+        # matching-key upsert: the misplaced key IS replaced (no duplicate)
+        batch = spark.createDataFrame([(40, "B2")], "k int, v string")
+        assert upsert(tbl, batch, ["k"]) == 1
+        rows = sorted(tuple(r) for r in mpp.sql("SELECT k, v FROM da").collect())
+        assert rows == [(1, "a"), (3, "c"), (7, "new"), (40, "B2")]
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
