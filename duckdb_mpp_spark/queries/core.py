@@ -227,13 +227,23 @@ register(
 register(
     "q13_customer_distribution",
     Query(
+        # Q13 with the order counts pre-aggregated BELOW the join (Catalyst
+        # does not push partial aggregation through joins): the join input
+        # carries one row per customer-with-orders instead of every order
+        # row, so the exchange shrinks by the orders-per-customer factor at
+        # any scale and AQE can broadcast the aggregated side. COUNT(*) in
+        # the pre-agg ≡ COUNT(o_orderkey) in the joined form (o_orderkey is
+        # never NULL in an existing order row); no-order customers surface
+        # via COALESCE after the left join. Identical SQL both engines.
         """
         SELECT c_count, COUNT(*) AS custdist
         FROM (
-          SELECT c_custkey, COUNT(o_orderkey) AS c_count
-          FROM customer LEFT OUTER JOIN orders
-            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
-          GROUP BY c_custkey
+          SELECT COALESCE(oc.n, 0) AS c_count
+          FROM customer LEFT OUTER JOIN (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM orders WHERE o_orderpriority <> '5-LOW'
+            GROUP BY o_custkey
+          ) AS oc ON c_custkey = oc.o_custkey
         ) AS c_orders
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC

@@ -254,27 +254,29 @@ register(
 
 
 # Cohort retention: users grouped by first-activity week, counted in each
-# subsequent week they return. Two grouped passes over events (first-touch
-# per user, then distinct user-weeks) joined on user_id — at scale both
-# shuffles key on user_id, so AQE reuses the exchange; the result is tiny
-# (#cohorts × #weeks). Day difference is engine-split only in name:
+# subsequent week they return. ONE pass over events: the per-user distinct
+# week set is a collect_set aggregate (bounded by the calendar — weeks per
+# user ≤ #weeks in the data, never data-sized, so no hub risk), the cohort
+# week is its array_min (date_trunc is monotone: min(week of ts) ≡ week of
+# min ts), and exploding the set re-derives the user-week activity rows
+# without the old second scan + DISTINCT shuffle + user_id join (r6 — the
+# two shuffles keyed differently, (user) vs (user, week), so no exchange
+# reuse was possible; this shape is 1 scan + 2 exchanges). The result is
+# tiny (#cohorts × #weeks). Day difference is engine-split only in name:
 # Spark datediff(end, start) ≡ DuckDB date_diff('day', start, end).
 register(
     "events_cohort_retention",
     Query(
         spark="""
-            WITH firsts AS (
-              SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            WITH per_user AS (
+              SELECT user_id,
+                     collect_set(CAST(date_trunc('week', ts) AS DATE)) AS weeks
               FROM events GROUP BY user_id
-            ),
-            activity AS (
-              SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
-              FROM events
             )
-            SELECT f.cohort_week,
-                   CAST(floor(datediff(a.act_week, f.cohort_week) / 7) AS INT) AS weeks_since,
+            SELECT array_min(weeks) AS cohort_week,
+                   CAST(floor(datediff(act_week, array_min(weeks)) / 7) AS INT) AS weeks_since,
                    COUNT(*) AS n_users
-            FROM firsts f JOIN activity a USING (user_id)
+            FROM per_user LATERAL VIEW explode(weeks) AS act_week
             GROUP BY 1, 2
             ORDER BY 1, 2
         """,

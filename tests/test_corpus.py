@@ -119,3 +119,24 @@ def test_chunk_documents_geometry(spark):
     assert rows[(3, 0)].n_tokens == 0 and rows[(3, 0)].first_token is None
     hashes = {r.chunk_hash for r in rows.values() if r.n_tokens > 0}
     assert len(hashes) == 4  # all non-empty pieces distinct
+
+
+def test_global_shuffle_two_phase_matches_single_window(spark):
+    """r6: global training-order positions must be identical whichever
+    plan produced them — the small-input single-task window or the
+    at-scale two-phase prefix rank (the md5 hex prefix partitions are
+    contiguous ranges of the total (key, id) order, so per-group rank +
+    group offset IS the global rank)."""
+    from duckdb_mpp_spark.operators.corpus import global_shuffle_positions
+
+    docs = spark.range(0, 997).select(F.col("id").alias("doc_id"))
+    single = {
+        r["doc_id"]: r["pos"]
+        for r in global_shuffle_positions(docs, two_phase=False).collect()
+    }
+    two = {
+        r["doc_id"]: r["pos"]
+        for r in global_shuffle_positions(docs, two_phase=True).collect()
+    }
+    assert two == single
+    assert sorted(single.values()) == list(range(997))
