@@ -147,6 +147,34 @@ def _check_unique_staged(
             )
 
 
+def _dml_bucket_ids(
+    table: DistributedTable,
+    where: str | None,
+    dirty: list[int],
+    base: int,
+) -> list[int]:
+    """Buckets a COW rewrite must touch: the pruning survivors for
+    ``where``, plus only those routing-dirty buckets that actually HOLD a
+    matching row. Blindly widening to every dirty bucket made each
+    subsequent UPDATE/DELETE rewrite their full contents forever until
+    OPTIMIZE (review r6 — the same write-amplification hole upsert's probe
+    closed); the probe is one cheap job over the dirty buckets only, and
+    clean tables never run it."""
+    ids = table.pruned_bucket_ids(where, dirty=[])
+    extra = sorted(set(dirty) - set(ids))
+    if not extra or where is None:
+        return ids
+    hits = (
+        table.scan(where=None, keep_bucket=True, version=base or None)
+        .where(F.col(BUCKET_COL).isin(extra))
+        .where(F.coalesce(F.expr(where), F.lit(False)))
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    )
+    return sorted(set(ids) | {r[0] for r in hits})
+
+
 def _rewrite_sort_cols(table: DistributedTable) -> list[str]:
     """COW rewrites preserve SORT BY clustering (zone maps stay tight after
     UPDATE/DELETE); unsorted tables just cluster by bucket."""
@@ -164,7 +192,7 @@ def update(
     """``UPDATE t SET col=expr,... [WHERE pred]`` → matched-row count."""
     meta = table.meta
     base, snap_files, dirty0 = table.snapshot_full()
-    ids = table.pruned_bucket_ids(where, dirty=dirty0)
+    ids = _dml_bucket_ids(table, where, dirty0, base)
     if not snap_files or not ids:
         return 0
     # scan pinned to the SAME version the commit below is based on — a
@@ -355,8 +383,20 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         .parquet(tmp)
     )
     if meta.unique_columns:
+        # partition-column constraint stays value-GLOBAL here too (review
+        # r6, live repro): with a COMPOSITE upsert key, a misplaced row in
+        # a dirty bucket can share the partition value but differ on the
+        # other key fields — it is then neither replaced (full-key match
+        # fails) nor seen by the staged bucket-local check. The global
+        # check compares staged values against the untouched buckets.
+        global_cols = [
+            c for c in meta.unique_columns if c == meta.partition_column
+        ]
         try:
-            _check_unique_staged(table, tmp, list(meta.unique_columns))
+            _check_unique_staged(
+                table, tmp, list(meta.unique_columns),
+                global_cols=global_cols, base=base, rewritten_ids=ids,
+            )
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
@@ -368,7 +408,7 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
     """``DELETE FROM t [WHERE pred]`` → deleted-row count."""
     meta = table.meta
     base, snap_files, dirty0 = table.snapshot_full()
-    ids = table.pruned_bucket_ids(where, dirty=dirty0)
+    ids = _dml_bucket_ids(table, where, dirty0, base)
     if not snap_files or not ids:
         return 0
 

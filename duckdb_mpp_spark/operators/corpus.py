@@ -597,7 +597,11 @@ def global_shuffle_positions(
 
 def _register_shuffle():
     def shuffle_fn(spark, sf_dir):
-        return global_shuffle_positions(load_table(spark, sf_dir, "documents"))
+        # ordered like the oracle's ORDER BY pos — the two-phase path
+        # returns join order, not pos order (review r6)
+        return global_shuffle_positions(
+            load_table(spark, sf_dir, "documents")
+        ).orderBy("pos")
 
     register(
         "pipeline_global_shuffle",

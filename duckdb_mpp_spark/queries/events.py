@@ -271,7 +271,9 @@ register(
             WITH per_user AS (
               SELECT user_id,
                      collect_set(CAST(date_trunc('week', ts) AS DATE)) AS weeks
-              FROM events GROUP BY user_id
+              -- ts IS NOT NULL in BOTH dialects: collect_set drops NULLs,
+              -- the oracle's DISTINCT would keep a NULL week (review r6)
+              FROM events WHERE ts IS NOT NULL GROUP BY user_id
             )
             SELECT array_min(weeks) AS cohort_week,
                    CAST(floor(datediff(act_week, array_min(weeks)) / 7) AS INT) AS weeks_since,
@@ -283,11 +285,11 @@ register(
         oracle="""
             WITH firsts AS (
               SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
-              FROM events GROUP BY user_id
+              FROM events WHERE ts IS NOT NULL GROUP BY user_id
             ),
             activity AS (
               SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
-              FROM events
+              FROM events WHERE ts IS NOT NULL
             )
             SELECT f.cohort_week,
                    CAST(floor(date_diff('day', f.cohort_week, a.act_week) / 7) AS INT) AS weeks_since,

@@ -302,21 +302,24 @@ class DistributedTable:
         into a liveness hang; ~100 retries is far beyond any real writer
         concurrency, so exhausting it means something is genuinely wrong).
 
-        ``revalidate(rebased_files)``: called after every rebase, BEFORE
-        the retry (review r4). Constraint checks made against the original
-        base are stale once the head moves — two concurrent inserts of the
-        same UNIQUE key would otherwise both pass their pre-commit check
-        and both land. A raising revalidation aborts the commit; the
-        already-ingested files stay unreferenced orphans (vacuumable),
-        same as a crashed insert."""
+        ``revalidate(rebased_files, rebased_dirty)``: called after every
+        rebase, BEFORE the retry (review r4). Constraint checks made
+        against the original base are stale once the head moves — two
+        concurrent inserts of the same UNIQUE key would otherwise both
+        pass their pre-commit check and both land. The rebased head's
+        routing-dirty set rides along so the value-global partition-column
+        check can look at misplaced rows a racing partition-column UPDATE
+        just created (review r6). A raising revalidation aborts the
+        commit; the already-ingested files stay unreferenced orphans
+        (vacuumable), same as a crashed insert."""
         for _ in range(100):
             try:
                 _manifest_mod.commit(self.path, {**files, **new_entries}, base)
                 return
             except _manifest_mod.CommitConflict:
-                base, files = self.snapshot()
+                base, files, dirty = self.snapshot_full()
                 if revalidate is not None:
-                    revalidate(files)
+                    revalidate(files, dirty)
         raise RuntimeError(
             f"append to {self.meta.name} lost 100 consecutive commit races; "
             "giving up (check for a stuck or runaway concurrent writer)"
@@ -413,7 +416,12 @@ class DistributedTable:
                 )
         return aligned
 
-    def _enforce_unique(self, routed: DataFrame) -> None:
+    def _enforce_unique(
+        self,
+        routed: DataFrame,
+        base: int | None = None,
+        dirty: list[int] | None = None,
+    ) -> None:
         """BUCKET-LOCAL uniqueness for declared UNIQUE/PRIMARY KEY columns —
         the reference's semantics exactly: constraints ride into shard DDL
         and DuckDB's per-shard index enforces them within each shard only
@@ -434,9 +442,12 @@ class DistributedTable:
             for r in routed.select(BUCKET_COL).distinct().collect()
             if r[0] is not None
         )
-        dirty = self.routing_dirty_ids()
+        if dirty is None:
+            dirty = self.routing_dirty_ids()
         scan_ids = sorted(set(ids) | set(dirty))
-        existing = self.scan(keep_bucket=True)
+        # pinned to the version the caller will commit against: anything
+        # landing after it conflicts the commit and revalidates (review r6)
+        existing = self.scan(keep_bucket=True, version=base or None)
         if len(scan_ids) < self.meta.buckets:
             existing = existing.where(F.col(BUCKET_COL).isin(scan_ids))
         for col in self.meta.unique_columns:
@@ -487,11 +498,18 @@ class DistributedTable:
         # volume estimate BEFORE any checkpoint (an RDD-backed plan reports
         # Long.MaxValue stats — see write_split_factor)
         split = self._insert_split_factor(routed)
+        # snapshot resolved ONCE, before the pre-write uniqueness check:
+        # the check scans THIS version and the commit below pins it as
+        # base, so any commit landing in between (e.g. a partition-column
+        # UPDATE creating new routing-dirty misplacement) forces a
+        # CommitConflict → rebase → revalidation against the NEW head's
+        # dirty set, instead of slipping through unchecked (review r6)
+        base, files, dirty = self.snapshot_full()
         if self.meta.unique_columns:
             # single evaluation: the uniqueness check and the write job
             # both read the materialized batch
             routed = routed.localCheckpoint(eager=True)
-            self._enforce_unique(routed)
+            self._enforce_unique(routed, base=base, dirty=dirty)
         # One shuffle so each bucket directory is written by few tasks (no
         # small-file explosion when every input task holds every bucket).
         # Routing on BUCKET_COL alone caps write parallelism at #affected
@@ -510,7 +528,8 @@ class DistributedTable:
         obs = Observation()
         routed = routed.observe(obs, F.count(F.lit(1)).alias("cnt"))
         tmp = self.path + f".stage-{_uuid.uuid4().hex[:8]}"
-        base, files = self.snapshot()  # before ingest — see _commit_append
+        # (base, files) read above, before the pre-check AND before ingest
+        # — see _commit_append
         try:
             routed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
             new_entries = self._ingest_staged(tmp)
@@ -521,7 +540,7 @@ class DistributedTable:
             # with frequently-empty batches guard with df.isEmpty() at the
             # source (the streaming sinks already do).
             revalidate = (
-                (lambda bf: self._revalidate_unique(new_entries, bf))
+                (lambda bf, bd: self._revalidate_unique(new_entries, bf, bd))
                 if self.meta.unique_columns
                 else None
             )
@@ -541,12 +560,19 @@ class DistributedTable:
         return write_split_factor(routed, self.meta.buckets)
 
     def _revalidate_unique(
-        self, new_entries: dict[str, dict], base_files: dict[str, dict]
+        self,
+        new_entries: dict[str, dict],
+        base_files: dict[str, dict],
+        base_dirty: list[int] | None = None,
     ) -> None:
-        """Re-check bucket-local uniqueness of an ingested (not yet
-        committed) batch against a REBASED snapshot — the commit-race
-        closure of ``_enforce_unique`` (review r4). Reads only the new
-        files plus the rebased snapshot's files in the affected buckets."""
+        """Re-check uniqueness of an ingested (not yet committed) batch
+        against a REBASED snapshot — the commit-race closure of
+        ``_enforce_unique`` (review r4). Bucket-local columns read only the
+        new files plus the rebased snapshot's files in the affected
+        buckets; the value-global partition-column constraint additionally
+        reads the rebased head's routing-dirty buckets (a racing
+        partition-column UPDATE may have just misplaced a colliding value
+        there — review r6)."""
         affected = {rel.split("/", 1)[0] for rel in new_entries}
         paths = [os.path.join(self.path, rel) for rel in new_entries] + [
             os.path.join(self.path, rel)
@@ -554,15 +580,23 @@ class DistributedTable:
             if rel.split("/", 1)[0] in affected
         ]
         merged = self.spark.read.option("basePath", self.path).parquet(*paths)
+        dirty_dirs = {f"{BUCKET_COL}={b}" for b in (base_dirty or [])} - affected
+        dirty_paths = [
+            os.path.join(self.path, rel)
+            for rel in base_files
+            if rel.split("/", 1)[0] in dirty_dirs
+        ]
         for col in self.meta.unique_columns:
-            # partition-column constraint is value-global (_enforce_unique);
-            # within the rebase window the check covers the affected
-            # buckets — the pre-write pass already compared the batch
-            # against the head's dirty buckets
             group = [col] if col == self.meta.partition_column else [BUCKET_COL, col]
+            side = merged.select(BUCKET_COL, col)
+            if group == [col] and dirty_paths:
+                side = side.unionByName(
+                    self.spark.read.option("basePath", self.path)
+                    .parquet(*dirty_paths)
+                    .select(BUCKET_COL, col)
+                )
             dup = (
-                merged.select(BUCKET_COL, col)
-                .where(F.col(col).isNotNull())
+                side.where(F.col(col).isNotNull())
                 .groupBy(*group)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") > 1)

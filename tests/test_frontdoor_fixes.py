@@ -464,7 +464,7 @@ def test_concurrent_insert_unique_race_detected(spark, mpp):
     with pytest.raises(ValueError, match="unique constraint"):
         tbl._commit_append(
             new_entries, base, files,
-            lambda bf: tbl._revalidate_unique(new_entries, bf),
+            lambda bf, bd: tbl._revalidate_unique(new_entries, bf, bd),
         )
     # only writer B's row is visible; A's files stay unreferenced orphans
     assert mpp.sql("SELECT COUNT(*) AS n FROM cr WHERE id = 42").collect()[0][0] == 1
@@ -752,3 +752,73 @@ def test_insert_sees_misplaced_unique_value_in_dirty_bucket(spark, mpp):
     mpp.sql("OPTIMIZE gi")
     with pytest.raises(ValueError, match="unique constraint"):
         mpp.sql("INSERT INTO gi VALUES (40, 'dup2')")
+
+
+def test_composite_key_upsert_cannot_shadow_global_unique(spark, mpp):
+    """review r6 (live repro): with a COMPOSITE upsert key, a misplaced
+    routing-dirty row sharing the partition value but differing on the
+    other key fields is neither replaced (full-key match fails) nor seen
+    by the staged bucket-local check — the value-global partition-column
+    check must reject the merge."""
+    import pytest as _pytest
+
+    from duckdb_mpp_spark.dml import upsert
+
+    mpp.sql(
+        "CREATE TABLE cgu(k INT UNIQUE, v TEXT) PARTITION BY (k) WITH BUCKETS 8"
+    )
+    assert mpp.sql("INSERT INTO cgu VALUES (1, 'a'), (2, 'b')") == 2
+    assert mpp.sql("UPDATE cgu SET k = 40 WHERE k = 2") == 1  # (40,'b') misplaced
+    tbl = mpp.table("cgu")
+    batch = spark.createDataFrame([(40, "x")], "k int, v string")
+    with _pytest.raises(ValueError, match="unique constraint"):
+        upsert(tbl, batch, ["k", "v"])
+    # rejected merge leaves the table untouched
+    rows = sorted(tuple(r) for r in mpp.sql("SELECT k, v FROM cgu").collect())
+    assert rows == [(1, "a"), (40, "b")]
+    # the same batch with the FULL matching key replaces instead
+    batch = spark.createDataFrame([(40, "b")], "k int, v string")
+    assert upsert(tbl, batch, ["k", "v"]) == 1
+    rows = sorted(tuple(r) for r in mpp.sql("SELECT k, v FROM cgu").collect())
+    assert rows == [(1, "a"), (40, "b")]
+
+
+def test_dml_rewrites_skip_unmatched_dirty_buckets(spark):
+    """review r6: UPDATE/DELETE on a routing-dirty table must rewrite only
+    dirty buckets that actually hold a matching row — not every dirty
+    bucket on every DML forever (write amplification)."""
+    import shutil as _sh
+    import tempfile
+
+    from duckdb_mpp_spark.mpp import MppSession
+
+    wh = tempfile.mkdtemp(prefix="mpp_dirty_dml_")
+    mpp2 = MppSession(spark, wh)
+    try:
+        mpp2.sql("CREATE TABLE dm(k INT, v TEXT) PARTITION BY (k) WITH BUCKETS 8")
+        mpp2.sql("INSERT INTO dm VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        mpp2.sql("UPDATE dm SET k = 40 WHERE k = 2")  # dirty: k=2's bucket
+        tbl = mpp2.table("dm")
+        dirty = set(tbl.routing_dirty_ids())
+        assert dirty
+        before = {
+            rel for rel in tbl.snapshot_files()
+            if int(rel.split("=", 1)[1].split("/", 1)[0]) in dirty
+        }
+        # unrelated-key UPDATE: dirty bucket's files survive untouched
+        assert mpp2.sql("UPDATE dm SET v = 'A' WHERE k = 1") == 1
+        after = {
+            rel for rel in tbl.snapshot_files()
+            if int(rel.split("=", 1)[1].split("/", 1)[0]) in dirty
+        }
+        assert after == before
+        # but a pruned UPDATE matching the MISPLACED row still reaches it
+        assert mpp2.sql("UPDATE dm SET v = upper(v) WHERE k = 40") == 1
+        rows = sorted(tuple(r) for r in mpp2.sql("SELECT k, v FROM dm").collect())
+        assert rows == [(1, "A"), (3, "c"), (40, "B")]
+        # and a pruned DELETE of the misplaced row works too
+        assert mpp2.sql("DELETE FROM dm WHERE k = 40") == 1
+        rows = sorted(tuple(r) for r in mpp2.sql("SELECT k, v FROM dm").collect())
+        assert rows == [(1, "A"), (3, "c")]
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
