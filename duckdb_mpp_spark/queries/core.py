@@ -47,7 +47,20 @@ register(
     ),
 )
 
-# TPC-H Q3: 3-way join + agg + deterministic top-k.
+# TPC-H Q3: 3-way join + agg + deterministic top-k. Q3/Q5/Q9 list
+# lineitem FIRST (r6): with CBO off, Spark's ReorderJoin follows FROM
+# order, and a customer-first order shuffles customer JOIN orders on
+# custkey and re-shuffles the result against lineitem on orderkey — two
+# fact-sized exchanges. lineitem-first does the one unavoidable
+# lineitem JOIN orders exchange and lets AQE broadcast the remaining
+# dims (customer/supplier/nation/region at bench scale; at 100 TB the
+# same order degrades gracefully to keyed shuffles, still never paying
+# a second fact-sized exchange before the dims). Interleaved min-of-4
+# at sf0.1: q03 0.59 -> 0.41 s, q05 0.88 -> 0.50 s, q09 0.62 -> 0.57 s;
+# q18 measured WORSE reordered (its IN-subquery semi-join prefers the
+# customer-first shape) and keeps its order. DuckDB reorders joins
+# cost-based, so the shared SQL text is unaffected on the oracle side.
+
 register(
     "q03_shipping_priority",
     Query(
@@ -56,9 +69,9 @@ register(
           l_orderkey,
           SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS revenue,
           o_orderdate
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON c_custkey = o_custkey
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
@@ -96,7 +109,7 @@ register(
         SELECT
           n_name,
           SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256) AS DOUBLE) / 256) AS revenue
-        FROM customer, orders, lineitem, supplier, nation, region
+        FROM lineitem, orders, customer, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey
@@ -168,7 +181,7 @@ register(
           SELECT n_name AS nation,
                  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
                  l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
-          FROM part, supplier, lineitem, orders, nation
+          FROM lineitem, orders, part, supplier, nation
           WHERE s_suppkey = l_suppkey
             AND p_partkey = l_partkey
             AND o_orderkey = l_orderkey
