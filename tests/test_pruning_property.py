@@ -409,3 +409,38 @@ def test_upsert_rewrites_only_matched_dirty_buckets(spark):
         assert rows == [(1, "a"), (3, "c"), (7, "new"), (40, "B2")]
     finally:
         _sh.rmtree(wh, ignore_errors=True)
+
+
+def test_time_travel_keeps_versioned_dirty_set(spark):
+    """The dirty set is per-snapshot: after OPTIMIZE clears it at head, a
+    time-travel scan of the pre-OPTIMIZE version must still widen pruning
+    with THAT version's dirty buckets (its files still hold the misplaced
+    row), and a pre-UPDATE version must scan clean."""
+    import shutil as _sh
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="mpp_dirty_tt_")
+    mpp = MppSession(spark, wh)
+    try:
+        mpp.sql("CREATE TABLE tt(k INT, v TEXT) PARTITION BY (k) WITH BUCKETS 8")
+        mpp.sql("INSERT INTO tt VALUES (1, 'a'), (2, 'b')")       # v2 (v1 = CREATE)
+        tbl = mpp.table("tt")
+        v_clean = tbl.snapshot()[0]
+        mpp.sql("UPDATE tt SET k = 40 WHERE k = 2")               # dirty
+        v_dirty = tbl.snapshot()[0]
+        mpp.sql("OPTIMIZE tt")                                    # re-routed, clean
+        assert not tbl.routing_dirty_ids()
+        assert tbl.routing_dirty_ids(version=v_dirty)
+        assert not tbl.routing_dirty_ids(version=v_clean)
+        # pruned time-travel read of the dirty version sees the misplaced row
+        got = sorted(
+            r["v"] for r in tbl.scan(where="k = 40", version=v_dirty).collect()
+        )
+        assert got == ["b"]
+        # head read after repair still exact
+        got = sorted(r["v"] for r in tbl.scan(where="k = 40").collect())
+        assert got == ["b"]
+        # pre-update version: k=40 never existed
+        assert tbl.scan(where="k = 40", version=v_clean).count() == 0
+    finally:
+        _sh.rmtree(wh, ignore_errors=True)
