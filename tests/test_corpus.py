@@ -140,3 +140,17 @@ def test_global_shuffle_two_phase_matches_single_window(spark):
     }
     assert two == single
     assert sorted(single.values()) == list(range(997))
+
+
+def test_global_shuffle_auto_switch_paths(spark, monkeypatch):
+    """The volume-adaptive default must produce identical positions on
+    both sides of the threshold (auto→single below, auto→two-phase when
+    the input exceeds it)."""
+    from duckdb_mpp_spark.operators import corpus as C
+
+    docs = spark.range(0, 503).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"]: r["pos"] for r in C.global_shuffle_positions(docs).collect()}
+    monkeypatch.setattr(C, "_SINGLE_SORT_BYTES", 0)
+    big = {r["doc_id"]: r["pos"] for r in C.global_shuffle_positions(docs).collect()}
+    assert big == small
+    assert sorted(small.values()) == list(range(503))
