@@ -42,12 +42,27 @@ def interval_bin_join(
             "interval_bin_join supports how='inner' only (the bin explode + "
             f"residual post-filter breaks outer semantics); got {how!r}"
         )
+    for df, name in ((points, "points"), (intervals, "intervals")):
+        if "__bin" in df.columns:
+            raise ValueError(
+                f"interval_bin_join: {name} already has a '__bin' column — "
+                "rename it (reserved as the internal bin key)"
+            )
 
     def bin_of(c: Column) -> Column:
         return F.floor(F.unix_timestamp(c) / bin_seconds).cast("long")
 
     p = points.withColumn("__bin", bin_of(F.col(point_ts)))
-    i = intervals.withColumn(
+    i = intervals.where(
+        # Empty/inverted intervals (end <= start: corrupted rows, epoch-0
+        # placeholders) contain no point by definition — and F.sequence
+        # would DESCEND for them, fanning one bad row across every bin in
+        # between (review r6). NOTE: a wide-but-valid interval still
+        # explodes to (end-start)/bin_seconds rows — size bin_seconds so
+        # the longest real interval covers a bounded bin count; an
+        # open-ended sentinel end (9999-12-31) belongs capped upstream.
+        F.col(end_col) > F.col(start_col)
+    ).withColumn(
         "__bin",
         F.explode(
             # Cover every bin from bin(start) through bin(end) INCLUSIVE.
@@ -61,7 +76,9 @@ def interval_bin_join(
             F.sequence(bin_of(F.col(start_col)), bin_of(F.col(end_col)))
         ),
     )
+    # frame-qualified residual refs: bare F.col(start_col) is AMBIGUOUS
+    # when points and intervals share a column name (review r6)
     joined = p.join(i, "__bin", how).where(
-        (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
+        (i[start_col] <= p[point_ts]) & (p[point_ts] < i[end_col])
     )
     return joined.drop("__bin")

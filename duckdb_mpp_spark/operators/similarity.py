@@ -70,6 +70,7 @@ def blocked_pair_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    min_score: float | None = None,
 ) -> DataFrame:
     """All-pairs cosine scores via blocked matrix products (the exact-path
     kernel behind near-dup detection).
@@ -89,13 +90,23 @@ def blocked_pair_scores(
     index order (the k-loop), identically to ``CAST(x*y AS DOUBLE)`` summed
     left-to-right.
 
+    ``min_score``: threshold applied INSIDE the kernel, per chunk — a
+    thresholding caller (near-dup detection) must pass it, or the kernel
+    buffers the full O(len_a × len_b) pair list before the outer filter
+    runs: at the 125k-vector block sizing above that is ~10¹⁰ rows of
+    pandas frames per task even though the score accumulator itself is
+    chunk-bounded (review r6). ``None`` keeps the all-pairs contract.
+
     Returns (va, vb, cos_raw) with va < vb, unrounded.
     """
     import numpy as np  # deferred: keep module import light
     import pandas as pd
 
     B = n_blocks
-    base = emb.select(
+    # NULL embeddings never pair (np.stack would crash the kernel on a
+    # None; the oracle's NULL products fail any threshold the same way —
+    # review r6). Ragged lengths remain a loud data error via np.stack.
+    base = emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.pmod(F.hash(id_col), F.lit(B)).alias("blk"),
@@ -162,6 +173,10 @@ def blocked_pair_scores(
             # zero-norm vectors never pair (review r4: their 0/0 NaN score
             # compares ABOVE any threshold under Spark's NaN ordering)
             keep &= denom > 0
+            if min_score is not None:
+                # per-chunk thresholding — the pair buffer stays
+                # O(survivors), never the full chunk×len_b grid (review r6)
+                keep &= cos >= min_score
             ia, ib = np.nonzero(keep)
             frames.append(
                 pd.DataFrame(
@@ -177,12 +192,11 @@ def blocked_pair_scores(
     # Pin the exchange so the CPU-heavy pandas kernel's parallelism tracks
     # the B(B+1)/2 natural groups, not spark.sql.shuffle.partitions (with a
     # small shuffle-partition setting the 36 groups would collapse onto few
-    # tasks and run the GEMM near-serially). 4× head-room over the group
-    # count because hashing g keys into g bins leaves ~1/e of bins empty
-    # and stacks groups 2-3 deep (review r5); at 4g the expected collision
-    # count is < g/8 and empty partitions cost ~nothing. Hash partitioning
-    # on the exact grouping keys satisfies the aggregate's required
-    # distribution — no second exchange.
+    # tasks and run the GEMM near-serially). Head-room factor: see
+    # _GROUP_HEADROOM's A/B note at the top of the module (4× was the r5
+    # regression; 2× pinned r6). Hash partitioning on the exact grouping
+    # keys satisfies the aggregate's required distribution — no second
+    # exchange.
     n_groups = B * (B + 1) // 2
     return (
         rep.repartition(_GROUP_HEADROOM * n_groups, "bi", "bj")
@@ -449,7 +463,9 @@ def _register():
 
     def neardup_fn(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
-        scored = blocked_pair_scores(emb)
+        # threshold INSIDE the kernel (>=) so the pair buffer is
+        # O(survivors); the strict > filter below is unchanged semantics
+        scored = blocked_pair_scores(emb, min_score=0.35)
         return (
             scored.where(F.col("cos_raw") > 0.35)
             .select("va", "vb", F.round("cos_raw", 4).alias("score"))
@@ -469,10 +485,16 @@ def _register():
               WHERE a.vec_id < b.vec_id
               GROUP BY 1, 2
             )
-            SELECT va, vb, round(dp / (na.nrm * nb.nrm), 4) AS score
+            -- zero-norm guard like every sibling oracle: DuckDB 1.0's
+            -- 0/0 is NULL (fails the threshold) but 1.1+ defaults to IEEE
+            -- NaN, and NaN > 0.35 is TRUE there (review r6)
+            SELECT va, vb,
+                   round(CASE WHEN na.nrm * nb.nrm > 0
+                              THEN dp / (na.nrm * nb.nrm) END, 4) AS score
             FROM dots JOIN norms na ON na.vec_id = va
                       JOIN norms nb ON nb.vec_id = vb
-            WHERE dp / (na.nrm * nb.nrm) > 0.35
+            WHERE CASE WHEN na.nrm * nb.nrm > 0
+                       THEN dp / (na.nrm * nb.nrm) END > 0.35
             ORDER BY va, vb
             """,
         ),
@@ -737,7 +759,11 @@ def _register_centroids():
               SELECT label, CAST(t.i - 1 AS INT) AS dim,
                      CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {CENTROID_QSCALE})
                           AS BIGINT) AS vq
+              -- embedding IS NOT NULL mirrors Spark's posexplode, which
+              -- emits nothing for a NULL embedding; COUNT(*) over the
+              -- series would count the phantom NULL dims (review r6)
               FROM embeddings, generate_series(1, {DIM}) t(i)
+              WHERE embedding IS NOT NULL
             )
             SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
                    round(CAST(SUM(vq) AS DOUBLE)
@@ -813,6 +839,7 @@ def _register_centroid_assign():
                      CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {CENTROID_QSCALE})
                           AS BIGINT) AS vq
               FROM embeddings, generate_series(1, {DIM}) t(i)
+              WHERE embedding IS NOT NULL  -- posexplode parity (review r6)
             ),
             cent AS (
               SELECT label AS c_label, dim,

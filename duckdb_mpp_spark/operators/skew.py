@@ -27,8 +27,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_no_salt_col(df: DataFrame, caller: str) -> None:
+    """A user column named ``__salt`` would be silently overwritten by
+    ``withColumn`` and then dropped from the result — reject loudly, the
+    same contract as the storage layer's reserved names (review r6)."""
+    if "__salt" in df.columns:
+        raise ValueError(
+            f"{caller}: input already has a '__salt' column — rename it "
+            "(reserved as the internal salting key)"
+        )
+
+
 def _salt_col(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt: xxhash64 over every column.
+    """Deterministic per-row salt: xxhash64 over every hashable column.
 
     Deliberately NOT ``monotonically_increasing_id()``/``rand()`` — those are
     nondeterministic under task retry and speculative execution, so a retried
@@ -36,9 +47,17 @@ def _salt_col(df: DataFrame, n_salts: int) -> Column:
     already fetched, silently double/under-counting. Hashing row content is
     retry-stable: the same input row always lands on the same sub-key.
     Identical duplicate rows share a salt, which only costs balance (bounded
-    by the duplicate multiplicity), never correctness.
+    by the duplicate multiplicity), never correctness. Map-typed columns are
+    excluded (Spark forbids them in hash expressions since 3.0 — review r6;
+    a frame of ONLY map columns is rejected loudly — it cannot carry an
+    equi-join/group key anyway).
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+    from pyspark.sql.types import MapType
+
+    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    if not cols:
+        raise ValueError("cannot salt a frame whose columns are all map-typed")
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
 
 
 def salted_agg(
@@ -54,6 +73,7 @@ def salted_agg(
     per keys. E.g. partial ``F.count('*').alias('c')`` merges with
     ``F.sum('c').alias('n')``; partial sum merges with sum of sums.
     """
+    _check_no_salt_col(df, "salted_agg")
     salted = df.withColumn("__salt", _salt_col(df, n_salts))
     partial = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
     return partial.groupBy(*key_cols).agg(*final_aggs)
@@ -81,6 +101,8 @@ def salted_join(
             f"got {how!r} (right rows are replicated {n_salts}x, so right/full "
             "outer would duplicate unmatched right rows)"
         )
+    _check_no_salt_col(left, "salted_join")
+    _check_no_salt_col(right, "salted_join")
     l_salted = left.withColumn("__salt", _salt_col(left, n_salts))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

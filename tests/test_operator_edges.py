@@ -271,3 +271,19 @@ def test_incremental_dedup_edge_shapes(spark):
         7: ("dup_index", 7),
         8: ("dup_index", 7),    # index precedence over earlier batch docs 2 and 4
     }
+
+
+def test_gemm_pairs_skip_null_embeddings(spark):
+    """review r6: a NULL embedding (failed encoder output) must yield no
+    pairs — np.stack would otherwise crash the whole kernel — and the
+    in-kernel threshold must not change surviving values."""
+    from duckdb_mpp_spark.operators.similarity import blocked_pair_scores
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None), (4, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = blocked_pair_scores(emb, n_blocks=2).collect()
+    assert {(r["va"], r["vb"]) for r in got} == {(1, 2)}  # 3 NULL, 4 zero-norm
+    thr = blocked_pair_scores(emb, n_blocks=2, min_score=0.5).collect()
+    assert {(r["va"], r["vb"], round(r["cos_raw"], 6)) for r in thr} == {
+        (1, 2, 1.0)
+    }

@@ -137,3 +137,66 @@ def test_interval_bin_join_rejects_outer(spark):
 
     with pytest.raises(ValueError, match="inner"):
         interval_bin_join(pts, ivs, "ts", "s", "e", how="left")
+
+
+def test_salted_ops_reject_reserved_salt_column(spark):
+    """review r6: a user '__salt' column would be silently overwritten and
+    dropped — reject loudly like the storage layer's reserved names."""
+    from duckdb_mpp_spark.operators.skew import salted_agg, salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k int, __salt int")
+    clean = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_agg(df, ["k"], [F.count("*").alias("c")], [F.sum("c").alias("n")])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(df, clean, on="k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(clean, df, on="k")
+
+
+def test_salt_skips_map_columns(spark):
+    """review r6: xxhash64 rejects map types — the salt must hash only
+    hashable columns so salted ops work on frames carrying a map."""
+    from duckdb_mpp_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(1, {"a": "b"}), (1, {"c": "d"}), (2, {"e": "f"})],
+        "k int, props map<string,string>",
+    )
+    got = {
+        r["k"]: r["n"]
+        for r in salted_agg(
+            df, ["k"], [F.count(F.lit(1)).alias("c")], [F.sum("c").alias("n")]
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_interval_bin_join_inverted_and_shared_names(spark):
+    """review r6: inverted intervals (end <= start) must not fan out via a
+    DESCENDING sequence, and shared column names between the two sides
+    must not make the residual filter ambiguous."""
+    import datetime as dt
+
+    from duckdb_mpp_spark.operators.range_join import interval_bin_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    # intervals carry their own 'ts' column (same name as the point column)
+    intervals = spark.createDataFrame(
+        [
+            (t("2024-01-10 00:00:00"), t("2024-01-20 00:00:00"), t("2000-01-01 00:00:00")),
+            (t("2024-03-01 00:00:00"), t("1970-01-01 00:00:00"), t("2000-01-01 00:00:00")),  # inverted
+        ],
+        "win_start timestamp, win_end timestamp, ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [(1, t("2024-01-15 12:00:00")), (2, t("2024-02-15 12:00:00"))],
+        "pid int, ts timestamp",
+    )
+    got = interval_bin_join(points, intervals, "ts", "win_start", "win_end")
+    rows = got.select("pid").collect()
+    assert [r["pid"] for r in rows] == [1]
+    # reserved __bin rejected
+    bad = points.withColumn("__bin", F.lit(0))
+    with pytest.raises(ValueError, match="__bin"):
+        interval_bin_join(bad, intervals, "ts", "win_start", "win_end")
