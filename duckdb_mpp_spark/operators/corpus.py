@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_mpp_spark.operators.dedup import SHINGLE_WORDS, shingles
-from duckdb_mpp_spark.operators.text import token_count, tokens
+from duckdb_mpp_spark.operators.text import _duck_tokens, token_count, tokens
 from duckdb_mpp_spark.queries import Query, register
 from duckdb_mpp_spark.sources import load_table
 
@@ -92,9 +92,14 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             id_col,
             "n_tokens",
             F.round(
-                F.lit(1.0)
-                - F.col("n_distinct")
-                / F.greatest("n_tokens", F.lit(1)).cast("double"),
+                # empty doc: 0.0, not 1.0 — '100% duplicate tokens' would
+                # misroute fetch-failed docs in any Gopher-style
+                # repetition filter (review r6; oracle mirrored)
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.lit(1.0)
+                    - F.col("n_distinct") / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_token_frac"),
             F.round(
@@ -107,9 +112,12 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-_REPETITION_ORACLE = """
+# oracle tokenization single-sourced from text._duck_tokens (review r6:
+# five hand-copied variants of this expression would silently diverge on
+# the next tokenization fix)
+_REPETITION_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS t
+  SELECT doc_id, {_duck_tokens()} AS t
   FROM documents
 ),
 stats AS (
@@ -124,7 +132,9 @@ bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
 top AS (SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM bgc GROUP BY 1)
 SELECT s.doc_id,
        CAST(s.n_tokens AS INT) AS n_tokens,
-       round(1.0 - s.n_distinct / CAST(greatest(s.n_tokens, 1) AS DOUBLE), 6)
+       round(CASE WHEN s.n_tokens > 0
+                  THEN 1.0 - s.n_distinct / CAST(s.n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6)
          AS dup_token_frac,
        round(coalesce(topc / CAST(nbg AS DOUBLE), 0.0), 6) AS top_bigram_frac
 FROM stats s LEFT JOIN top USING (doc_id)
@@ -186,7 +196,7 @@ def contamination_overlap(
 
 _CONTAMINATION_ORACLE = f"""
 WITH dwords AS (
-  SELECT doc_id, COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS ws
+  SELECT doc_id, {_duck_tokens()} AS ws
   FROM documents
 ),
 dsh AS (
@@ -196,7 +206,7 @@ dsh AS (
 ),
 bwords AS (
   SELECT p_partkey AS doc_id,
-         COALESCE(list_filter(string_split(lower(trim(p_name)), ' '), x -> x <> ''), []) AS ws
+         {_duck_tokens("p_name")} AS ws
   FROM part
 ),
 bench AS (
@@ -334,7 +344,7 @@ def sequence_packing(
 _PACKING_ORACLE = f"""
 WITH tc AS (
   SELECT doc_id,
-         len(COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), [])) AS n_tok,
+         len({_duck_tokens()}) AS n_tok,
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
               % {N_PACK_WORKERS} AS INT) AS worker
   FROM documents
@@ -488,7 +498,7 @@ def _register() -> None:
             F.count("*").alias("n_kept"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
-        ).orderBy("lang")
+        ).orderBy(F.col("lang").asc_nulls_last())  # DuckDB default (review r6)
 
     register(
         "sampling_weighted_domains",
@@ -497,7 +507,7 @@ def _register() -> None:
 
     def stratified_fn(spark, sf_dir):
         return stratified_sample_exact(load_table(spark, sf_dir, "documents")).orderBy(
-            "lang", "rank"
+            F.col("lang").asc_nulls_last(), "rank"  # DuckDB default (review r6)
         )
 
     register(
@@ -640,7 +650,11 @@ def chunk_documents(
     speed and inherits the scan's partitioning."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("ws"))
     n = F.size("ws")
-    chunked = toks.select(
+    # empty/NULL-text docs emit ZERO chunks (contract: every i with
+    # i*stride < n_tokens) — the old greatest(.., 0) floor emitted one
+    # phantom empty chunk per dead doc, all sharing xxhash64('') as their
+    # chunk_hash (review r6; oracle mirrored)
+    chunked = toks.where(n > 0).select(
         id_col,
         "ws",
         F.explode(
@@ -661,7 +675,7 @@ def chunk_documents(
 _CHUNK_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,
-             COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS ws
+             {_duck_tokens()} AS ws
       FROM documents
     ), c AS (
       SELECT doc_id, ws, CAST(i AS INT) AS chunk_id,
@@ -670,6 +684,7 @@ _CHUNK_ORACLE = f"""
       FROM t, LATERAL (
         SELECT unnest(range(0, CAST(greatest(ceil(len(ws) / {CHUNK_STRIDE}.0), 1) AS BIGINT))) AS i
       )
+      WHERE len(ws) > 0  -- empty docs emit zero chunks (review r6)
     )
     SELECT doc_id, chunk_id,
            CAST(len(piece) AS INT) AS n_tokens,
@@ -720,53 +735,52 @@ def sqrt_flatten_sample(
     engines — no cross-domain float sums to drift.
 
     Selection is exact: md5-ranked within domain (deterministic, retryable
-    — no rand()), keep rank ≤ cap. One small-counts broadcast join + one
-    keyed window shuffle. Scale note: a per-row cap defeats Spark's
-    WindowGroupLimit (constant-k heaps), so a hot domain pays a full
-    per-domain sort; the 100 TB variant pre-filters on the md5 uniform to
-    ~2·cap/n before ranking (probabilistically complete, then exact-rank
-    the survivors) — same two-phase trade as any exact top-k at scale."""
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    counts = counts.withColumn(
-        "__cap",
-        F.least(F.col("__n"), F.floor(F.sqrt(F.col("__n")) * scale).cast("long")),
-    )
+    — no rand()), keep rank ≤ cap. ONE keyed window shuffle: the domain
+    count rides the same partition as the rank window (r6 — the old
+    count-aggregate + broadcast join was an extra stage AND silently
+    dropped NULL-domain rows via the join's null-unsafe equality, while
+    weighted_domain_sample keeps them; window PARTITION BY treats NULL as
+    its own group in both engines, so unidentified-language docs now get
+    capped like any other domain). Scale note: a per-row cap defeats
+    Spark's WindowGroupLimit (constant-k heaps), so a hot domain pays a
+    full per-domain sort; the 100 TB variant pre-filters on the md5
+    uniform to ~2·cap/n before ranking (probabilistically complete, then
+    exact-rank the survivors) — same two-phase trade as any exact top-k
+    at scale."""
     rnd = F.md5(F.concat(F.lit("t"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(domain_col).orderBy(rnd, F.col(id_col))
+    part = Window.partitionBy(domain_col)
+    w = part.orderBy(rnd, F.col(id_col))
+    n = F.count(F.lit(1)).over(part)
+    cap = F.least(n, F.floor(F.sqrt(n) * scale).cast("long"))
     return (
-        df.join(F.broadcast(counts), domain_col)
-        .withColumn("rank", F.row_number().over(w))
+        df.withColumn("rank", F.row_number().over(w))
+        .withColumn("__cap", cap)
         .where(F.col("rank") <= F.col("__cap"))
         .select(id_col, domain_col, "rank")
     )
 
 
 _SQRT_SAMPLE_ORACLE = f"""
-    WITH counts AS (
-      SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
-    ), caps AS (
-      SELECT lang,
-             LEAST(n, CAST(floor(sqrt(n) * {SQRT_CAP_SCALE}) AS BIGINT)) AS cap
-      FROM counts
-    ), ranked AS (
+    WITH ranked AS (
       SELECT d.doc_id, d.lang,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY d.lang
                ORDER BY md5('t' || CAST(d.doc_id AS VARCHAR)), d.doc_id
-             ) AS INT) AS rank
+             ) AS INT) AS rank,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
       FROM documents d
     )
-    SELECT r.doc_id, r.lang, r.rank
-    FROM ranked r JOIN caps c USING (lang)
-    WHERE r.rank <= c.cap
-    ORDER BY r.lang, r.rank
+    SELECT doc_id, lang, rank
+    FROM ranked
+    WHERE rank <= LEAST(n, CAST(floor(sqrt(n) * {SQRT_CAP_SCALE}) AS BIGINT))
+    ORDER BY lang, rank
 """
 
 
 def _register_sqrt_sample():
     def fn(spark, sf_dir):
         return sqrt_flatten_sample(load_table(spark, sf_dir, "documents")).orderBy(
-            "lang", "rank"
+            F.col("lang").asc_nulls_last(), "rank"  # DuckDB default (review r6)
         )
 
     register("sampling_sqrt_temperature", Query(spark=fn, oracle=_SQRT_SAMPLE_ORACLE))

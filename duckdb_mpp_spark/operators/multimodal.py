@@ -234,7 +234,10 @@ def decode_sgm_features(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "width", "height", "channels", "n_pixels", "mean_pixel")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_media(payload)
+                # NULL payload (text=NULL upstream): same guard as the
+                # sibling operators — decode the empty buffer instead of
+                # crashing the whole task on None (review r6)
+                img = decode_media(payload if payload is not None else b"")
                 n = img["width"] * img["height"] * img["channels"]
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(img["width"])

@@ -12,6 +12,15 @@ Cross-engine determinism: token counts and ratios are integer arithmetic +
 one IEEE double division; fingerprints are md5 hex strings (identical
 lowercase hex in Spark and DuckDB) — results hash-match the DuckDB oracle
 exactly.
+
+KNOWN DIALECT BOUNDARY (review r6, empirically confirmed): ``lower()``
+uses full Unicode case mapping in Spark (lower('İ') = 'i̇', two
+codepoints) but simple mapping in DuckDB (= 'i'), so tokenization of
+text containing İ/ß/ligatures diverges between the engines — affecting
+tokens, shingles, fingerprints and every ratio derived from them. The
+gates' fixtures are ASCII; a production deployment that needs one
+convention should NFKC-normalize (or ASCII-fold) text upstream of both
+engines rather than patch one engine's case tables.
 """
 
 from pyspark.sql import Column, DataFrame
@@ -57,18 +66,40 @@ def stopword_ratio(col: Column | str, lang: str) -> Column:
 
 def language_id(col: Column | str) -> Column:
     """argmax over per-language stopword ratios; deterministic preference
-    order (alphabetical) on ties; 'und' when no marker word hits."""
-    ratios = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
-    expr = F.lit("und")
-    # build CASE from last preference to first so earlier langs win ties
-    for lang in reversed(sorted(STOPWORDS)):
-        r = ratios[lang]
-        cond = (r > 0) & F.expr("true")
-        for other in sorted(STOPWORDS):
-            if other != lang:
-                cond = cond & (r >= ratios[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    order (alphabetical) on ties; 'und' when no marker word hits.
+
+    Evaluation shape (review r6): the naive form inlined every ratio into
+    every CASE branch — ~56 ``split()`` subtrees per row, an order of
+    magnitude of redundant tokenization on the dominant per-row cost.
+    Higher-order-function binding instead: wrap the token array in a
+    1-element array and ``transform`` it twice — the lambda variable pins
+    tokenization to ONE evaluation, the first transform computes the four
+    ratios into a struct (one array scan each), and the CASE runs over the
+    struct's scalar fields. Same value, same tie order."""
+
+    def _ratio(ws: Column, lang: str) -> Column:
+        hits = F.size(F.filter(ws, lambda x: x.isin(STOPWORDS[lang])))
+        return hits.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+    langs = sorted(STOPWORDS)
+    ratios_arr = F.transform(
+        F.array(tokens(col)),
+        lambda ws: F.struct(*[_ratio(ws, lang).alias(lang) for lang in langs]),
+    )
+
+    def _decide(rs: Column) -> Column:
+        expr = F.lit("und")
+        # build CASE from last preference to first so earlier langs win ties
+        for lang in reversed(langs):
+            r = rs[lang]
+            cond = r > 0
+            for other in langs:
+                if other != lang:
+                    cond = cond & (r >= rs[other])
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        return expr
+
+    return F.element_at(F.transform(ratios_arr, _decide), 1)
 
 
 def _punct_ratio(t: Column) -> Column:
@@ -122,12 +153,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def char_fingerprint(col: Column | str, k: int = 5) -> Column:
     """Document fingerprint: min md5 over character k-gram shingles — the
-    array-expression form of a rolling-hash fingerprint (no explode, no
-    shuffle; one expression per row)."""
+    expression form of a rolling-hash fingerprint (no explode, no shuffle;
+    one expression per row).
+
+    ``aggregate`` fold, not ``transform`` + ``array_min`` (review r6): the
+    transform form materialized one 32-char md5 hex string PER CHARACTER
+    of the document in a single per-row array (~32× text bytes — hundreds
+    of MB for one web-crawl-sized doc); the fold keeps O(1) per-row state
+    (the running min), leaving only the 8-byte index sequence as per-row
+    array cost. ``least`` skips NULLs, so the NULL seed returns the true
+    min (and NULL text stays NULL, as before)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.greatest(F.length(c) - (k - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(c.substr(i, F.lit(k))))
-    return F.array_min(grams)
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(None).cast("string"),
+        lambda acc, i: F.least(acc, F.md5(c.substr(i, F.lit(k)))),
+    )
 
 
 def bpe_token_estimate(col: Column | str) -> Column:
@@ -177,7 +219,11 @@ def _register_gopher():
         n_ellipsis = (
             (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
         ).cast("int")
-        n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$")))
+        # \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline, so
+        # a token like 'word\n' would count as alpha in Spark while the
+        # oracle's RE2 regexp_full_match rejects it (review r6; the
+        # whitespace tokenizer splits on ' ' only, so tokens CAN carry \n)
+        n_alpha = F.size(F.filter(toks, lambda x: x.rlike(r"\A[a-z]+\z")))
         stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS["en"])))
         keep = (
             (n_words >= 50) & (n_words <= 100000)

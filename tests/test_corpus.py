@@ -99,8 +99,10 @@ def test_weighted_sampling_deterministic_and_weighted(spark):
 
 def test_chunk_documents_geometry(spark):
     """Overlapping token-window chunking: stride-placed windows cover every
-    token, boundary tokens land where expected, empty docs yield one empty
-    chunk, and the chunk hash distinguishes distinct pieces."""
+    token, boundary tokens land where expected, empty docs yield ZERO
+    chunks (r6 — the old phantom empty chunk gave every fetch-failed doc
+    the same xxhash64('') chunk_hash), and the chunk hash distinguishes
+    distinct pieces."""
     from duckdb_mpp_spark.operators.corpus import chunk_documents
 
     df = spark.createDataFrame(
@@ -116,7 +118,7 @@ def test_chunk_documents_geometry(spark):
     assert rows[(1, 1)].first_token == "t48"
     assert rows[(1, 2)].first_token == "t96" and rows[(1, 2)].last_token == "t99"
     assert rows[(2, 0)].n_tokens == 2
-    assert rows[(3, 0)].n_tokens == 0 and rows[(3, 0)].first_token is None
+    assert not [k for k in rows if k[0] == 3]  # empty doc: zero chunks
     hashes = {r.chunk_hash for r in rows.values() if r.n_tokens > 0}
     assert len(hashes) == 4  # all non-empty pieces distinct
 
