@@ -132,6 +132,7 @@ register(
                CAST(SUM(CAST(floor(value * 256) AS BIGINT)) AS DOUBLE) / 256
                  AS total_value_q
         FROM events
+        WHERE user_id IS NOT NULL  -- NOT NULL rollup key, both dialects (r6)
         GROUP BY user_id
         ORDER BY user_id
         """,

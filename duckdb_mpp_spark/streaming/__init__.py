@@ -60,22 +60,33 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     natively."""
     from duckdb_mpp_spark.sources.tables import _nanos_timestamp_cols
 
-    ns_cols = _nanos_timestamp_cols(os.path.join(sf_dir, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    ns_cols = _nanos_timestamp_cols(src)
     if "ts" in ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_events_schema(ts_as_long="ts" in ns_cols))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(_events_schema(ts_as_long="ts" in ns_cols))
+    if os.path.isdir(src):
+        # directory-style parquet dataset (the batch reader supports it):
+        # pathGlobFilter matches LEAF file names, so globbing
+        # 'events.parquet' against sf_dir would list ZERO files and every
+        # streaming gate would silently return empty (review r6) — stream
+        # the dataset directory itself instead
+        raw = reader.parquet(src)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if "ts" in ns_cols:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling-window aggregation (late data beyond the
-    watermark is dropped; state is evicted — bounded memory forever)."""
+    """Watermarked tumbling-window aggregation. The watermark bounds state
+    ONLY in update/append output modes (late data dropped, closed windows
+    evicted); the GATES run this in complete mode — full-backlog replays
+    where Spark retains all window state by definition and the watermark
+    is inert (review r6). A continuous production deployment must use
+    update/append (the foreachBatch file-sink shape below) for the
+    bounded-state guarantee."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
@@ -119,7 +130,12 @@ def run_stream_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
     )
     q.awaitTermination()
     spark = agg.sparkSession
-    return spark.table(name)
+    # copy out + drop: the memory sink's temp view would otherwise pin the
+    # full result in driver memory for the session lifetime — one leaked
+    # table per gate per round (review r6)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,18 +344,44 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL '1' HOUR")),
         "inner",
     )
-    agg = joined.select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        F.floor(F.col("value") * 256).cast("long").alias("vq"),
+    pairs = joined.select(
+        "user_id", F.floor(F.col("value") * 256).cast("long").alias("vq")
     )
-    out = run_stream_to_memory(agg, mode="append")
+    # foreachBatch partial-aggregate file sink, NOT a memory sink of the
+    # raw pairs (review r6): pair count is quadratic in per-user event
+    # density inside the window, so materializing every (click, purchase)
+    # row on the driver is exactly the O(pairs) driver hazard the
+    # running-totals gate shed in r5. Each micro-batch reduces its pairs
+    # to per-user partials (count + exact quantized sum — associative, so
+    # ANY batch split merges identically) and appends those to files; the
+    # final read merges partials. Driver never holds pair rows.
+    sink_dir = _gate_tmpdir("stream_join_sink_")
+
+    def agg_batch(batch, _id):
+        if not batch.isEmpty():
+            (
+                batch.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum("vq").alias("s"),
+                )
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
+
+    q = (
+        pairs.writeStream.foreachBatch(agg_batch)
+        .option("checkpointLocation", _gate_tmpdir("stream_join_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema("user_id long, c long, s long").parquet(sink_dir)
     return (
         out.groupBy("user_id")
         .agg(
-            F.count("*").alias("n_pairs"),
-            (F.sum("vq").cast("double") / 256).alias("purchase_value_q"),
+            F.sum("c").alias("n_pairs"),
+            (F.sum("s").cast("double") / 256).alias("purchase_value_q"),
         )
         .orderBy("user_id")
     )
@@ -356,8 +398,10 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     no streaming); at scale each micro-batch is one bucketed write job and
     ingest throughput is bounded by the sink's parallelism, not the driver.
     Exactly-once here comes from availableNow + the file sink's atomic
-    commit per batch; a production multi-batch run would also record
-    batch_id in the target (the standard idempotent-foreachBatch recipe)."""
+    commit per batch, with re-delivered batch ids skipped via the
+    checkpoint-lineage marker (the standard idempotent-foreachBatch
+    recipe) — effectively-once, with the marker-vs-commit crash window
+    called out at the marker site."""
     from duckdb_mpp_spark.mpp import MppSession
 
     mpp = MppSession(spark, _gate_tmpdir("mpp_stream_ingest_"))
@@ -370,7 +414,22 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
-    def ingest_batch(batch, _id):
+    ckpt = _gate_tmpdir("mpp_stream_ckpt_")
+    marker_dir = os.path.join(ckpt, "_applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def ingest_batch(batch, batch_id):
+        # foreachBatch is at-least-once: a crash between the insert's
+        # snapshot commit and the stream's offset commit re-delivers the
+        # batch on resume, and a bare insert would append it twice. The
+        # marker (written LAST, keyed to this checkpoint lineage) makes
+        # re-delivered ids no-ops (review r6 — the standard idempotent-
+        # foreachBatch recipe; the residual crash window between commit
+        # and marker is what a transactional sink with in-table batch ids
+        # would close).
+        marker = os.path.join(marker_dir, f"b{batch_id}")
+        if os.path.exists(marker):
+            return
         # Empty micro-batches (restart with no new data, 0-row source file)
         # must not reach insert: its Observation-based row count is the
         # exact foreachBatch + AQE empty-relation hazard dml.upsert was
@@ -378,10 +437,12 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # blocks forever (review r4).
         if not batch.isEmpty():
             tbl.insert(batch)
+        with open(marker, "w") as f:
+            f.write("done")
 
     q = (
         ev.writeStream.foreachBatch(ingest_batch)
-        .option("checkpointLocation", _gate_tmpdir("mpp_stream_ckpt_"))
+        .option("checkpointLocation", os.path.join(ckpt, "offsets"))
         .trigger(availableNow=True)
         .start()
     )
@@ -409,9 +470,7 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (commutative/associative); value sums are pre-quantized to exact
     integers (floor(value·256)), so results are bit-identical to the batch
     oracle. This is the standard continuous-rollup recipe (foreachBatch +
-    idempotent-able MERGE) that plain append sinks can't express."""
-    from pyspark.sql import functions as F
-
+    batch-id-guarded MERGE) that plain append sinks can't express."""
     from duckdb_mpp_spark.mpp import MppSession
 
     mpp = MppSession(spark, _gate_tmpdir("mpp_stream_upsert_"))
@@ -420,9 +479,27 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_q BIGINT) PARTITION BY (user_id) WITH BUCKETS 8"
     )
     tbl = mpp.table("user_totals")
-    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    # NULL user_id filtered in BOTH dialects (oracle mirrors): the rollup
+    # key is declared NOT NULL (upsert requires a routable key), so a NULL
+    # user event would crash the write while the plain GROUP BY oracle
+    # emits a NULL group (review r6)
+    ev = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "value")
+        .where(F.col("user_id").isNotNull())
+    )
+    ckpt = _gate_tmpdir("mpp_upsert_ckpt_")
+    marker_dir = os.path.join(ckpt, "_applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
 
-    def merge_batch(batch, _id):
+    def merge_batch(batch, batch_id):
+        # the merge is ADDITIVE (reads current totals, adds the batch), so
+        # at-least-once re-delivery would double-count — batch-id marker
+        # keyed to this checkpoint lineage, written after the snapshot
+        # commit (review r6; same recipe as the ingest sink above)
+        marker = os.path.join(marker_dir, f"b{batch_id}")
+        if os.path.exists(marker):
+            return
         agg = batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_new"),
             F.sum(F.floor(F.col("value") * 256).cast("long")).alias("q_new"),
@@ -445,10 +522,12 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         mpp.upsert("user_totals", merged, ["user_id"])
+        with open(marker, "w") as f:
+            f.write("done")
 
     q = (
         ev.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", _gate_tmpdir("mpp_upsert_ckpt_"))
+        .option("checkpointLocation", os.path.join(ckpt, "offsets"))
         .trigger(availableNow=True)
         .start()
     )
@@ -481,8 +560,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-batch cost is O(batch + matches), independent of corpus
     size."""
     from duckdb_mpp_spark.operators.dedup import minhash_bands
-    from duckdb_mpp_spark.sources import load_table
-
     docs = load_table(spark, sf_dir, "documents")
     index_dir = _gate_tmpdir("dedup_index_") + "/bands"
     verdict_dir = _gate_tmpdir("dedup_verdicts_") + "/out"
@@ -493,7 +570,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
-                    index_dir: str, verdict_dir: str) -> None:
+                    index_dir: str, verdict_dir: str,
+                    checkpoint_dir: str | None = None) -> None:
     """One crawl delivery through the streaming dedup pipeline: stream the
     day's documents (one file → one micro-batch), dedup each batch against
     the persisted index, append verdicts, append the batch's signatures to
@@ -506,15 +584,22 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
     so every doc would re-verdict as a duplicate OF ITSELF alongside its
     original verdict. A per-batch marker file (written LAST) makes the
     body skip re-delivered batch ids — the same recipe the distributed
-    sinks use via their atomic snapshot commit."""
+    sinks use via their atomic snapshot commit. The guard only ENGAGES
+    when the caller supplies ``checkpoint_dir`` (review r6: with the
+    default throwaway dir, a retried CALL starts a fresh lineage and can
+    never see a prior marker — production retries of a crashed day must
+    pass the same persistent dir so source, offsets, and markers resume
+    as one lineage)."""
     from duckdb_mpp_spark.operators.dedup import incremental_dedup, minhash_bands
 
-    src_dir = _gate_tmpdir("dedup_src_") + "/crawl"
-    day_docs.coalesce(1).write.parquet(src_dir)
+    ckpt_dir = checkpoint_dir or _gate_tmpdir("dedup_ckpt_")
+    src_dir = os.path.join(ckpt_dir, "src")
+    # mode('ignore'): on a RETRIED day the crashed call already staged the
+    # source; keeping it preserves the offset lineage the markers key on
+    day_docs.coalesce(1).write.mode("ignore").parquet(src_dir)
     # markers live WITH the checkpoint: batch ids are only unique within
     # one checkpoint lineage (each delivery/day restarts at 0), so keying
     # them off the shared index would skip every later delivery's batch 0
-    ckpt_dir = _gate_tmpdir("dedup_ckpt_")
     marker_dir = os.path.join(ckpt_dir, "_applied_batches")
     os.makedirs(marker_dir, exist_ok=True)
 
@@ -524,7 +609,10 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
             return  # re-delivered batch: both appends already happened
         bands = minhash_bands(batch).localCheckpoint(eager=True)
         idx = spark.read.parquet(index_dir)
-        incremental_dedup(idx, bands).write.mode("append").parquet(verdict_dir)
+        # bands already materialized above — a second barrier buys nothing
+        incremental_dedup(idx, bands, materialize_batch=False).write.mode(
+            "append"
+        ).parquet(verdict_dir)
         bands.write.mode("append").parquet(index_dir)  # index grows per batch
         with open(marker, "w") as f:
             f.write("done")  # written last: a crash before this re-runs the
@@ -536,7 +624,7 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
         spark.readStream.schema(day_docs.schema)
         .parquet(src_dir)
         .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", ckpt_dir)
+        .option("checkpointLocation", os.path.join(ckpt_dir, "offsets"))
         .trigger(availableNow=True)
         .start()
     )
