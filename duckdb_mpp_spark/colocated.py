@@ -41,6 +41,7 @@ co-located shard join per README's distributed-join description.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -65,9 +66,15 @@ class ColocatedTable(DistributedTable):
         concurrent MppSessions over different warehouses never collide, and a
         DROP+CREATE of the same name gets a fresh identity (oid bump). The
         user-supplied name is reduced to a sanitized slug (the oid+hash keep
-        identity); quoting handles whatever remains."""
+        identity, so slug collisions between different names are harmless);
+        quoting at the use sites handles whatever remains."""
         wh = hashlib.md5(self.catalog.warehouse.encode()).hexdigest()[:6]
-        return f"mpp_{self.meta.name}_{self.meta.oid}_{wh}"
+        # actually sanitize (ADVICE r6): the docstring promised a slug but
+        # the raw name was interpolated, leaving safety to every use site
+        # remembering _bq() — strip to [A-Za-z0-9_] so even an unquoted
+        # future use cannot break or smuggle SQL
+        slug = re.sub(r"[^A-Za-z0-9_]+", "_", self.meta.name) or "t"
+        return f"mpp_{slug}_{self.meta.oid}_{wh}"
 
     @property
     def _sql_schema(self) -> str:

@@ -122,21 +122,33 @@ def _check_unique_staged(
     staged = table.spark.read.option("basePath", tmp_path).parquet(tmp_path)
     global_set = set(global_cols or [])
     for col in cols:
-        side = staged.select(BUCKET_COL, col).where(F.col(col).isNotNull())
+        side = (
+            staged.select(BUCKET_COL, col)
+            .where(F.col(col).isNotNull())
+            .withColumn("_is_staged", F.lit(True))
+        )
         group = [BUCKET_COL, col]
         if col in global_set:
             group = [col]
             rest = (
-                table.scan(where=None, keep_bucket=True, version=base or None)
+                table.scan(where=None, keep_bucket=True, version=base)
                 .where(~F.col(BUCKET_COL).isin(rewritten_ids or []))
                 .select(BUCKET_COL, col)
                 .where(F.col(col).isNotNull())
+                .withColumn("_is_staged", F.lit(False))
             )
             side = side.unionByName(rest)
+        # only reject duplicate groups this rewrite PARTICIPATES in — a
+        # pre-existing on-disk duplicate confined to untouched buckets must
+        # not abort an unrelated UPDATE/upsert, matching the insert path's
+        # "only rejected for duplicates it would create" contract (ADVICE r6)
         dup = (
             side.groupBy(*group)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("_is_staged").alias("has_staged"),
+            )
+            .where((F.col("n") > 1) & F.col("has_staged"))
             .limit(1)
             .collect()
         )
@@ -165,7 +177,7 @@ def _dml_bucket_ids(
     if not extra or where is None:
         return ids
     hits = (
-        table.scan(where=None, keep_bucket=True, version=base or None)
+        table.scan(where=None, keep_bucket=True, version=base)
         .where(F.col(BUCKET_COL).isin(extra))
         .where(F.coalesce(F.expr(where), F.lit(False)))
         .select(BUCKET_COL)
@@ -198,7 +210,7 @@ def update(
     # scan pinned to the SAME version the commit below is based on — a
     # concurrent commit aborts ours (CommitConflict) instead of leaking
     # its rows into our rewrite (review r6)
-    df = table.scan(where=None, keep_bucket=True, version=base or None)
+    df = table.scan(where=None, keep_bucket=True, version=base)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
 
@@ -339,7 +351,7 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     dirty_extra = sorted(set(dirty0) - batch_ids)
     if dirty_extra:
         hit = (
-            table.scan(where=None, keep_bucket=True, version=base or None)
+            table.scan(where=None, keep_bucket=True, version=base)
             .where(F.col(BUCKET_COL).isin(dirty_extra))
             .join(new_rows.select(*key_cols).distinct(), key_cols, "left_semi")
             .select(BUCKET_COL)
@@ -350,7 +362,7 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
     ids = sorted(batch_ids)
 
     # pinned to the commit's base version — see update()
-    existing = table.scan(where=None, keep_bucket=True, version=base or None)
+    existing = table.scan(where=None, keep_bucket=True, version=base)
     if len(ids) < meta.buckets:
         existing = existing.where(F.col(BUCKET_COL).isin(ids))
     # anti-join on the input's key set; AQE broadcasts it when the batch is
@@ -421,7 +433,7 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
         _manifest_mod.commit(table.path, {}, base)
         return total
 
-    df = table.scan(where=None, keep_bucket=True, version=base or None)
+    df = table.scan(where=None, keep_bucket=True, version=base)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
     pred = F.coalesce(F.expr(where), F.lit(False))

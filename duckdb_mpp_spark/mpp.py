@@ -133,6 +133,41 @@ def _find_keyword_top_level(text: str, word: str, start: int = 0) -> int:
     return -1
 
 
+def _comma_in_from_list(blank: str, pos: int) -> bool:
+    """True when the comma at ``pos`` (in literal-blanked SQL) plausibly
+    belongs to a FROM relation list rather than a SELECT list: walking
+    backwards, the nearest SELECT/FROM keyword at the comma's own paren
+    depth decides. Ambiguity (subquery boundary crossed, neither keyword
+    found) returns True — callers treat True as "relation reference" which
+    DISABLES pruning, so over-matching only loses an optimization while
+    under-matching would prune a CTE-fed source (ADVICE r6)."""
+    depth = 0
+    i = pos - 1
+    n = len(blank)
+    while i >= 0:
+        ch = blank[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            depth -= 1
+            if depth < 0:
+                # crossed the comma's enclosing open-paren (IN-list,
+                # function args, VALUES row, …): ambiguous — stay flagged
+                return True
+        elif depth == 0 and ch in "MmTt":
+            for kw in ("FROM", "SELECT"):
+                s = i - len(kw) + 1
+                if s >= 0 and blank[s : i + 1].upper() == kw:
+                    before = blank[s - 1] if s > 0 else " "
+                    after = blank[i + 1] if i + 1 < n else " "
+                    if not (before.isalnum() or before in "_$.") and not (
+                        after.isalnum() or after in "_$"
+                    ):
+                        return kw == "FROM"
+        i -= 1
+    return True
+
+
 def _split_where_tail(rest: str) -> tuple[str, str | None]:
     """Split ``<head> WHERE <pred>`` at the top-level WHERE (quote-aware);
     returns (head, predicate-or-None)."""
@@ -990,14 +1025,26 @@ class MppSession:
         if main_sel < 0:
             return True  # unparseable WITH shape: stay conservative
         blank = _blank_literals(query)
-        return any(
-            m.start() < main_sel
-            for m in re.finditer(
-                rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b(?!\.)",
-                blank,
-                re.IGNORECASE,
-            )
-        )
+        for m in re.finditer(
+            rf"(\bFROM\s+|\bJOIN\s+|(,)\s*){re.escape(name)}\b(?!\.)",
+            blank,
+            re.IGNORECASE,
+        ):
+            if m.start() >= main_sel:
+                continue
+            # A comma match can also be a SELECT-list comma followed by a
+            # COLUMN that shares the table's name (`SELECT a, st FROM x`) —
+            # falsely flagging that disabled pruning (ADVICE r6, perf-only).
+            # Keep the comma alternative only when the nearest preceding
+            # SELECT/FROM at the same paren depth is FROM (a relation
+            # list); any ambiguity stays flagged — under-matching here
+            # would PRUNE a CTE-fed source, a wrong-results direction.
+            if m.group(2) is not None and not _comma_in_from_list(
+                blank, m.start()
+            ):
+                continue
+            return True
+        return False
 
     def _setop_confined_to_first_leg(self, query: str, name: str) -> bool:
         """Pruning derives its predicate from the FIRST leg's top-level WHERE

@@ -28,7 +28,7 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — Spark has no native
     nanosecond timestamp; we read them as raw int64 and truncate to
     microseconds (identical to DuckDB's ns→us truncation, so oracle
@@ -45,15 +45,18 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
             schema = ds.dataset(path, format="parquet").schema
     except Exception:
-        # Detection impossible (pyarrow missing/broken). Swallowing this
-        # while nanosAsLong is already set session-wide (streaming sets
-        # it) would silently expose ns columns as raw int64 BIGINTs
-        # (review r6) — fail loudly instead; without the conf Spark
-        # itself refuses ns files, so there is no silent path either way.
-        raise RuntimeError(
-            "pyarrow is required to detect parquet TIMESTAMP(NANOS) "
-            f"columns in {path} (nanosAsLong may be active session-wide)"
-        )
+        # Detection impossible (pyarrow missing/broken). Only dangerous
+        # when nanosAsLong is ALREADY set session-wide (streaming sets
+        # it): ns columns would silently read as raw int64 BIGINTs
+        # (review r6) — fail loudly then. Without the conf Spark itself
+        # refuses ns files, so degrading to "no ns columns" is safe and
+        # keeps ns-free tables loadable on pyarrow-less boxes (ADVICE r6).
+        if nanos_conf_set:
+            raise RuntimeError(
+                "pyarrow is required to detect parquet TIMESTAMP(NANOS) "
+                f"columns in {path} while nanosAsLong is active session-wide"
+            )
+        return []
     return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
 
 
@@ -69,7 +72,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     load_table) in the same session gets raw int64 columns and must do its
     own ÷1000 truncation, exactly like ``streaming.stream_events`` does."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = _nanos_timestamp_cols(path)
+    nanos_set = (
+        str(
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        ).lower()
+        == "true"
+    )
+    ns_cols = _nanos_timestamp_cols(path, nanos_conf_set=nanos_set)
     if not ns_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -202,6 +202,22 @@ class DistributedTable:
         ``routing_dirty_ids`` separately): a concurrent OPTIMIZE committing
         between two reads would pair old files with a cleared dirty set and
         silently un-widen pruning over still-misplaced rows (review r6)."""
+        if version == 0:
+            # v0 is never a committed doc — it is the empty table or the
+            # read-only-storage bootstrap listing. DML pins its scans to
+            # the base it will commit against; the old ``version=base or
+            # None`` idiom silently un-pinned 0 to a head read (ADVICE
+            # r6). Re-resolve: still v0 → serve it; head moved → the pin
+            # is unsatisfiable, fail exactly like a lost commit race.
+            v, files, dirty = _manifest_mod.load_full(
+                self.path, BUCKET_COL, self.meta.sort_column
+            )
+            if v != 0:
+                raise _manifest_mod.CommitConflict(
+                    f"pinned base v0 of {self.meta.name!r} is no longer "
+                    f"current (head is v{v})"
+                )
+            return 0, files, dirty
         if version is not None:
             files, dirty = _manifest_mod.load_version_full(self.path, version)
             return version, files, dirty
@@ -447,7 +463,7 @@ class DistributedTable:
         scan_ids = sorted(set(ids) | set(dirty))
         # pinned to the version the caller will commit against: anything
         # landing after it conflicts the commit and revalidates (review r6)
-        existing = self.scan(keep_bucket=True, version=base or None)
+        existing = self.scan(keep_bucket=True, version=base)
         if len(scan_ids) < self.meta.buckets:
             existing = existing.where(F.col(BUCKET_COL).isin(scan_ids))
         for col in self.meta.unique_columns:

@@ -1,0 +1,168 @@
+"""Regression tests for the five ADVICE-r6 findings fixed in round 7.
+
+1. sources/tables.py — pyarrow-less nanosecond detection degrades gracefully
+   unless nanosAsLong is already active session-wide.
+2. colocated.py — ``ident`` really sanitizes the user-supplied name.
+3. mpp.py — ``_cte_indirected``'s comma alternative no longer flags a
+   SELECT-list column that shares the table's name (perf-only, but now the
+   safe direction is tested both ways).
+4. dml.py — ``_check_unique_staged``'s value-global path only rejects
+   duplicate groups the staged rewrite participates in.
+5. table.py — ``snapshot_full(version=0)`` serves the pin explicitly instead
+   of silently un-pinning to a head read.
+"""
+
+import pytest
+
+from duckdb_mpp_spark import manifest
+from duckdb_mpp_spark.mpp import MppSession, _comma_in_from_list
+from duckdb_mpp_spark.sources.tables import _nanos_timestamp_cols
+from tests.conftest import rows
+
+
+# --- 1. nanos detection without pyarrow ------------------------------------
+
+def test_nanos_detection_unreadable_path_degrades_without_conf():
+    # detection failure (here: path that pyarrow cannot read) only matters
+    # when nanosAsLong is active — otherwise Spark itself refuses ns files
+    assert _nanos_timestamp_cols("/nonexistent/x.parquet") == []
+
+
+def test_nanos_detection_unreadable_path_raises_with_conf():
+    with pytest.raises(RuntimeError, match="nanosAsLong"):
+        _nanos_timestamp_cols("/nonexistent/x.parquet", nanos_conf_set=True)
+
+
+# --- 2. colocated ident sanitization ---------------------------------------
+
+def test_colocated_ident_is_sanitized(mpp):
+    # odd names are reachable via the python API (the SQL front door only
+    # parses bare identifiers)
+    t = mpp.create_distributed_table(
+        "weird name-t!",
+        "k INT, v TEXT",
+        partition_column="k",
+        buckets=4,
+        colocated=True,
+    )
+    ident = t.ident
+    assert all(c.isalnum() or c == "_" for c in ident), ident
+    t.ensure_registered()  # must be a valid (quoted or not) identifier
+    t.insert(t.spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    got = rows(t.scan(), "k")
+    assert got == [(1, "a"), (2, "b")]
+
+
+# --- 3. comma alternative in _cte_indirected -------------------------------
+
+@pytest.mark.parametrize(
+    "blank, needle, expected",
+    [
+        # relation list: FROM tv, st
+        ("SELECT a FROM tv, st WHERE x=1", ", st", True),
+        # select list: SELECT a, st FROM q (st is a COLUMN here)
+        ("SELECT a, st FROM q", ", st", False),
+        # subquery-derived relation then comma relation
+        ("SELECT * FROM (SELECT 1 AS a FROM q) z, st", ", st", True),
+        # select-list comma after a scalar subquery
+        ("SELECT (SELECT max(k) FROM t2), st FROM q", ", st", False),
+        # ambiguous (inside IN-list parens) stays flagged
+        ("SELECT a FROM q WHERE k IN (1, st)", ", st", True),
+    ],
+)
+def test_comma_in_from_list(blank, needle, expected):
+    pos = blank.index(needle)
+    assert _comma_in_from_list(blank, pos) is expected
+
+
+def test_cte_indirection_not_flagged_for_select_list_column(mpp):
+    mpp.sql("CREATE TABLE st(k INT, v TEXT) PARTITION BY(k) WITH BUCKETS 4")
+    mpp.sql("INSERT INTO st VALUES(1,'a'),(2,'b'),(3,'c')")
+    ses = mpp
+    # `, st` inside the CTE is a select-list COLUMN of q, not a relation
+    # reference of table st — pruning must stay enabled (perf-only assert:
+    # the query is still correct either way; we check the classifier)
+    q = "WITH c AS (SELECT k AS a, v AS st FROM st) SELECT a FROM c WHERE a = 2"
+    assert ses._cte_indirected(q, "st") is True  # real FROM st ref inside CTE
+    q2 = (
+        "WITH c AS (SELECT k AS a, st FROM q) "
+        "SELECT a FROM c WHERE a = 2 UNION ALL SELECT a FROM c"
+    )
+    assert ses._cte_indirected(q2, "st") is False
+    # and a genuine comma relation ref still disables pruning
+    q3 = (
+        "WITH c AS (SELECT q.k AS a FROM q, st) "
+        "SELECT a FROM c WHERE a = 2"
+    )
+    assert ses._cte_indirected(q3, "st") is True
+
+
+def test_cte_indirected_set_op_still_correct(mpp):
+    # end-to-end guard for the original ADVICE-r5 repro shape
+    mpp.sql("CREATE TABLE st2(k INT) PARTITION BY(k) WITH BUCKETS 4")
+    mpp.sql("INSERT INTO st2 VALUES(1),(2),(3)")
+    got = rows(
+        mpp.sql(
+            "WITH x AS (SELECT k FROM st2) "
+            "SELECT k FROM x WHERE k=2 UNION ALL SELECT k FROM x"
+        ),
+        "k",
+    )
+    assert [k for (k,) in got] == [1, 2, 2, 3]
+
+
+# --- 4. staged-unique global path ignores untouched-bucket duplicates ------
+
+def test_update_unaffected_by_preexisting_duplicate_elsewhere(mpp):
+    from duckdb_mpp_spark import dml
+
+    # no declared constraint at insert time, so the on-disk duplicate (7,7)
+    # can exist; then exercise the value-global check path directly the way
+    # a partition-column UPDATE would, with a staged rewrite that does NOT
+    # participate in the duplicate group
+    mpp.sql("CREATE TABLE gdup(k INT, v TEXT) PARTITION BY(k) WITH BUCKETS 4")
+    mpp.sql("INSERT INTO gdup VALUES(1,'a'),(7,'x'),(7,'y'),(9,'z')")
+    t = mpp.table("gdup")
+    base, _files, _dirty = t.snapshot_full()
+    # stage a rewrite of ONLY the bucket holding k=1 (new value 2 — unique)
+    b1 = t.route(t.spark.createDataFrame([(2, "a")], "k int, v string"))
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="staged_uniq_")
+    b1.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    staged_ids = [r[0] for r in b1.select("__bucket").distinct().collect()]
+    # pre-fix this raised on the untouched (7,7) pair; post-fix it passes
+    dml._check_unique_staged(
+        t, tmp, ["k"], global_cols=["k"], base=base, rewritten_ids=staged_ids
+    )
+    # and a staged value colliding with an untouched row still raises
+    b2 = t.route(t.spark.createDataFrame([(9, "new")], "k int, v string"))
+    tmp2 = tempfile.mkdtemp(prefix="staged_uniq_")
+    b2.write.mode("overwrite").partitionBy("__bucket").parquet(tmp2)
+    ids2 = [r[0] for r in b2.select("__bucket").distinct().collect()]
+    # exclude the bucket that holds the on-disk 9 only if it differs from
+    # the staged bucket; k routes identically, so the staged bucket IS the
+    # bucket of the old 9 — simulate "k reassigned into 9's bucket" by
+    # claiming we rewrote no buckets (the old 9 row is then 'untouched')
+    with pytest.raises(ValueError, match="Duplicate key"):
+        dml._check_unique_staged(
+            t, tmp2, ["k"], global_cols=["k"], base=base, rewritten_ids=[]
+        )
+
+
+# --- 5. version=0 pin ------------------------------------------------------
+
+def test_snapshot_full_version_zero_empty_table(mpp):
+    mpp.sql("CREATE TABLE pin0(k INT) PARTITION BY(k) WITH BUCKETS 2")
+    t = mpp.table("pin0")
+    v, files, dirty = t.snapshot_full(version=0)
+    assert (v, files, dirty) == (0, {}, [])
+
+
+def test_snapshot_full_version_zero_after_commit_conflicts(mpp):
+    mpp.sql("CREATE TABLE pin1(k INT) PARTITION BY(k) WITH BUCKETS 2")
+    mpp.sql("INSERT INTO pin1 VALUES(1),(2)")
+    t = mpp.table("pin1")
+    assert t.snapshot_full()[0] >= 1
+    with pytest.raises(manifest.CommitConflict):
+        t.snapshot_full(version=0)
