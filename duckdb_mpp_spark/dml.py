@@ -68,6 +68,7 @@ def _commit_rewrite(
     base: int,
     base_files: dict[str, dict],
     dirty_buckets: list[int] | None = None,
+    stream_batch: tuple[str, int] | None = None,
 ) -> None:
     """Ingest the staged rewrite and publish the snapshot that swaps the
     affected buckets' files. A bucket with no surviving rows simply has no
@@ -79,7 +80,8 @@ def _commit_rewrite(
     finally:
         shutil.rmtree(tmp_path, ignore_errors=True)
     table._commit_replace(
-        bucket_ids, new_entries, base, base_files, dirty_buckets=dirty_buckets
+        bucket_ids, new_entries, base, base_files, dirty_buckets=dirty_buckets,
+        stream_batch=stream_batch,
     )
 
 
@@ -290,7 +292,12 @@ def update(
     return matched
 
 
-def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
+def upsert(
+    table: DistributedTable,
+    df,
+    key_cols: list[str],
+    stream_batch: tuple[str, int] | None = None,
+) -> int:
     """MERGE-style upsert: input rows REPLACE existing rows with equal
     ``key_cols`` (standard SQL MERGE matching — NULL keys never match, so
     NULL-key input rows APPEND; declare the key NOT NULL to forbid them);
@@ -412,7 +419,9 @@ def upsert(table: DistributedTable, df, key_cols: list[str]) -> int:
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-    _commit_rewrite(table, tmp, ids, base, snap_files)
+    _commit_rewrite(
+        table, tmp, ids, base, snap_files, stream_batch=stream_batch
+    )
     return applied
 
 

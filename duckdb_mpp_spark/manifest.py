@@ -294,11 +294,28 @@ def dirty_buckets(table_path: str, version: int | None = None) -> list[int]:
     return []
 
 
+def applied_stream_batch(table_path: str, lineage: str) -> int | None:
+    """Highest streaming micro-batch id recorded as applied for checkpoint
+    ``lineage`` (see ``commit(stream_batch=…)``); None when no batch of
+    that lineage has ever committed. Reads the head snapshot doc with the
+    same readable-AND-resolvable rule as ``load`` — replay detection must
+    describe the snapshot a re-delivered batch would actually append to."""
+    if not os.path.isdir(table_path):
+        return None
+    for v in reversed(_list_versions(table_path)):
+        doc = _read_version_doc(table_path, v)
+        if doc is not None and _resolve_doc(table_path, doc) is not None:
+            val = (doc.get("stream") or {}).get(str(lineage))
+            return None if val is None else int(val)
+    return None
+
+
 def commit(
     table_path: str,
     files: dict[str, dict],
     base_version: int,
     dirty_buckets: "list[int] | None" = None,
+    stream_batch: "tuple[str, int] | None" = None,
 ) -> int:
     """Publish ``files`` as the next snapshot after ``base_version``.
 
@@ -308,6 +325,18 @@ def commit(
     (``update`` widens it, ``compact`` clears it with ``[]``). Either way
     ids whose bucket holds no files in the new snapshot are dropped — an
     emptied bucket cannot hold misplaced rows.
+
+    ``stream_batch`` = ``(lineage_id, batch_id)``: records that this
+    snapshot contains the effects of streaming micro-batch ``batch_id``
+    for checkpoint lineage ``lineage_id`` — IN the commit itself, so
+    replay detection is transactional with the data (r7, closing the
+    marker-file crash window the r6 streaming sinks documented: a marker
+    written after the commit leaves a window where a crash re-applies the
+    batch). The per-lineage map is inherited by every later commit
+    (batch DML interleaved with streaming must not erase replay
+    protection) and read back via :func:`applied_stream_batch`. One small
+    int per active lineage — O(#concurrent streams) metadata, never
+    row-sized.
 
     Sharded encoding: ``files`` is grouped by bucket; a bucket whose
     content is identical to the base snapshot's reuses the base's manifest
@@ -338,12 +367,17 @@ def commit(
     # base bucket → manifest-name map (for unchanged-bucket reuse)
     base_map: dict[str, str] = {}
     base_dirty: list[int] = []
+    base_stream: dict[str, int] = {}
     if base_version:
         base_doc = _read_version_doc(table_path, base_version)
         if base_doc is not None and "buckets" in base_doc:
             base_map = base_doc["buckets"]
         if base_doc is not None:
             base_dirty = [int(b) for b in base_doc.get("dirty", [])]
+            base_stream = {
+                str(k): int(v)
+                for k, v in (base_doc.get("stream") or {}).items()
+            }
 
     by_bucket: dict[str, dict[str, dict]] = {}
     for rel, ent in files.items():
@@ -371,6 +405,12 @@ def commit(
     doc: dict = {"format": 2, "buckets": bucket_manifests}
     if dirty:
         doc["dirty"] = dirty
+    stream = dict(base_stream)
+    if stream_batch is not None:
+        lineage, bid = stream_batch
+        stream[str(lineage)] = int(bid)
+    if stream:
+        doc["stream"] = stream
     with open(tmp, "w") as f:
         json.dump(doc, f)
         f.flush()

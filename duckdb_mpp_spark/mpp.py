@@ -419,13 +419,23 @@ class MppSession:
     def insert_df(self, name: str, df: DataFrame) -> int:
         return self.table(name).insert(df)
 
-    def upsert(self, name: str, df: DataFrame, key_cols: list[str]) -> int:
+    def upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        key_cols: list[str],
+        stream_batch: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE-style upsert (see dml.upsert): key-matched rows replaced,
-        others appended, one atomic snapshot commit."""
+        others appended, one atomic snapshot commit. ``stream_batch``
+        records a streaming micro-batch id in that commit (replay
+        detection transactional with the data — manifest.commit)."""
         self._reject_colocated_dml(name, "UPSERT")
         from duckdb_mpp_spark import dml as _dml_mod
 
-        return _dml_mod.upsert(self.table(name), df, key_cols)
+        return _dml_mod.upsert(
+            self.table(name), df, key_cols, stream_batch=stream_batch
+        )
 
     def master_add_node(self, host: str, port: int) -> None:
         """Compat shim (src/function/master_add_node.cpp) — Spark manages its

@@ -397,11 +397,13 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the continuous-load path the reference cannot express (it has
     no streaming); at scale each micro-batch is one bucketed write job and
     ingest throughput is bounded by the sink's parallelism, not the driver.
-    Exactly-once here comes from availableNow + the file sink's atomic
-    commit per batch, with re-delivered batch ids skipped via the
-    checkpoint-lineage marker (the standard idempotent-foreachBatch
-    recipe) — effectively-once, with the marker-vs-commit crash window
-    called out at the marker site."""
+    Exactly-once here comes from availableNow + the table's atomic
+    snapshot commit per batch, with the micro-batch id recorded IN that
+    commit (``insert(stream_batch=…)`` → manifest doc) — replay detection
+    is transactional with the data, so there is no marker-vs-commit crash
+    window at all (r7, closing the residue the r6 marker recipe
+    documented): a crash after the commit simply re-delivers a batch id
+    the snapshot already carries, and the check skips it."""
     from duckdb_mpp_spark.mpp import MppSession
 
     mpp = MppSession(spark, _gate_tmpdir("mpp_stream_ingest_"))
@@ -415,30 +417,30 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     ckpt = _gate_tmpdir("mpp_stream_ckpt_")
-    marker_dir = os.path.join(ckpt, "_applied_batches")
-    os.makedirs(marker_dir, exist_ok=True)
+    # the offset checkpoint path IS the lineage id: batch ids are only
+    # comparable within one checkpoint lineage, and a restarted production
+    # job passes the same persistent dir
+    lineage = os.path.join(ckpt, "offsets")
 
     def ingest_batch(batch, batch_id):
         # foreachBatch is at-least-once: a crash between the insert's
         # snapshot commit and the stream's offset commit re-delivers the
         # batch on resume, and a bare insert would append it twice. The
-        # marker (written LAST, keyed to this checkpoint lineage) makes
-        # re-delivered ids no-ops (review r6 — the standard idempotent-
-        # foreachBatch recipe; the residual crash window between commit
-        # and marker is what a transactional sink with in-table batch ids
-        # would close).
-        marker = os.path.join(marker_dir, f"b{batch_id}")
-        if os.path.exists(marker):
+        # batch id rides IN the snapshot commit, so this check and the
+        # data are one atomic unit (batch ids are monotone per lineage,
+        # hence the <= max-applied comparison).
+        applied = tbl.applied_stream_batch(lineage)
+        if applied is not None and batch_id <= applied:
             return
         # Empty micro-batches (restart with no new data, 0-row source file)
         # must not reach insert: its Observation-based row count is the
         # exact foreachBatch + AQE empty-relation hazard dml.upsert was
         # rewritten to avoid — AQE plans CollectMetrics away and obs.get
-        # blocks forever (review r4).
+        # blocks forever (review r4). No commit for an empty batch also
+        # means no replay record — harmless, replaying an empty batch is
+        # a no-op by construction.
         if not batch.isEmpty():
-            tbl.insert(batch)
-        with open(marker, "w") as f:
-            f.write("done")
+            tbl.insert(batch, stream_batch=(lineage, batch_id))
 
     q = (
         ev.writeStream.foreachBatch(ingest_batch)
@@ -489,16 +491,17 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
     )
     ckpt = _gate_tmpdir("mpp_upsert_ckpt_")
-    marker_dir = os.path.join(ckpt, "_applied_batches")
-    os.makedirs(marker_dir, exist_ok=True)
+    lineage = os.path.join(ckpt, "offsets")
 
     def merge_batch(batch, batch_id):
         # the merge is ADDITIVE (reads current totals, adds the batch), so
-        # at-least-once re-delivery would double-count — batch-id marker
-        # keyed to this checkpoint lineage, written after the snapshot
-        # commit (review r6; same recipe as the ingest sink above)
-        marker = os.path.join(marker_dir, f"b{batch_id}")
-        if os.path.exists(marker):
+        # at-least-once re-delivery would double-count — the batch id is
+        # committed WITH the merged snapshot (dml.upsert stream_batch),
+        # making the skip-check transactional with the data (r7; the r6
+        # marker file left a crash window between commit and marker where
+        # a re-delivered batch double-added).
+        applied = tbl.applied_stream_batch(lineage)
+        if applied is not None and batch_id <= applied:
             return
         agg = batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_new"),
@@ -521,9 +524,10 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("total_q"),
             )
         )
-        mpp.upsert("user_totals", merged, ["user_id"])
-        with open(marker, "w") as f:
-            f.write("done")
+        mpp.upsert(
+            "user_totals", merged, ["user_id"],
+            stream_batch=(lineage, batch_id),
+        )
 
     q = (
         ev.writeStream.foreachBatch(merge_batch)
@@ -583,8 +587,12 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
     batch, and by then the index already holds the batch's own signatures,
     so every doc would re-verdict as a duplicate OF ITSELF alongside its
     original verdict. A per-batch marker file (written LAST) makes the
-    body skip re-delivered batch ids — the same recipe the distributed
-    sinks use via their atomic snapshot commit. The guard only ENGAGES
+    body skip re-delivered batch ids. (The DISTRIBUTED-table sinks
+    upgraded past this recipe in r7 — their batch id rides inside the
+    snapshot commit itself, `manifest.commit(stream_batch=…)`; this
+    pipeline appends to plain parquet dirs, which have no atomic commit
+    to embed into, so the marker remains its honest contract.) The guard
+    only ENGAGES
     when the caller supplies ``checkpoint_dir`` (review r6: with the
     default throwaway dir, a retried CALL starts a fresh lineage and can
     never see a prior marker — production retries of a crashed day must

@@ -310,6 +310,7 @@ class DistributedTable:
         base: int,
         files: dict[str, dict],
         revalidate=None,
+        stream_batch: tuple[str, int] | None = None,
     ) -> None:
         """Publish snapshot ∪ new files. ``(base, files)`` must be the
         snapshot read BEFORE the staged files were ingested. Appends
@@ -330,7 +331,10 @@ class DistributedTable:
         (vacuumable), same as a crashed insert."""
         for _ in range(100):
             try:
-                _manifest_mod.commit(self.path, {**files, **new_entries}, base)
+                _manifest_mod.commit(
+                    self.path, {**files, **new_entries}, base,
+                    stream_batch=stream_batch,
+                )
                 return
             except _manifest_mod.CommitConflict:
                 base, files, dirty = self.snapshot_full()
@@ -348,6 +352,7 @@ class DistributedTable:
         base: int,
         base_files: dict[str, dict],
         dirty_buckets: list[int] | None = None,
+        stream_batch: tuple[str, int] | None = None,
     ) -> None:
         """Publish a COW rewrite: the affected buckets' old files leave the
         snapshot, the staged files enter. The base version pins optimistic
@@ -370,7 +375,7 @@ class DistributedTable:
         }
         _manifest_mod.commit(
             self.path, {**survivors, **new_entries}, base,
-            dirty_buckets=dirty_buckets,
+            dirty_buckets=dirty_buckets, stream_batch=stream_batch,
         )
 
     def vacuum(
@@ -389,6 +394,12 @@ class DistributedTable:
             self.meta.sort_column,
             orphan_grace_seconds,
         )
+
+    def applied_stream_batch(self, lineage: str) -> int | None:
+        """Highest streaming micro-batch id committed for checkpoint
+        ``lineage`` (manifest.applied_stream_batch) — the transactional
+        replay check for idempotent foreachBatch sinks (r7)."""
+        return _manifest_mod.applied_stream_batch(self.path, lineage)
 
     def route(self, df: DataFrame) -> DataFrame:
         """Append the bucket-id column (the reference's hash-partitioning
@@ -498,9 +509,16 @@ class DistributedTable:
                     f'violates unique constraint in table "{self.meta.name}"'
                 )
 
-    def insert(self, df: DataFrame) -> int:
+    def insert(
+        self, df: DataFrame, stream_batch: tuple[str, int] | None = None
+    ) -> int:
         """Bucket-routed append; returns inserted row count (the reference's
         single BIGINT result row, src/execution/mpp_physical_insert.cpp:215-221).
+
+        ``stream_batch=(lineage, batch_id)`` records the streaming
+        micro-batch IN the snapshot commit (manifest.commit) so replay
+        detection is transactional with the data — see
+        ``applied_stream_batch``.
 
         Stage → ingest → commit: the write job lands in a temp dir, files
         move to commit-unique final names, then one snapshot publish makes
@@ -560,7 +578,9 @@ class DistributedTable:
                 if self.meta.unique_columns
                 else None
             )
-            self._commit_append(new_entries, base, files, revalidate)
+            self._commit_append(
+                new_entries, base, files, revalidate, stream_batch=stream_batch
+            )
         finally:
             _shutil.rmtree(tmp, ignore_errors=True)
         try:

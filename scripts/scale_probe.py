@@ -182,6 +182,60 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
 
     run("substring_spans", lambda: duplicated_span_stats(docs))
 
+    # Contamination check (VERDICT r6 #4: fixed-overhead vs data-cost
+    # evidence for the watch-list gate): benchmark side is the FIXED-size
+    # part-name corpus (tagged zz0 so replica-0 hits survive the doc
+    # tagging), docs side scales — exactly production shape (eval set
+    # constant, corpus grows). The timed cost is the corpus shingle scan +
+    # broadcast-filtered hits.
+    from duckdb_mpp_spark.operators.corpus import contamination_overlap
+
+    bench_side = (
+        spark.read.parquet(f"{SRC}/part.parquet")
+        .select(
+            F.col("p_partkey").alias("doc_id"),
+            F.regexp_replace("p_name", "(^| )", "$1zz0").alias("text"),
+        )
+    )
+    run(
+        "contamination_overlap",
+        lambda: contamination_overlap(docs, bench_side),
+    )
+
+    # Incremental dedup DAILY RUN against the persisted bucketed band index
+    # (r7): the index build (full-corpus hash + bucketed write) is untimed
+    # setup — production carries it over from prior runs — so this row
+    # isolates what a daily run pays: batch-only hashing (1/7 of corpus),
+    # a bucket-pruned index read, one broadcast/shuffle join, one
+    # aggregation. Near-linear here means the daily path scales with the
+    # BATCH, the whole point of the bucketed layout.
+    import tempfile
+
+    from duckdb_mpp_spark.operators.dedup import (
+        incremental_dedup,
+        read_band_index,
+        write_band_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="probe_band_idx_")
+    write_band_index(
+        minhash_bands(docs.where(F.col("doc_id") % 7 != F.lit(0))),
+        idx_dir,
+        min_doc_only=True,
+    )
+
+    def daily_incremental():
+        b = minhash_bands(
+            docs.where(F.col("doc_id") % 7 == F.lit(0))
+        ).localCheckpoint(eager=False)
+        idx = read_band_index(spark, idx_dir, batch_bands=b)
+        return incremental_dedup(
+            idx, b, materialize_batch=False, prefilter=False
+        )
+
+    run("dedup_incremental_daily", daily_incremental)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     # Triangles over the VERIFIED near-dup graph (jaccard >= 0.5), not raw
     # candidate pairs: the replica tagging correlates minhashes through hot
     # "zz<i> <stopword> zz<i>" shingles, so raw LSH buckets here are an

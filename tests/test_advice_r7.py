@@ -166,3 +166,62 @@ def test_snapshot_full_version_zero_after_commit_conflicts(mpp):
     assert t.snapshot_full()[0] >= 1
     with pytest.raises(manifest.CommitConflict):
         t.snapshot_full(version=0)
+
+
+# --- r7: commit-embedded streaming batch ids -------------------------------
+
+def test_stream_batch_rides_in_commit_and_inherits(mpp):
+    from pyspark.sql import functions as F
+
+    mpp.sql("CREATE TABLE sb(k INT, v TEXT) PARTITION BY(k) WITH BUCKETS 4")
+    t = mpp.table("sb")
+    spark = t.spark
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert t.applied_stream_batch("L") is None
+    t.insert(df, stream_batch=("L", 0))
+    assert t.applied_stream_batch("L") == 0
+    # interleaved batch DML must INHERIT the replay record, not erase it
+    mpp.sql("UPDATE sb SET v='z' WHERE k=1")
+    assert t.applied_stream_batch("L") == 0
+    # a second lineage coexists
+    t.insert(spark.createDataFrame([(3, "c")], "k int, v string"),
+             stream_batch=("M", 5))
+    assert t.applied_stream_batch("L") == 0
+    assert t.applied_stream_batch("M") == 5
+    t.insert(spark.createDataFrame([(4, "d")], "k int, v string"),
+             stream_batch=("L", 1))
+    assert t.applied_stream_batch("L") == 1
+    # upsert path records too
+    from duckdb_mpp_spark import dml
+
+    dml.upsert(
+        t, spark.createDataFrame([(1, "up")], "k int, v string"), ["k"],
+        stream_batch=("L", 2),
+    )
+    assert t.applied_stream_batch("L") == 2
+    got = rows(t.scan(), "k")
+    assert [r[0] for r in got] == [1, 2, 3, 4]
+    assert got[0][1] == "up"
+
+
+def test_stream_batch_replay_guard_semantics(mpp):
+    """The sink-side guard: a re-delivered id <= applied must be skippable
+    with no double-append, exactly the foreachBatch closure's check."""
+    mpp.sql("CREATE TABLE sb2(k INT) PARTITION BY(k) WITH BUCKETS 2")
+    t = mpp.table("sb2")
+    spark = t.spark
+    lineage = "ckpt/offsets"
+
+    def deliver(batch_id, values):
+        applied = t.applied_stream_batch(lineage)
+        if applied is not None and batch_id <= applied:
+            return False
+        t.insert(spark.createDataFrame([(v,) for v in values], "k int"),
+                 stream_batch=(lineage, batch_id))
+        return True
+
+    assert deliver(0, [1, 2]) is True
+    assert deliver(0, [1, 2]) is False   # replay after successful commit
+    assert deliver(1, [3]) is True
+    assert deliver(0, [1, 2]) is False   # late replay of an old id
+    assert [r[0] for r in rows(t.scan(), "k")] == [1, 2, 3]
