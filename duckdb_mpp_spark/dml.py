@@ -133,7 +133,7 @@ def _check_unique_staged(
         if col in global_set:
             group = [col]
             rest = (
-                table.scan(where=None, keep_bucket=True, version=base)
+                table.scan(where=None, keep_bucket=True, version=base, pinned=True)
                 .where(~F.col(BUCKET_COL).isin(rewritten_ids or []))
                 .select(BUCKET_COL, col)
                 .where(F.col(col).isNotNull())
@@ -179,7 +179,7 @@ def _dml_bucket_ids(
     if not extra or where is None:
         return ids
     hits = (
-        table.scan(where=None, keep_bucket=True, version=base)
+        table.scan(where=None, keep_bucket=True, version=base, pinned=True)
         .where(F.col(BUCKET_COL).isin(extra))
         .where(F.coalesce(F.expr(where), F.lit(False)))
         .select(BUCKET_COL)
@@ -212,7 +212,7 @@ def update(
     # scan pinned to the SAME version the commit below is based on — a
     # concurrent commit aborts ours (CommitConflict) instead of leaking
     # its rows into our rewrite (review r6)
-    df = table.scan(where=None, keep_bucket=True, version=base)
+    df = table.scan(where=None, keep_bucket=True, version=base, pinned=True)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
 
@@ -358,7 +358,7 @@ def upsert(
     dirty_extra = sorted(set(dirty0) - batch_ids)
     if dirty_extra:
         hit = (
-            table.scan(where=None, keep_bucket=True, version=base)
+            table.scan(where=None, keep_bucket=True, version=base, pinned=True)
             .where(F.col(BUCKET_COL).isin(dirty_extra))
             .join(new_rows.select(*key_cols).distinct(), key_cols, "left_semi")
             .select(BUCKET_COL)
@@ -369,7 +369,7 @@ def upsert(
     ids = sorted(batch_ids)
 
     # pinned to the commit's base version — see update()
-    existing = table.scan(where=None, keep_bucket=True, version=base)
+    existing = table.scan(where=None, keep_bucket=True, version=base, pinned=True)
     if len(ids) < meta.buckets:
         existing = existing.where(F.col(BUCKET_COL).isin(ids))
     # anti-join on the input's key set; AQE broadcasts it when the batch is
@@ -442,7 +442,7 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
         _manifest_mod.commit(table.path, {}, base)
         return total
 
-    df = table.scan(where=None, keep_bucket=True, version=base)
+    df = table.scan(where=None, keep_bucket=True, version=base, pinned=True)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
     pred = F.coalesce(F.expr(where), F.lit(False))

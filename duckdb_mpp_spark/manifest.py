@@ -294,6 +294,27 @@ def dirty_buckets(table_path: str, version: int | None = None) -> list[int]:
     return []
 
 
+# Stream-map retention horizon (review r7): entries a lineage has not
+# refreshed within this many commits are pruned at the next commit, so
+# snapshot metadata is O(#lineages active in the horizon), not O(#lineages
+# ever seen) — every retired checkpoint (each a distinct UUID lineage)
+# would otherwise ride in every future version doc forever. Trade-off,
+# same as Delta's txn retention: a stream idle for more than this many
+# commits that then re-delivers its LAST batch re-applies it once
+# (at-least-once, duplicate visible) — never silent loss, and availableNow
+# gates commit every batch so the horizon never engages mid-stream.
+STREAM_RETENTION_VERSIONS = 1000
+
+
+def _stream_entry(val) -> tuple[int, int | None]:
+    """``(batch_id, last_update_version)`` from a stream-map value —
+    current format ``[bid, version]``; legacy bare-int docs (pre-r7
+    retention) have no recorded version."""
+    if isinstance(val, (list, tuple)):
+        return int(val[0]), int(val[1])
+    return int(val), None
+
+
 def applied_stream_batch(table_path: str, lineage: str) -> int | None:
     """Highest streaming micro-batch id recorded as applied for checkpoint
     ``lineage`` (see ``commit(stream_batch=…)``); None when no batch of
@@ -306,7 +327,7 @@ def applied_stream_batch(table_path: str, lineage: str) -> int | None:
         doc = _read_version_doc(table_path, v)
         if doc is not None and _resolve_doc(table_path, doc) is not None:
             val = (doc.get("stream") or {}).get(str(lineage))
-            return None if val is None else int(val)
+            return None if val is None else _stream_entry(val)[0]
     return None
 
 
@@ -334,9 +355,11 @@ def commit(
     written after the commit leaves a window where a crash re-applies the
     batch). The per-lineage map is inherited by every later commit
     (batch DML interleaved with streaming must not erase replay
-    protection) and read back via :func:`applied_stream_batch`. One small
-    int per active lineage — O(#concurrent streams) metadata, never
-    row-sized.
+    protection) and read back via :func:`applied_stream_batch`. Each
+    entry records the version that last refreshed it; entries idle past
+    ``STREAM_RETENTION_VERSIONS`` are pruned here, so the map is bounded
+    by lineages active within the horizon, never by lineages ever seen
+    (review r7 — see the constant's trade-off note).
 
     Sharded encoding: ``files`` is grouped by bucket; a bucket whose
     content is identical to the base snapshot's reuses the base's manifest
@@ -367,7 +390,7 @@ def commit(
     # base bucket → manifest-name map (for unchanged-bucket reuse)
     base_map: dict[str, str] = {}
     base_dirty: list[int] = []
-    base_stream: dict[str, int] = {}
+    base_stream: "dict[str, tuple[int, int | None]]" = {}
     if base_version:
         base_doc = _read_version_doc(table_path, base_version)
         if base_doc is not None and "buckets" in base_doc:
@@ -375,7 +398,7 @@ def commit(
         if base_doc is not None:
             base_dirty = [int(b) for b in base_doc.get("dirty", [])]
             base_stream = {
-                str(k): int(v)
+                str(k): _stream_entry(v)
                 for k, v in (base_doc.get("stream") or {}).items()
             }
 
@@ -405,12 +428,18 @@ def commit(
     doc: dict = {"format": 2, "buckets": bucket_manifests}
     if dirty:
         doc["dirty"] = dirty
-    stream = dict(base_stream)
+    stream: dict[str, tuple[int, int]] = {}
+    for k, (bid, ver) in base_stream.items():
+        # legacy bare-int entries carry no refresh version: date them at
+        # the base so they age out on the same horizon
+        ver = base_version if ver is None else ver
+        if new_version - ver <= STREAM_RETENTION_VERSIONS:
+            stream[k] = (bid, ver)
     if stream_batch is not None:
         lineage, bid = stream_batch
-        stream[str(lineage)] = int(bid)
+        stream[str(lineage)] = (int(bid), new_version)
     if stream:
-        doc["stream"] = stream
+        doc["stream"] = {k: [b, v] for k, (b, v) in stream.items()}
     with open(tmp, "w") as f:
         json.dump(doc, f)
         f.flush()

@@ -89,6 +89,26 @@ def _blank_literals(text: str) -> str:
     )
 
 
+def _blank_quotes_and_comments(text: str) -> str:
+    """Length-preserving blank of double-quoted / backtick identifiers,
+    ``--`` line comments and ``/* */`` block comments — applied ON TOP of
+    ``_blank_literals`` wherever a scanner inspects raw characters (review
+    r7: a ``select`` inside a block comment or quoted identifier between
+    FROM and a relation-list comma made ``_comma_in_from_list`` classify
+    the comma as a select-list comma, re-enabling pruning on a CTE-fed
+    source — the wrong-results direction that guard exists to prevent)."""
+
+    def _blank_quoted(m):
+        s = m.group(0)
+        return s[0] + " " * (len(s) - 2) + s[-1]
+
+    text = re.sub(r'"[^"]*"', _blank_quoted, text)
+    text = re.sub(r"`[^`]*`", _blank_quoted, text)
+    text = re.sub(r"/\*.*?\*/", lambda m: " " * len(m.group(0)), text, flags=re.S)
+    text = re.sub(r"--[^\n]*", lambda m: " " * len(m.group(0)), text)
+    return text
+
+
 def _find_keyword_top_level(text: str, word: str, start: int = 0) -> int:
     """Index of the first standalone ``word`` (case-insensitive) at paren
     depth 0, outside single-quoted literals ('' escapes) and double-quoted
@@ -1034,7 +1054,9 @@ class MppSession:
         main_sel = _find_keyword_top_level(query, "SELECT")
         if main_sel < 0:
             return True  # unparseable WITH shape: stay conservative
-        blank = _blank_literals(query)
+        # comments/quoted identifiers blanked too: the backward keyword
+        # scan below must never see a 'select' inside either (review r7)
+        blank = _blank_quotes_and_comments(_blank_literals(query))
         for m in re.finditer(
             rf"(\bFROM\s+|\bJOIN\s+|(,)\s*){re.escape(name)}\b(?!\.)",
             blank,

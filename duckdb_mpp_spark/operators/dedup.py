@@ -510,9 +510,45 @@ def incremental_dedup(
 # a METADATA cost (one dir listing entry per bucket), so size it to the
 # deployment: at 100 TB of corpus the signatures are ~100 GB and 4096
 # buckets keep each bucket ~25 MB of parquet — here 64 keeps the fixture
-# layouts small. Readers pass the same n they wrote with (stored in the
-# directory name by write_band_index so mismatch fails loudly).
+# layouts small. The written layout records its own n (``_band_index_meta
+# .json`` inside the directory — Spark ignores underscore-prefixed files);
+# readers and appenders validate against it, so a modulus mismatch fails
+# loudly instead of silently pruning the wrong buckets (review r7).
 BAND_INDEX_BUCKETS = 64
+
+_BAND_INDEX_META = "_band_index_meta.json"
+
+
+def _band_index_check_meta(path: str, n_buckets: int, write: bool) -> int:
+    """Record (``write=True``, after a successful overwrite/append — an
+    overwrite REPLACES the whole layout, so its n is re-recorded
+    unconditionally; Spark's overwrite may leave underscore-prefixed
+    files behind) or validate the layout's bucket count: any mismatch
+    with an existing recorded n raises — loud beats silently pruning the
+    wrong buckets. Returns the effective n (= the recorded one when
+    present)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, _BAND_INDEX_META)
+    if write:
+        os.makedirs(path, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": int(n_buckets)}, f)
+        os.replace(tmp, meta_path)
+        return n_buckets
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = int(json.load(f)["n_buckets"])
+        if stored != n_buckets:
+            raise ValueError(
+                f"band index at {path} was written with n_buckets={stored}; "
+                f"got n_buckets={n_buckets} — a mismatched modulus would "
+                "silently prune the wrong buckets"
+            )
+        return stored
+    return n_buckets
 
 
 def band_bucket_expr(n_buckets: int = BAND_INDEX_BUCKETS):
@@ -556,6 +592,11 @@ def write_band_index(
     generations yields several rows whose min the verdict aggregation
     takes anyway. Only valid for smallest-match consumers (dedup
     verdicts); keep the full layout for signature-similarity uses."""
+    if mode == "append":
+        # validate BEFORE appending — a mismatched modulus would scatter
+        # the new generation across the wrong buckets (overwrite replaces
+        # the whole layout, so it re-records instead of validating)
+        _band_index_check_meta(path, n_buckets, write=False)
     if min_doc_only:
         bands = bands.groupBy("band", "band_key").agg(
             F.min(id_col).alias(id_col)
@@ -567,6 +608,8 @@ def write_band_index(
         .partitionBy("band_bucket")
         .parquet(path)
     )
+    # recorded AFTER the write: Spark's overwrite clears the directory
+    _band_index_check_meta(path, n_buckets, write=True)
 
 
 def read_band_index(
@@ -587,6 +630,7 @@ def read_band_index(
     batch touching every bucket degrades gracefully to a full (still
     parallel, still columnar) read — never worse than the unbucketed
     layout."""
+    n_buckets = _band_index_check_meta(path, n_buckets, write=False)
     idx = spark.read.option("basePath", path).parquet(path)
     if batch_bands is not None:
         hit = [
@@ -619,12 +663,9 @@ _GATE_INDEX_BUCKETS = 16
 def _persisted_band_index(spark, sf_dir: str) -> str:
     path = _BAND_INDEX_DIRS.get(sf_dir)
     if path is None:
-        import atexit
-        import shutil
-        import tempfile
+        from duckdb_mpp_spark.tmputil import session_tmpdir
 
-        path = tempfile.mkdtemp(prefix="band_index_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        path = session_tmpdir("band_index_")
         idx_docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id").where(
             F.col("doc_id") % 7 != F.lit(0)
         )

@@ -13,15 +13,14 @@ The temp warehouses live for the session (the returned DataFrames scan them
 lazily — no driver-side materialization, so the pattern holds at any scale).
 """
 
-import atexit
-import shutil as _shutil
-import tempfile
-
 from pyspark.sql import types as _T
 
 from duckdb_mpp_spark.mpp import MppSession
 from duckdb_mpp_spark.queries import Query, register
 from duckdb_mpp_spark.sources import load_table
+
+# shared session-lifetime tempdir recipe (review r7: was one of three copies)
+from duckdb_mpp_spark.tmputil import session_tmpdir as _gate_tmpdir
 
 ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
@@ -33,15 +32,6 @@ _GATE_SCHEMA = _T.StructType(
 )
 
 
-def _gate_tmpdir(prefix: str = "mpp_gate_") -> str:
-    """Session-lifetime temp dir for a gate warehouse, reclaimed at process
-    exit (review r4): gates return LAZY DataFrames that scan these dirs, so
-    they must outlive the call — but the driver re-runs the ~16 mpp gates
-    every round, and without exit-time cleanup /tmp accumulates several
-    fixture copies per gate per round until writes start failing."""
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(_shutil.rmtree, d, ignore_errors=True)
-    return d
 
 
 def _bucketed_orders(spark, sf_dir: str, name: str, buckets: int = 12):

@@ -39,17 +39,37 @@ def _events_schema(ts_as_long: bool) -> T.StructType:
     )
 
 
-def _gate_tmpdir(prefix: str) -> str:
-    """Session-lifetime temp dir (warehouse / checkpoint / sink), reclaimed
-    at process exit — the driver re-runs these gates every round and the
-    dirs would otherwise accumulate in /tmp unboundedly (review r4)."""
-    import atexit
-    import shutil as _shutil
-    import tempfile as _tf
+# shared session-lifetime tempdir recipe (review r7: was the third copy)
+from duckdb_mpp_spark.tmputil import session_tmpdir as _gate_tmpdir
 
-    d = _tf.mkdtemp(prefix=prefix)
-    atexit.register(_shutil.rmtree, d, ignore_errors=True)
-    return d
+
+def _checkpoint_lineage(ckpt: str) -> str:
+    """Replay-detection lineage id for a streaming checkpoint: a UUID
+    minted once and stored IN the checkpoint directory, so the identity
+    lives and dies with the checkpoint.
+
+    Batch ids are only comparable within one checkpoint lifetime. Keying
+    the manifest's replay map by the checkpoint PATH outlives a
+    deleted/reset checkpoint (review r7): structured streaming restarts
+    batch ids at 0, the manifest still holds the old maximum, and every
+    new micro-batch is silently skipped — permanent data loss. With the
+    UUID file, a reset checkpoint mints a NEW lineage, the skip-check
+    finds no applied batches, and the stream re-ingests from its source —
+    at-least-once (loudly duplicating, operator-visible) instead of
+    silently losing data."""
+    os.makedirs(ckpt, exist_ok=True)
+    p = os.path.join(ckpt, "_mpp_lineage")
+    if not os.path.exists(p):
+        import uuid
+
+        try:
+            # exclusive create: two racing initializers settle on one id
+            with open(p, "x") as f:
+                f.write(uuid.uuid4().hex)
+        except FileExistsError:
+            pass
+    with open(p) as f:
+        return f.read().strip()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +81,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_mpp_spark.sources.tables import _nanos_timestamp_cols
 
     src = os.path.join(sf_dir, "events.parquet")
-    ns_cols = _nanos_timestamp_cols(src)
+    # conf-aware like load_table (review r7: the degrade-without-pyarrow
+    # path must still fail loudly when nanosAsLong is already active —
+    # ns columns would otherwise silently read as raw int64 BIGINTs)
+    nanos_set = (
+        str(
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        ).lower()
+        == "true"
+    )
+    ns_cols = _nanos_timestamp_cols(src, nanos_conf_set=nanos_set)
     if "ts" in ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_events_schema(ts_as_long="ts" in ns_cols))
@@ -417,10 +446,10 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     ckpt = _gate_tmpdir("mpp_stream_ckpt_")
-    # the offset checkpoint path IS the lineage id: batch ids are only
-    # comparable within one checkpoint lineage, and a restarted production
-    # job passes the same persistent dir
-    lineage = os.path.join(ckpt, "offsets")
+    # lineage id minted INSIDE the checkpoint dir (not the path — a
+    # deleted/reset checkpoint must reset the identity too, review r7);
+    # a restarted production job passes the same persistent dir
+    lineage = _checkpoint_lineage(ckpt)
 
     def ingest_batch(batch, batch_id):
         # foreachBatch is at-least-once: a crash between the insert's
@@ -491,7 +520,7 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
     )
     ckpt = _gate_tmpdir("mpp_upsert_ckpt_")
-    lineage = os.path.join(ckpt, "offsets")
+    lineage = _checkpoint_lineage(ckpt)
 
     def merge_batch(batch, batch_id):
         # the merge is ADDITIVE (reads current totals, adds the batch), so

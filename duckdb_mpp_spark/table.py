@@ -194,15 +194,23 @@ class DistributedTable:
         return _manifest_mod.load(self.path, BUCKET_COL, self.meta.sort_column)
 
     def snapshot_full(
-        self, version: int | None = None
+        self, version: int | None = None, pinned: bool = False
     ) -> tuple[int, dict[str, dict], list[int]]:
         """``(version, files, routing_dirty_bucket_ids)`` — all three from
         ONE version doc. Every read or DML that both plans from a file list
         and consults the dirty set must use this (not ``snapshot_files`` +
         ``routing_dirty_ids`` separately): a concurrent OPTIMIZE committing
         between two reads would pair old files with a cleared dirty set and
-        silently un-widen pruning over still-misplaced rows (review r6)."""
-        if version == 0:
+        silently un-widen pruning over still-misplaced rows (review r6).
+
+        ``pinned`` marks an INTERNAL DML base pin (the scan must describe
+        exactly the version the writer will commit against). Only that
+        path takes the v0 re-resolve branch below: user time travel
+        ``version=0`` without it falls through to ``load_version_full``'s
+        clear "no snapshot v0" ValueError instead of a misleading
+        ``CommitConflict`` — and on an empty table it must NOT silently
+        serve an empty frame (review r7)."""
+        if version == 0 and pinned:
             # v0 is never a committed doc — it is the empty table or the
             # read-only-storage bootstrap listing. DML pins its scans to
             # the base it will commit against; the old ``version=base or
@@ -474,7 +482,7 @@ class DistributedTable:
         scan_ids = sorted(set(ids) | set(dirty))
         # pinned to the version the caller will commit against: anything
         # landing after it conflicts the commit and revalidates (review r6)
-        existing = self.scan(keep_bucket=True, version=base)
+        existing = self.scan(keep_bucket=True, version=base, pinned=True)
         if len(scan_ids) < self.meta.buckets:
             existing = existing.where(F.col(BUCKET_COL).isin(scan_ids))
         for col in self.meta.unique_columns:
@@ -654,14 +662,16 @@ class DistributedTable:
         keep_bucket: bool = False,
         qualifiers: set[str] | None = None,
         version: int | None = None,
+        pinned: bool = False,
     ) -> DataFrame:
         """Bucket-pruned scan planned from the current snapshot's file list
         (or a historical one: ``version`` = time travel, free because every
-        commit is a full snapshot). ``where`` is applied in full by
-        Catalyst; the derived ``__bucket`` predicate only narrows which
-        partition directories the file index keeps (pruning is an
-        optimization, never a filter)."""
-        _v, snap_files, dirty = self.snapshot_full(version)
+        commit is a full snapshot; ``pinned`` = internal DML base pin, see
+        ``snapshot_full``). ``where`` is applied in full by Catalyst; the
+        derived ``__bucket`` predicate only narrows which partition
+        directories the file index keeps (pruning is an optimization,
+        never a filter)."""
+        _v, snap_files, dirty = self.snapshot_full(version, pinned=pinned)
         if not snap_files:
             df = self._empty_df(with_bucket=keep_bucket)
             if where:

@@ -155,8 +155,13 @@ def test_update_unaffected_by_preexisting_duplicate_elsewhere(mpp):
 def test_snapshot_full_version_zero_empty_table(mpp):
     mpp.sql("CREATE TABLE pin0(k INT) PARTITION BY(k) WITH BUCKETS 2")
     t = mpp.table("pin0")
-    v, files, dirty = t.snapshot_full(version=0)
+    # internal DML pin: serve the empty v0 explicitly
+    v, files, dirty = t.snapshot_full(version=0, pinned=True)
     assert (v, files, dirty) == (0, {}, [])
+    # user time travel to v0: a clear error, never a silent empty frame
+    # (review r7 — the pin branch must not capture VERSION AS OF 0)
+    with pytest.raises(ValueError, match="no snapshot v0"):
+        t.snapshot_full(version=0)
 
 
 def test_snapshot_full_version_zero_after_commit_conflicts(mpp):
@@ -164,7 +169,12 @@ def test_snapshot_full_version_zero_after_commit_conflicts(mpp):
     mpp.sql("INSERT INTO pin1 VALUES(1),(2)")
     t = mpp.table("pin1")
     assert t.snapshot_full()[0] >= 1
+    # a stale internal pin fails like a lost commit race …
     with pytest.raises(manifest.CommitConflict):
+        t.snapshot_full(version=0, pinned=True)
+    # … but USER time travel keeps the time-travel error type (review r7:
+    # CommitConflict is what retry/abort logic is written against)
+    with pytest.raises(ValueError, match="no snapshot v0"):
         t.snapshot_full(version=0)
 
 
