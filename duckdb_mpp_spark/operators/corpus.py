@@ -573,7 +573,15 @@ def global_shuffle_positions(
 
         size = plan_size_bytes(docs)
         two_phase = size is None or size > _SINGLE_SORT_BYTES
-    key = F.md5(F.concat(F.lit("epoch-42:"), F.col(id_col).cast("string")))
+    # concat_ws, not concat (review r7): the oracle's DuckDB concat() SKIPS
+    # NULL arguments, so a NULL id hashes the bare salt there while Spark's
+    # null-propagating concat made the whole key NULL (sorted FIRST, tied
+    # with every other NULL-id row — nondeterministic position drift for
+    # all later rows). concat_ws skips NULLs identically: a NULL-id doc
+    # gets the deterministic md5('epoch-42:') position on both engines.
+    key = F.md5(
+        F.concat_ws("", F.lit("epoch-42:"), F.col(id_col).cast("string"))
+    )
     if not two_phase:
         return docs.select(
             F.col(id_col).alias("doc_id"),
@@ -648,6 +656,15 @@ def chunk_documents(
     already-split token array. Entirely map-side: no shuffle until a
     downstream consumer groups or writes, so at 100 TB it chunks at scan
     speed and inherits the scan's partitioning."""
+    if stride <= 0 or stride > size:
+        # stride > size silently drops tokens [size, stride) of every
+        # window from ALL chunks — breaking the every-token-covered
+        # contract above — and stride <= 0 never advances (review r7;
+        # the gate only exercises the defaults, so validate loudly)
+        raise ValueError(
+            f"chunk_documents requires 0 < stride <= size, got "
+            f"stride={stride}, size={size}"
+        )
     toks = df.select(F.col(id_col), tokens(text_col).alias("ws"))
     n = F.size("ws")
     # empty/NULL-text docs emit ZERO chunks (contract: every i with

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_mpp_spark.operators.dedup import shingles
-from duckdb_mpp_spark.operators.text import tokens
+from duckdb_mpp_spark.operators.text import _duck_tokens, tokens
 from duckdb_mpp_spark.queries import Query, register
 from duckdb_mpp_spark.sources import load_table
 
@@ -53,10 +53,10 @@ def duplicated_span_stats(
 
     Three key-partitioned shuffles, each algorithm-required: (doc, gram)
     occurrence counts; gram → #docs; per-doc rollup. The gram → #docs step
-    is a COUNT over a window on the gram key, not a groupBy + self-join:
-    a join would make Spark evaluate the (doc, gram) aggregate subtree
-    twice (once per branch), doubling the shingle explode — the window
-    keeps one linear pipeline (measured sf0.1: 3.7 s → ~2 s). The gram is
+    is a groupBy + equi-join over the checkpointed (doc, gram) aggregate —
+    the checkpoint keeps the shingle explode single-evaluation (the r6
+    window variant had the same property but buffered each gram's rows in
+    one WindowExec task — skew-unsafe, see in-line note). The gram is
     collapsed to a 64-bit xxhash64 key BEFORE the first shuffle: an 8-word
     gram string averages ~40 bytes, so hashing cuts shuffle bytes ~5×
     while exact-match semantics are preserved up to 2^-64-scale collisions
@@ -64,8 +64,21 @@ def duplicated_span_stats(
     g = shingles(df, id_col, text_col, k=k).select(
         id_col, F.xxhash64("sh").alias("sh")
     )
-    per = g.groupBy(id_col, "sh").agg(F.count("*").alias("occ"))
-    per = per.withColumn("n_docs", F.count("*").over(Window.partitionBy("sh")))
+    # gram → #docs via groupBy + equi-join, NOT a window on the gram key
+    # (review r7): WindowExec buffers one key's rows in a single task with
+    # no AQE skew handling, and a boilerplate gram shared by 10^8 docs is
+    # exactly the hot key this operator exists to find — the join streams
+    # it (df side is 1 row/gram, output = input rows). ``per`` is
+    # localCheckpointed so the shingle explode feeds the plan once; the
+    # checkpoint is the (doc, gram) aggregate — the same rows the shuffle
+    # already materialized.
+    per = (
+        g.groupBy(id_col, "sh")
+        .agg(F.count("*").alias("occ"))
+        .localCheckpoint(eager=False)
+    )
+    dpg = per.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    per = per.join(dpg, "sh")
     dup_occ = F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(F.lit(0))
     return (
         per.groupBy(id_col)
@@ -93,14 +106,23 @@ def tfidf_keywords(
     """Top-k terms per doc by tf·idf_scaled, idf_scaled = (1e6·N) div df
     (exact bigint). Deterministic tiebreak (score desc, token asc).
 
-    df (document frequency) is a COUNT over a window on the token — same
-    single-pipeline rationale as ``duplicated_span_stats`` (a tf ⋈ df join
-    would re-run the tokenize+count subtree for both branches)."""
+    df (document frequency) is a groupBy + join over the checkpointed tf
+    frame — same skew/single-evaluation rationale as
+    ``duplicated_span_stats``."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).where(F.length("tok") >= MIN_KEYWORD_LEN)
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+    # df via groupBy + join on the checkpointed tf, not a window on the
+    # token key (review r7): a stop-word-class token appears in ~every
+    # doc, and the window would buffer all its (doc, tok) rows in ONE
+    # task — same skew rationale as duplicated_span_stats above.
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    doc_freq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    tf = tf.join(doc_freq, "tok")
     n_total = df.agg(F.count("*").alias("n_total"))  # 1 row — broadcast join
     # tf is widened to DECIMAL(38,0) before the product (review r4): under
     # Spark's default non-ANSI arithmetic, tf·idf_scaled wraps silently
@@ -124,9 +146,15 @@ def tfidf_keywords(
 # gate queries + DuckDB oracles
 # ---------------------------------------------------------------------------
 
+# Tokenization comes from text._duck_tokens() — the one shared definition
+# (review r7: two hand-inlined copies here would silently diverge from the
+# next tokenizer fix). ``WHERE len(ws) > 0`` mirrors shingles()'s
+# zero-token-doc contract: empty/whitespace/NULL docs emit NO spans — the
+# oracle's greatest(…, 1) floor previously minted one empty-string span
+# per empty doc that the Spark side (correctly) never produces.
 _DUCK_SPANS = f"""
   WITH words AS (
-    SELECT doc_id, COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), []) AS ws
+    SELECT doc_id, {_duck_tokens()} AS ws
     FROM documents
   ),
   spans AS (
@@ -134,6 +162,7 @@ _DUCK_SPANS = f"""
     FROM words, LATERAL (
       SELECT unnest(range(1, greatest(len(ws) - {SPAN_WORDS - 1}, 1) + 1)) AS i
     ) t
+    WHERE len(ws) > 0
   ),
   per AS (SELECT doc_id, sh, COUNT(*) AS occ FROM spans GROUP BY 1, 2),
   dpg AS (SELECT sh, COUNT(*) AS n_docs FROM per GROUP BY 1)
@@ -155,7 +184,7 @@ _KEYWORD_ORACLE = f"""
     SELECT doc_id, tok
     FROM (
       SELECT doc_id,
-             unnest(COALESCE(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), [])) AS tok
+             unnest({_duck_tokens()}) AS tok
       FROM documents
     )
     WHERE length(tok) >= {MIN_KEYWORD_LEN}

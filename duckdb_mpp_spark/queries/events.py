@@ -24,7 +24,9 @@ register(
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
-        ORDER BY 1, 2
+        -- NULLS LAST: hour_start/event_type are nullable group keys and
+        -- the engines' default asc NULL placement differs (review r7)
+        ORDER BY 1 NULLS LAST, 2 NULLS LAST
         """
     ),
 )
@@ -76,23 +78,29 @@ register(
         spark="""
         -- floor(double) parse: tolerant of fractional/junk/malformed values
         -- on BOTH engines (review r4: strict CAST rounds in DuckDB, errors
-        -- in ANSI Spark, and DuckDB dies outright on malformed JSON)
-        SELECT CAST(FLOOR(TRY_CAST(get_json_object(props, '$.k') AS DOUBLE)) AS INT)
+        -- in ANSI Spark, and DuckDB dies outright on malformed JSON).
+        -- Outer TRY_CAST AS BIGINT (review r7): a k >= 2^31 made the old
+        -- strict CAST AS INT error in DuckDB while non-ANSI Spark silently
+        -- wrapped it into a garbage bucket; out-of-range now groups as the
+        -- NULL bucket on both engines, same as malformed values.
+        -- NULLS LAST: the NULL bucket is a designed output and the default
+        -- sort placement differs (Spark asc NULLS FIRST, DuckDB LAST).
+        SELECT TRY_CAST(FLOOR(TRY_CAST(get_json_object(props, '$.k') AS DOUBLE)) AS BIGINT)
                  % 10 AS k_bucket,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
-        GROUP BY 1 ORDER BY 1
+        GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
         oracle="""
-        SELECT CAST(FLOOR(TRY_CAST(
+        SELECT TRY_CAST(FLOOR(TRY_CAST(
                  CASE WHEN json_valid(props)
                       THEN json_extract_string(props, '$.k') END
-               AS DOUBLE)) AS INT) % 10 AS k_bucket,
+               AS DOUBLE)) AS BIGINT) % 10 AS k_bucket,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
-        GROUP BY 1 ORDER BY 1
+        GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
     ),
 )
@@ -109,8 +117,13 @@ def _asof_spark(spark, sf_dir):
     deterministic in both engines.
     """
     events = load_table(spark, sf_dir, "events")
+    # NULL order dates can never satisfy the ASOF predicate (ts >= NULL is
+    # NULL in SQL) — but unioned into the window they'd sort FIRST (Spark
+    # asc NULLS FIRST) and back-fill their orderkey into every event
+    # (review r7); drop them before the union like the oracle's ASOF does
     orders = (
         load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
@@ -151,11 +164,23 @@ register(
     Query(
         spark=_asof_spark,
         oracle="""
-        SELECT e.event_id, e.user_id, o.o_orderkey
+        -- CASE pins the spec for NULL event times (review r7): ts >= date
+        -- is never true for NULL ts in SQL, but DuckDB's ASOF sort-merge
+        -- treats a NULL probe as +inf and matches the LATEST order — an
+        -- implementation artifact, overridden here so both engines agree
+        -- that a timeless event matches nothing. NULL o_orderdate rows
+        -- also never match (the Spark side drops them pre-union).
+        SELECT e.event_id, e.user_id,
+               CASE WHEN e.ts IS NULL THEN NULL ELSE o.o_orderkey END
+                 AS o_orderkey
         FROM events e
         ASOF LEFT JOIN (
           SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
           FROM orders GROUP BY o_custkey, o_orderdate
+          -- defensive mirror of the Spark-side filter: DuckDB's ASOF
+          -- already never picks a NULL right key, but that is the same
+          -- class of artifact the CASE above pins down
+          HAVING o_orderdate IS NOT NULL
         ) o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.event_id
@@ -231,8 +256,11 @@ register(
     Query(
         """
         WITH q AS (
+          -- NULL values out up front (review r7): COUNT(*) over rows the
+          -- NULL-skipping SUM(v)/SUM(v*v) never saw gave a wrong mean and
+          -- variance, and counted never-scored rows into n_scored
           SELECT user_id, CAST(floor(value * 256) AS DOUBLE) / 256 AS v
-          FROM events
+          FROM events WHERE value IS NOT NULL
         ),
         st AS (
           SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s, SUM(v * v) AS s2
@@ -316,7 +344,7 @@ register(
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bin_value
             FROM events
             GROUP BY 1, 2
-            ORDER BY 1, 2
+            ORDER BY 1 NULLS LAST, 2 NULLS LAST
         """,
     ),
 )
@@ -458,10 +486,10 @@ register(
                      COUNT(*) AS n_events,
                      COUNT(DISTINCT event_type) AS n_types,
                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-                     CASE WHEN COUNT(*) > 1
+                     CASE WHEN COUNT(ts) > 1
                           THEN round((unix_micros(CAST(MAX(ts) AS TIMESTAMP))
                                       - unix_micros(CAST(MIN(ts) AS TIMESTAMP)))
-                                     / 1000000.0 / CAST(COUNT(*) - 1 AS DOUBLE), 6)
+                                     / 1000000.0 / CAST(COUNT(ts) - 1 AS DOUBLE), 6)
                      END AS avg_gap_sec
               FROM events GROUP BY user_id
             ),
@@ -486,9 +514,9 @@ register(
                      COUNT(*) AS n_events,
                      COUNT(DISTINCT event_type) AS n_types,
                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-                     CASE WHEN COUNT(*) > 1
+                     CASE WHEN COUNT(ts) > 1
                           THEN round((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
-                                     / 1000000.0 / CAST(COUNT(*) - 1 AS DOUBLE), 6)
+                                     / 1000000.0 / CAST(COUNT(ts) - 1 AS DOUBLE), 6)
                      END AS avg_gap_sec
               FROM events GROUP BY user_id
             ),

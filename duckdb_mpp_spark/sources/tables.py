@@ -38,12 +38,16 @@ def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
     try:
         import pyarrow.parquet as pq
 
+        sample = path  # a concrete file to read physical types from
         try:
             schema = pq.read_schema(path)  # single-file parquet
         except Exception:
             import pyarrow.dataset as ds  # directory-style parquet
 
-            schema = ds.dataset(path, format="parquet").schema
+            dset = ds.dataset(path, format="parquet")
+            schema = dset.schema
+            files = getattr(dset, "files", None)
+            sample = files[0] if files else None
     except Exception:
         # Detection impossible (pyarrow missing/broken). Only dangerous
         # when nanosAsLong is ALREADY set session-wide (streaming sets
@@ -57,7 +61,25 @@ def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
                 f"columns in {path} while nanosAsLong is active session-wide"
             )
         return []
-    return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    ns_names = [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    if not ns_names:
+        return []
+    # Arrow surfaces legacy INT96 timestamps as timestamp[ns] too, but
+    # Spark reads INT96 NATIVELY — applying the raw-int64 truncation to an
+    # INT96 file breaks the load outright (review r7; any Spark 3.x-written
+    # file with the default outputTimestampType hits this). True
+    # TIMESTAMP(NANOS) is physical INT64; keep only those. Unknown physical
+    # types stay treated as ns — the pre-r7 behavior, correct for the
+    # fixture layouts.
+    try:
+        md = pq.ParquetFile(sample).metadata
+        phys = {
+            md.schema.column(i).name: md.schema.column(i).physical_type
+            for i in range(md.num_columns)
+        }
+        return [n for n in ns_names if phys.get(n, "INT64") == "INT64"]
+    except Exception:
+        return ns_names
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -27,6 +27,7 @@ the file.
 from __future__ import annotations
 
 import datetime
+import re
 from dataclasses import dataclass
 
 from duckdb_mpp_spark.pruning import _tokenize
@@ -310,9 +311,12 @@ def _coerce(stat, bound):
         return stat, bound
     if isinstance(stat, str) and isinstance(bound, _dt.date):
         # same promotion rule for string-typed stats: a datetime-shaped stat
-        # string must not be truncated to its date prefix on the lo side
+        # string must not be truncated to its date prefix on the lo side.
+        # No .strip(): a whitespace-padded stat is non-canonical and must
+        # never parse here (file_overlaps refuses the skip first, but this
+        # branch stays strict on its own — review r7)
         try:
-            s = stat.strip()
+            s = stat
             if len(s) > 10:
                 sdt = _dt.datetime.fromisoformat(s)
                 bdt = (
@@ -338,10 +342,48 @@ def _coerce(stat, bound):
     return None
 
 
+_CANON_DATE_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,9})?)?"
+)
+
+
+def _canonical_temporal_stat(s) -> bool:
+    """True when a STRING column stat is in strict canonical ISO form
+    (zero-padded, no surrounding whitespace/sign). Only then is the
+    column's lexicographic min/max order consistent with Spark's lenient
+    string→date/timestamp cast for every castable value the stats bound:
+    any leading-whitespace / '+' form sorts below all digit-leading
+    strings (it would BE fmin), and unpadded-month/day or bare-prefix
+    forms sort outside a canonical [fmin, fmax] (they would BE a stat) —
+    so requiring BOTH stats canonical excludes every non-monotone form
+    from the file (review r7: lexicographic fmax ' 2024-05-01'-style
+    stats previously stripped+parsed, skipping files whose
+    whitespace-prefixed rows cast ABOVE the bound — wrong results)."""
+    if isinstance(s, bytes):
+        try:
+            s = s.decode("utf-8")
+        except UnicodeDecodeError:
+            return False
+    if not isinstance(s, str):
+        return True  # natively-typed stats don't take the string path
+    return bool(_CANON_DATE_RE.fullmatch(s))
+
+
 def file_overlaps(fmin, fmax, bounds: Bounds) -> bool:
     """True unless the footer stats PROVE the file disjoint from bounds.
     Any comparison that raises (types _coerce paired but Python still
     can't order) keeps the file — skipping degrades, never crashes."""
+    if isinstance(bounds.lo, datetime.date) or isinstance(
+        bounds.hi, datetime.date
+    ):
+        # temporal bound over a string-statted column: both stats must be
+        # strictly canonical or no skip is sound (see helper docstring)
+        if isinstance(fmin, (str, bytes)) or isinstance(fmax, (str, bytes)):
+            if not (
+                _canonical_temporal_stat(fmin)
+                and _canonical_temporal_stat(fmax)
+            ):
+                return True
     try:
         if bounds.lo is not None:
             c = _coerce(fmax, bounds.lo)

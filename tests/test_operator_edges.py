@@ -168,13 +168,16 @@ def test_quality_score_empty_text_no_ansi_crash(spark):
         assert s[k] == got[k]["quality_score"]
 
 
-def test_array_surface_empty_array_no_ansi_crash(spark):
+def test_array_surface_empty_array_no_ansi_crash(spark, shadow_views):
     """review r4: embedding[0] / embedding[size-1] throw INVALID_ARRAY_INDEX
     on empty arrays under ANSI Spark; the gate text must yield NULLs."""
-    spark.createDataFrame(
-        [(1, "a", [1.0, 2.0]), (2, "b", [])],
-        "vec_id long, label string, embedding array<float>",
-    ).createOrReplaceTempView("embeddings")
+    shadow_views(
+        "embeddings",
+        spark.createDataFrame(
+            [(1, "a", [1.0, 2.0]), (2, "b", [])],
+            "vec_id long, label string, embedding array<float>",
+        ),
+    )
     from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
