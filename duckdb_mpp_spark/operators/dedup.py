@@ -48,8 +48,17 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
     Group stats are COUNT/MIN over a window on the hash — ONE shuffle of
     (hash, id) and one corpus scan; the groupBy + self-join formulation
-    scans and shuffles the corpus twice (the join-vs-window trade measured
-    in operators/substrings.py)."""
+    exchanges the 2-column (hash, id) stream twice (no shared aggregate
+    exchange exists to reuse — unlike substrings.py, the probe side here
+    is the raw stream). Skew trade, stated honestly: a huge duplicate
+    group (boilerplate/empty docs) is one window partition processed by
+    ONE task — WindowExec's buffer spills to disk, so it degrades to a
+    linear single-task straggler bounded by the largest group, while the
+    join shape would stay parallel via AQE skew-split at the cost of a
+    second corpus-stream exchange. For a 2-column stream the window wins
+    until group sizes reach task-straggler scale; NULL-text rows are
+    already singletons (below), which removes the one unboundedly-hot
+    group a real crawl is guaranteed to have."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("h")

@@ -53,10 +53,11 @@ def duplicated_span_stats(
 
     Three key-partitioned shuffles, each algorithm-required: (doc, gram)
     occurrence counts; gram → #docs; per-doc rollup. The gram → #docs step
-    is a groupBy + equi-join over the checkpointed (doc, gram) aggregate —
-    the checkpoint keeps the shingle explode single-evaluation (the r6
-    window variant had the same property but buffered each gram's rows in
-    one WindowExec task — skew-unsafe, see in-line note). The gram is
+    is a groupBy + equi-join whose branches SHARE the (doc, gram)
+    aggregate exchange (ReusedExchange keeps the shingle explode
+    single-evaluation; the r6 window variant had the same property but
+    buffered each gram's rows in one WindowExec task — skew-unsafe, see
+    in-line note). The gram is
     collapsed to a 64-bit xxhash64 key BEFORE the first shuffle: an 8-word
     gram string averages ~40 bytes, so hashing cuts shuffle bytes ~5×
     while exact-match semantics are preserved up to 2^-64-scale collisions
@@ -64,22 +65,26 @@ def duplicated_span_stats(
     g = shingles(df, id_col, text_col, k=k).select(
         id_col, F.xxhash64("sh").alias("sh")
     )
-    # gram → #docs via groupBy + equi-join, NOT a window on the gram key
-    # (review r7): WindowExec buffers one key's rows in a single task with
-    # no AQE skew handling, and a boilerplate gram shared by 10^8 docs is
-    # exactly the hot key this operator exists to find — the join streams
-    # it (df side is 1 row/gram, output = input rows). ``per`` is
-    # localCheckpointed so the shingle explode feeds the plan once; the
-    # checkpoint is the (doc, gram) aggregate — the same rows the shuffle
-    # already materialized.
-    per = (
-        g.groupBy(id_col, "sh")
-        .agg(F.count("*").alias("occ"))
-        .localCheckpoint(eager=False)
-    )
-    dpg = per.groupBy("sh").agg(F.count("*").alias("n_docs"))
-    per = per.join(dpg, "sh")
-    dup_occ = F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(F.lit(0))
+    # Duplication flag via groupBy + equi-join, NOT a window on the gram
+    # key (review r7): WindowExec buffers one key's rows in a single task
+    # with no AQE skew handling, and a boilerplate gram shared by 10^8
+    # docs is exactly the hot key this operator exists to find — the join
+    # streams it (tot side is 1 row/gram, partial-agged map-side, and AQE
+    # can skew-split the probe side). The gram-level aggregate is
+    # sum(occ), not count(*): "gram in ≥2 docs" ⟺ tot > occ (occurrences
+    # exist in OTHER docs — per has one row per (doc, gram)), and summing
+    # occ makes BOTH join branches consume identical columns, so column
+    # pruning leaves the (doc, gram) aggregate subtrees canonically equal
+    # and Catalyst plans a ReusedExchange — the shingle explode + map
+    # side run ONCE (a count(*)-keyed dpg pruned occ from one branch and
+    # silently re-ran the whole explode per branch; asserted in
+    # tests/test_review_r7b.py). No localCheckpoint needed (A/B'd r7:
+    # checkpoint 1.41 s, double-explode 1.26 s, reused exchange beats
+    # both; the skew-unsafe window read 0.95 s).
+    per = g.groupBy(id_col, "sh").agg(F.count("*").alias("occ"))
+    tot = per.groupBy("sh").agg(F.sum("occ").alias("tot"))
+    per = per.join(tot, "sh")
+    dup_occ = F.when(F.col("tot") > F.col("occ"), F.col("occ")).otherwise(F.lit(0))
     return (
         per.groupBy(id_col)
         .agg(
@@ -106,22 +111,26 @@ def tfidf_keywords(
     """Top-k terms per doc by tf·idf_scaled, idf_scaled = (1e6·N) div df
     (exact bigint). Deterministic tiebreak (score desc, token asc).
 
-    df (document frequency) is a groupBy + join over the checkpointed tf
-    frame — same skew/single-evaluation rationale as
-    ``duplicated_span_stats``."""
+    df (document frequency) is a groupBy + join sharing the tf exchange —
+    same skew/single-evaluation rationale as ``duplicated_span_stats``."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).where(F.length("tok") >= MIN_KEYWORD_LEN)
-    # df via groupBy + join on the checkpointed tf, not a window on the
-    # token key (review r7): a stop-word-class token appears in ~every
-    # doc, and the window would buffer all its (doc, tok) rows in ONE
-    # task — same skew rationale as duplicated_span_stats above.
-    tf = (
-        toks.groupBy(id_col, "tok")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+    # df via groupBy + join on tf, not a window on the token key (review
+    # r7): a stop-word-class token appears in ~every doc, and the window
+    # would buffer all its (doc, tok) rows in ONE task. doc_freq counts
+    # count(nullif(tf, -1)) — value-identical to count(*) (tf ≥ 1, never
+    # -1 or NULL) but NOT provably non-null to the optimizer, so the tf
+    # column survives column pruning in this branch, both join branches'
+    # tf-aggregate subtrees stay canonically equal, and Catalyst plans a
+    # ReusedExchange: tokenize + map side run once (same rationale as
+    # duplicated_span_stats above; a plain count(*) — or count(tf), which
+    # the optimizer rewrites to count(1) — pruned tf from one branch and
+    # the whole tokenize/explode silently ran per branch).
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("tok").agg(
+        F.count(F.nullif("tf", F.lit(-1))).alias("df")
     )
-    doc_freq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     tf = tf.join(doc_freq, "tok")
     n_total = df.agg(F.count("*").alias("n_total"))  # 1 row — broadcast join
     # tf is widened to DECIMAL(38,0) before the product (review r4): under

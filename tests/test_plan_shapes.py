@@ -178,23 +178,42 @@ def test_dynamic_partition_pruning_on_partitioned_source(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    # (query, max explodes, max corpus scans) — tfidf keeps a second scan,
-    # but it is the projection-pruned 1-row corpus COUNT, not a re-explode
-    "name,gen_limit,scan_limit",
+    # (query, needs exchange reuse, max corpus scans) — tfidf keeps a
+    # second scan, but it is the projection-pruned 1-row corpus COUNT,
+    # not a re-explode
+    "name,needs_reuse,scan_limit",
     [
-        ("dedup_substring_spans", 1, 1),
-        ("text_tfidf_keywords", 1, 2),
-        ("dedup_exact", 0, 1),
+        ("dedup_substring_spans", True, 1),
+        ("text_tfidf_keywords", True, 2),
+        ("dedup_exact", False, 1),
     ],
 )
-def test_single_pipeline_no_duplicate_subtree(spark, name, gen_limit, scan_limit):
-    """The r3 window rewrites must stay single-pipeline: document-frequency
-    via COUNT over a window, never a groupBy + self-join that makes Spark
-    evaluate the tokenize/explode subtree once per join branch (measured
-    2-5x at sf0.1). Guard = the physical plan explodes the corpus at most
-    once and never re-scans it beyond the declared metadata passes."""
-    p = plan_text(run_spark_query(name, spark, SF_DIR))
-    # ") Generate" = the formatted plan's node-detail header (each node
-    # renders twice: once in the tree, once in the detail section)
-    assert p.count(") Generate") <= gen_limit, p
-    assert p.count("documents.parquet") <= scan_limit, p
+def test_single_pipeline_no_duplicate_subtree(spark, name, needs_reuse, scan_limit):
+    """The tokenize/explode subtree must evaluate ONCE, never once per
+    join branch (measured 2-5x at sf0.1). Since r7 the df/n_docs
+    attachment is a groupBy + equi-join (skew-safe, unlike the r3-r6
+    window) whose branches share the base aggregate exchange — so the
+    single-evaluation property lives in AQE's runtime exchange reuse and
+    the guard asserts the EXECUTED plan contains a Reused* stage (the
+    column-pruning trap — a second aggregate that doesn't consume the
+    first's output — silently specializes the branches and re-runs the
+    whole explode per branch with no reuse node)."""
+    df = run_spark_query(name, spark, SF_DIR)
+    df.foreach(lambda r: None)
+    # the adaptive plan string appends an "== Initial Plan ==" section
+    # where both branches still print their own scan/Generate — assert on
+    # the FINAL plan only
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    if needs_reuse:
+        assert "Reused" in p, p
+    else:
+        assert "Generate" not in p, p
+    # distinct live scan nodes of the corpus (dedented; reused scans
+    # reference the same node text)
+    live = {
+        ln.strip().lstrip("+-: ")
+        for ln in p.splitlines()
+        if "documents.parquet" in ln and "Scan" in ln
+    }
+    assert len(live) <= scan_limit, p

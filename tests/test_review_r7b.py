@@ -128,15 +128,34 @@ def test_span_and_tfidf_plans_have_no_window_on_content_key(spark):
         tfidf_keywords,
     )
 
+    # multi-char tokens: single letters fall under MIN_KEYWORD_LEN and
+    # AQE collapses tfidf to an EmptyRelation with no exchange to reuse
     docs = spark.createDataFrame(
-        [(1, "a b c d e f g h i")], "doc_id bigint, text string"
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id bigint, text string",
     )
-    spans_plan = duplicated_span_stats(docs)._jdf.queryExecution().toString()
+    spans_df = duplicated_span_stats(docs)
+    tfidf_df = tfidf_keywords(docs)
+    spans_plan = spans_df._jdf.queryExecution().toString()
     # tfidf keeps ONE window — the per-doc top-k rank (bounded by doc
     # size); the df attachment itself must not be windowed on tok
-    tfidf_plan = tfidf_keywords(docs)._jdf.queryExecution().toString()
+    tfidf_plan = tfidf_df._jdf.queryExecution().toString()
     assert "windowspecdefinition(sh" not in spans_plan.lower()
     assert "windowspecdefinition(tok" not in tfidf_plan.lower()
+    # ...and the join's two branches must SHARE the base aggregate
+    # exchange so the shingle explode / tokenize map side runs exactly
+    # once, not once per branch. AQE materializes the reuse only at
+    # runtime, so execute first and assert on the final adaptive plan
+    # (this is also the regression guard for the column-pruning trap:
+    # a count(*)-keyed second aggregate prunes differently per branch,
+    # canonical equality breaks, and the reuse silently vanishes).
+    for frame in (spans_df, tfidf_df):
+        frame.collect()
+        executed = frame._jdf.queryExecution().executedPlan().toString()
+        assert "reused" in executed.lower(), executed
 
 
 # --- events: NULL-aware gates ----------------------------------------------
