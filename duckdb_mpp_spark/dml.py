@@ -101,56 +101,27 @@ def _check_unique_staged(
     table: DistributedTable,
     tmp_path: str,
     cols: list[str],
-    global_cols: list[str] | None = None,
-    base: int | None = None,
-    rewritten_ids: list[int] | None = None,
 ) -> None:
-    """UNIQUE/PRIMARY KEY enforcement for COW rewrites (review r4 — the
-    reference's per-shard index rejects duplicate-creating DML on every
-    path, not just INSERT). Bucket-local columns: the staged rewrite IS the
-    complete post-commit content of every affected bucket, and unaffected
-    buckets cannot gain bucket-local duplicates (the rewrite never
-    re-routes, upsert replaces by key), so the staged files alone suffice.
-    ``global_cols`` (⊆ cols): value-GLOBAL constraints — the partition
-    column, whose re-assignment can collide with a row in a bucket the
-    rewrite never touched (review r6) — additionally compare staged values
-    against the rest of snapshot ``base`` outside ``rewritten_ids``. Cost:
-    one re-read of the staged files, plus one single-column pass over the
-    untouched buckets only when a global column changed. Raises (and the
-    caller discards the staging dir) before any snapshot publish, leaving
-    the table untouched."""
+    """Bucket-local UNIQUE/PRIMARY KEY enforcement for COW rewrites
+    (review r4 — the reference's per-shard index rejects duplicate-creating
+    DML on every path, not just INSERT). The staged rewrite IS the complete
+    post-commit content of every affected bucket, and unaffected buckets
+    cannot gain bucket-local duplicates (the rewrite never re-routes,
+    upsert replaces by key), so the staged files alone suffice. Value-
+    GLOBAL constraints (the partition column) go through
+    :func:`_check_unique_global` instead, with the caller supplying the
+    exact modified-rows side. Raises (and the caller discards the staging
+    dir) before any snapshot publish, leaving the table untouched."""
     if not cols:
         return
     staged = table.spark.read.option("basePath", tmp_path).parquet(tmp_path)
-    global_set = set(global_cols or [])
     for col in cols:
-        side = (
+        dup = (
             staged.select(BUCKET_COL, col)
             .where(F.col(col).isNotNull())
-            .withColumn("_is_staged", F.lit(True))
-        )
-        group = [BUCKET_COL, col]
-        if col in global_set:
-            group = [col]
-            rest = (
-                table.scan(where=None, keep_bucket=True, version=base, pinned=True)
-                .where(~F.col(BUCKET_COL).isin(rewritten_ids or []))
-                .select(BUCKET_COL, col)
-                .where(F.col(col).isNotNull())
-                .withColumn("_is_staged", F.lit(False))
-            )
-            side = side.unionByName(rest)
-        # only reject duplicate groups this rewrite PARTICIPATES in — a
-        # pre-existing on-disk duplicate confined to untouched buckets must
-        # not abort an unrelated UPDATE/upsert, matching the insert path's
-        # "only rejected for duplicates it would create" contract (ADVICE r6)
-        dup = (
-            side.groupBy(*group)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max("_is_staged").alias("has_staged"),
-            )
-            .where((F.col("n") > 1) & F.col("has_staged"))
+            .groupBy(BUCKET_COL, col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
             .limit(1)
             .collect()
         )
@@ -159,6 +130,53 @@ def _check_unique_staged(
                 f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
                 f'violates unique constraint in table "{table.meta.name}"'
             )
+
+
+def _check_unique_global(
+    table: DistributedTable,
+    col: str,
+    modified,
+    others,
+) -> None:
+    """Value-GLOBAL UNIQUE enforcement — the partition column, whose
+    re-assignment/insertion can collide with a row in a bucket the rewrite
+    never touched (review r6). ``modified`` holds ONLY the values this
+    operation actually assigned/inserted (one row per modified row);
+    ``others`` holds every OTHER post-commit row's value — untouched
+    buckets plus the rewrite's carried-through survivors. A duplicate
+    group aborts only when a modified value participates (ADVICE r7: the
+    old staged-files formulation flagged carried-through survivor rows as
+    operation-owned too, so a pre-existing on-disk duplicate with one copy
+    inside a rewritten bucket aborted an unrelated UPDATE — strictly
+    weaker than the insert path's 'only rejected for duplicates it would
+    create' contract). Both inputs are single-column projections of
+    already-planned scans — one pass each, only when a global column
+    changed."""
+    side = (
+        modified.select(F.col(col))
+        .where(F.col(col).isNotNull())
+        .withColumn("_is_modified", F.lit(True))
+        .unionByName(
+            others.select(F.col(col))
+            .where(F.col(col).isNotNull())
+            .withColumn("_is_modified", F.lit(False))
+        )
+    )
+    dup = (
+        side.groupBy(col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_is_modified").alias("has_modified"),
+        )
+        .where((F.col("n") > 1) & F.col("has_modified"))
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
+            f'violates unique constraint in table "{table.meta.name}"'
+        )
 
 
 def _dml_bucket_ids(
@@ -263,16 +281,37 @@ def update(
         # the partition-column constraint is value-GLOBAL (table.py
         # _enforce_unique): an assignment like SET k = 1 lands the new
         # value in a bucket the staged rewrite never touched, so the
-        # staged-only bucket-local check cannot see the collision —
-        # compare staged values against the rest of the table too
+        # staged-only bucket-local check cannot see the collision. The
+        # modified side is re-derived from the base scan (pred + the
+        # assignment expression), NOT read back from the staged files —
+        # staged files mix modified rows with carried-through survivors,
+        # and flagging survivors as operation-owned aborted unrelated
+        # UPDATEs on pre-existing duplicates (ADVICE r7).
         global_cols = [
             c for c in changed_unique if c == meta.partition_column
         ]
         try:
             _check_unique_staged(
-                table, tmp, changed_unique,
-                global_cols=global_cols, base=base, rewritten_ids=ids,
+                table, tmp, [c for c in changed_unique if c not in global_cols]
             )
+            for col in global_cols:
+                text = assignments[col]
+                if _DEFAULT_RE.match(text):
+                    text = _resolve_default(table, col)
+                dt = meta.schema[col].dataType
+                full = table.scan(
+                    where=None, keep_bucket=True, version=base, pinned=True
+                )
+                _check_unique_global(
+                    table,
+                    col,
+                    modified=full.where(pred).select(
+                        F.expr(text).cast(dt).alias(col)
+                    ),
+                    # pred is already NULL-coalesced to false, so ~pred is
+                    # exactly the not-updated rows (their values survive)
+                    others=full.where(~pred).select(col),
+                )
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
@@ -406,16 +445,33 @@ def upsert(
         # r6, live repro): with a COMPOSITE upsert key, a misplaced row in
         # a dirty bucket can share the partition value but differ on the
         # other key fields — it is then neither replaced (full-key match
-        # fails) nor seen by the staged bucket-local check. The global
-        # check compares staged values against the untouched buckets.
+        # fails) nor seen by the staged bucket-local check. The modified
+        # side is the input batch itself; every base row surviving the
+        # full-key anti-join (misplaced dirty rows included) is 'others',
+        # so the r6 repro still aborts while a pre-existing duplicate the
+        # batch never touches no longer does (ADVICE r7).
         global_cols = [
             c for c in meta.unique_columns if c == meta.partition_column
         ]
         try:
             _check_unique_staged(
-                table, tmp, list(meta.unique_columns),
-                global_cols=global_cols, base=base, rewritten_ids=ids,
+                table, tmp,
+                [c for c in meta.unique_columns if c not in global_cols],
             )
+            for col in global_cols:
+                full = table.scan(
+                    where=None, keep_bucket=True, version=base, pinned=True
+                )
+                _check_unique_global(
+                    table,
+                    col,
+                    modified=new_rows.select(col),
+                    others=full.join(
+                        new_rows.select(*key_cols).distinct(),
+                        key_cols,
+                        "left_anti",
+                    ).select(col),
+                )
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
             raise

@@ -90,23 +90,67 @@ def _blank_literals(text: str) -> str:
 
 
 def _blank_quotes_and_comments(text: str) -> str:
-    """Length-preserving blank of double-quoted / backtick identifiers,
-    ``--`` line comments and ``/* */`` block comments — applied ON TOP of
-    ``_blank_literals`` wherever a scanner inspects raw characters (review
-    r7: a ``select`` inside a block comment or quoted identifier between
-    FROM and a relation-list comma made ``_comma_in_from_list`` classify
-    the comma as a select-list comma, re-enabling pruning on a CTE-fed
-    source — the wrong-results direction that guard exists to prevent)."""
+    """Length-preserving blank of single-quoted literals, double-quoted /
+    backtick identifiers, ``--`` line comments and ``/* */`` block
+    comments, in ONE left-to-right state-machine scan over RAW text
+    (review r7: a ``select`` inside a block comment or quoted identifier
+    between FROM and a relation-list comma made ``_comma_in_from_list``
+    classify the comma as a select-list comma, re-enabling pruning on a
+    CTE-fed source — the wrong-results direction that guard exists to
+    prevent).
 
-    def _blank_quoted(m):
-        s = m.group(0)
-        return s[0] + " " * (len(s) - 2) + s[-1]
-
-    text = re.sub(r'"[^"]*"', _blank_quoted, text)
-    text = re.sub(r"`[^`]*`", _blank_quoted, text)
-    text = re.sub(r"/\*.*?\*/", lambda m: " " * len(m.group(0)), text, flags=re.S)
-    text = re.sub(r"--[^\n]*", lambda m: " " * len(m.group(0)), text)
-    return text
+    Why a state machine and not sequential regex passes (ADVICE r7): with
+    quote-blanking applied before comment-blanking, a lone unpaired quote
+    INSIDE a comment (``-- don't``) pairs with a later real quote and
+    blanks the genuine code between them — that can erase a real ``FROM
+    name`` reference in a WITH prefix and re-enable pruning on a CTE-fed
+    source. Scanned left-to-right with comment state tracked, a quote
+    character inside an already-open comment is inert. Same reason this
+    function consumes single-quoted literals itself rather than composing
+    with :func:`_blank_literals`: the pre-pass would make the same
+    mis-pairing mistake before the state machine ever saw the text."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            # same escape rules as _blank_literals: ''-doubling and \'
+            j = i + 1
+            while j < n:
+                if text[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = j if j < n else n  # unterminated: blank to end (safe)
+            for k in range(i + 1, end):
+                out[k] = " "
+            i = end + 1
+        elif ch in ('"', "`"):
+            j = text.find(ch, i + 1)
+            end = j if j >= 0 else n
+            for k in range(i + 1, end):
+                out[k] = " "
+            i = end + 1
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            j = text.find("\n", i)
+            end = j if j >= 0 else n
+            for k in range(i, end):
+                out[k] = " "
+            i = end  # newline survives: -- comments are line-scoped
+        elif ch == "/" and i + 1 < n and text[i + 1] == "*":
+            j = text.find("*/", i + 2)
+            end = (j + 2) if j >= 0 else n
+            for k in range(i, end):
+                out[k] = " "
+            i = end
+        else:
+            i += 1
+    return "".join(out)
 
 
 def _find_keyword_top_level(text: str, word: str, start: int = 0) -> int:
@@ -1054,9 +1098,11 @@ class MppSession:
         main_sel = _find_keyword_top_level(query, "SELECT")
         if main_sel < 0:
             return True  # unparseable WITH shape: stay conservative
-        # comments/quoted identifiers blanked too: the backward keyword
-        # scan below must never see a 'select' inside either (review r7)
-        blank = _blank_quotes_and_comments(_blank_literals(query))
+        # comments/quoted identifiers/literals blanked in one scan over
+        # the RAW query: the backward keyword scan below must never see a
+        # 'select' inside any of them (review r7), and a literal pre-pass
+        # would mis-pair a lone quote inside a comment (ADVICE r7)
+        blank = _blank_quotes_and_comments(query)
         for m in re.finditer(
             rf"(\bFROM\s+|\bJOIN\s+|(,)\s*){re.escape(name)}\b(?!\.)",
             blank,

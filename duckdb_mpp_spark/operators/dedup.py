@@ -528,14 +528,33 @@ BAND_INDEX_BUCKETS = 64
 _BAND_INDEX_META = "_band_index_meta.json"
 
 
-def _band_index_check_meta(path: str, n_buckets: int, write: bool) -> int:
-    """Record (``write=True``, after a successful overwrite/append — an
-    overwrite REPLACES the whole layout, so its n is re-recorded
-    unconditionally; Spark's overwrite may leave underscore-prefixed
-    files behind) or validate the layout's bucket count: any mismatch
-    with an existing recorded n raises — loud beats silently pruning the
-    wrong buckets. Returns the effective n (= the recorded one when
-    present)."""
+def _band_index_has_data(path: str) -> bool:
+    """True when the layout directory holds any band-bucket data
+    (``band_bucket=`` partition dirs or bare parquet files) — underscore/
+    dot bookkeeping files don't count. Distinguishes a fresh layout from
+    a populated-but-metaless one (crashed writer / legacy layout)."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    for name in os.listdir(path):
+        if name.startswith(("_", ".")):
+            continue
+        return True
+    return False
+
+
+def _band_index_check_meta(path: str, n_buckets: int, write: bool) -> int | None:
+    """Record (``write=True``) or validate the layout's bucket count: any
+    mismatch with an existing recorded n raises — loud beats silently
+    pruning the wrong buckets. Returns the effective n (= the recorded one
+    when present), or ``None`` when the directory holds data but no meta
+    (ADVICE r7: a crash between a writer's data and meta writes, or a
+    legacy layout, must not let later calls silently TRUST the caller's
+    n_buckets — that is exactly the wrong-bucket pruning the meta file
+    exists to prevent). Callers map ``None`` to their safe behavior:
+    reads disable pruning (a full read is modulus-independent), appends
+    raise (appending under an unknown modulus scatters the generation)."""
     import json
     import os
 
@@ -557,6 +576,8 @@ def _band_index_check_meta(path: str, n_buckets: int, write: bool) -> int:
                 "silently prune the wrong buckets"
             )
         return stored
+    if _band_index_has_data(path):
+        return None  # populated but meta-less: modulus unknown
     return n_buckets
 
 
@@ -605,7 +626,19 @@ def write_band_index(
         # validate BEFORE appending — a mismatched modulus would scatter
         # the new generation across the wrong buckets (overwrite replaces
         # the whole layout, so it re-records instead of validating)
-        _band_index_check_meta(path, n_buckets, write=False)
+        effective = _band_index_check_meta(path, n_buckets, write=False)
+        if effective is None:
+            raise ValueError(
+                f"band index at {path} holds data but no "
+                f"{_BAND_INDEX_META} (crashed writer or legacy layout); "
+                "appending under an unknown modulus would scatter the new "
+                "generation across the wrong buckets — rewrite the index "
+                "with mode='overwrite' first"
+            )
+        # meta BEFORE data (ADVICE r7): it is validated-equal anyway, and
+        # writing it first closes the crash window where a fresh layout's
+        # first append leaves data with no recorded modulus
+        _band_index_check_meta(path, n_buckets, write=True)
     if min_doc_only:
         bands = bands.groupBy("band", "band_key").agg(
             F.min(id_col).alias(id_col)
@@ -617,8 +650,12 @@ def write_band_index(
         .partitionBy("band_bucket")
         .parquet(path)
     )
-    # recorded AFTER the write: Spark's overwrite clears the directory
-    _band_index_check_meta(path, n_buckets, write=True)
+    # overwrite records AFTER the write (Spark's overwrite clears the
+    # directory, meta included); a crash in between leaves data-without-
+    # meta, which reads/appends now treat loudly instead of trusting the
+    # caller's modulus (ADVICE r7)
+    if mode != "append":
+        _band_index_check_meta(path, n_buckets, write=True)
 
 
 def read_band_index(
@@ -639,8 +676,15 @@ def read_band_index(
     batch touching every bucket degrades gracefully to a full (still
     parallel, still columnar) read — never worse than the unbucketed
     layout."""
-    n_buckets = _band_index_check_meta(path, n_buckets, write=False)
+    effective = _band_index_check_meta(path, n_buckets, write=False)
     idx = spark.read.option("basePath", path).parquet(path)
+    if effective is None:
+        # populated but meta-less (crashed writer / legacy layout): the
+        # write-time modulus is unknown, so pruning could skip buckets
+        # that hold matching keys — fall back to a full (still parallel,
+        # still columnar) read, which is modulus-independent (ADVICE r7)
+        return idx.drop("band_bucket")
+    n_buckets = effective
     if batch_bands is not None:
         hit = [
             r[0]

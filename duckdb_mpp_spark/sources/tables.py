@@ -38,7 +38,7 @@ def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
     try:
         import pyarrow.parquet as pq
 
-        sample = path  # a concrete file to read physical types from
+        member_files = [path]  # concrete files to read physical types from
         try:
             schema = pq.read_schema(path)  # single-file parquet
         except Exception:
@@ -46,8 +46,7 @@ def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
 
             dset = ds.dataset(path, format="parquet")
             schema = dset.schema
-            files = getattr(dset, "files", None)
-            sample = files[0] if files else None
+            member_files = list(getattr(dset, "files", None) or [])
     except Exception:
         # Detection impossible (pyarrow missing/broken). Only dangerous
         # when nanosAsLong is ALREADY set session-wide (streaming sets
@@ -68,16 +67,42 @@ def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
     # Spark reads INT96 NATIVELY — applying the raw-int64 truncation to an
     # INT96 file breaks the load outright (review r7; any Spark 3.x-written
     # file with the default outputTimestampType hits this). True
-    # TIMESTAMP(NANOS) is physical INT64; keep only those. Unknown physical
-    # types stay treated as ns — the pre-r7 behavior, correct for the
-    # fixture layouts.
+    # TIMESTAMP(NANOS) is physical INT64; keep only those. Checked across
+    # EVERY member file, not a sample (ADVICE r7): a dataset mixing
+    # INT96 and INT64 files has no single correct treatment — truncating
+    # breaks the INT96 files, not truncating leaks raw int64 from the
+    # INT64 files — so disagreement fails loudly. Footer-only reads, and
+    # only when the unified Arrow schema already shows ns columns (rare),
+    # so the all-files sweep stays metadata-cheap. Unknown physical types
+    # stay treated as ns — the pre-r7 behavior, correct for the fixture
+    # layouts.
     try:
-        md = pq.ParquetFile(sample).metadata
-        phys = {
-            md.schema.column(i).name: md.schema.column(i).physical_type
-            for i in range(md.num_columns)
-        }
-        return [n for n in ns_names if phys.get(n, "INT64") == "INT64"]
+        types_by_col: dict[str, set] = {n: set() for n in ns_names}
+        for fp in member_files:
+            md = pq.ParquetFile(fp).metadata
+            for i in range(md.num_columns):
+                col = md.schema.column(i)
+                if col.name in types_by_col:
+                    types_by_col[col.name].add(col.physical_type)
+        keep = []
+        for n in ns_names:
+            types = types_by_col[n]
+            if len(types) > 1:
+                raise RuntimeError(
+                    f"parquet dataset {path}: column {n!r} mixes physical "
+                    f"timestamp encodings {sorted(types)} across files — "
+                    "no uniform read treatment is correct (INT96 reads "
+                    "natively, TIMESTAMP(NANOS) needs raw-int64 "
+                    "truncation); rewrite the dataset with one encoding"
+                )
+            if types == {"INT96"}:
+                continue  # uniformly INT96: Spark reads it natively
+            # uniformly INT64, absent from every footer (schema-evolved
+            # files), or unknown: treat as ns, the pre-r7 behavior
+            keep.append(n)
+        return keep
+    except RuntimeError:
+        raise
     except Exception:
         return ns_names
 

@@ -56,7 +56,15 @@ def _checkpoint_lineage(ckpt: str) -> str:
     UUID file, a reset checkpoint mints a NEW lineage, the skip-check
     finds no applied batches, and the stream re-ingests from its source —
     at-least-once (loudly duplicating, operator-visible) instead of
-    silently losing data."""
+    silently losing data.
+
+    ``ckpt`` MUST be the exact directory passed as ``checkpointLocation``
+    (ADVICE r7): the UUID file only dies with the checkpoint if it lives
+    INSIDE it. Minting it in a parent dir re-creates the path-keyed
+    failure — an operator who deletes the Spark checkpoint (the
+    documented reset procedure) restarts batch ids at 0 while the sibling
+    lineage file and its recorded max batch id survive, so every new
+    micro-batch reads as already-applied and is silently dropped."""
     os.makedirs(ckpt, exist_ok=True)
     p = os.path.join(ckpt, "_mpp_lineage")
     if not os.path.exists(p):
@@ -445,11 +453,12 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
-    ckpt = _gate_tmpdir("mpp_stream_ckpt_")
-    # lineage id minted INSIDE the checkpoint dir (not the path — a
-    # deleted/reset checkpoint must reset the identity too, review r7);
-    # a restarted production job passes the same persistent dir
-    lineage = _checkpoint_lineage(ckpt)
+    # lineage id minted INSIDE the exact dir Spark uses as its checkpoint
+    # (not a parent — deleting the Spark checkpoint must reset the
+    # identity too, ADVICE r7); a restarted production job passes the
+    # same persistent dir
+    ckpt_loc = os.path.join(_gate_tmpdir("mpp_stream_ckpt_"), "offsets")
+    lineage = _checkpoint_lineage(ckpt_loc)
 
     def ingest_batch(batch, batch_id):
         # foreachBatch is at-least-once: a crash between the insert's
@@ -473,7 +482,7 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         ev.writeStream.foreachBatch(ingest_batch)
-        .option("checkpointLocation", os.path.join(ckpt, "offsets"))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )
@@ -519,8 +528,10 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "value")
         .where(F.col("user_id").isNotNull())
     )
-    ckpt = _gate_tmpdir("mpp_upsert_ckpt_")
-    lineage = _checkpoint_lineage(ckpt)
+    # lineage inside the exact checkpointLocation dir (ADVICE r7 — see
+    # _checkpoint_lineage)
+    ckpt_loc = os.path.join(_gate_tmpdir("mpp_upsert_ckpt_"), "offsets")
+    lineage = _checkpoint_lineage(ckpt_loc)
 
     def merge_batch(batch, batch_id):
         # the merge is ADDITIVE (reads current totals, adds the batch), so
@@ -560,7 +571,7 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         ev.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(ckpt, "offsets"))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )

@@ -117,36 +117,56 @@ def test_update_unaffected_by_preexisting_duplicate_elsewhere(mpp):
     from duckdb_mpp_spark import dml
 
     # no declared constraint at insert time, so the on-disk duplicate (7,7)
-    # can exist; then exercise the value-global check path directly the way
-    # a partition-column UPDATE would, with a staged rewrite that does NOT
-    # participate in the duplicate group
+    # can exist; then exercise the value-global check directly the way a
+    # partition-column UPDATE would: modified = the operation's new values,
+    # others = every other post-commit row's value
     mpp.sql("CREATE TABLE gdup(k INT, v TEXT) PARTITION BY(k) WITH BUCKETS 4")
     mpp.sql("INSERT INTO gdup VALUES(1,'a'),(7,'x'),(7,'y'),(9,'z')")
     t = mpp.table("gdup")
-    base, _files, _dirty = t.snapshot_full()
-    # stage a rewrite of ONLY the bucket holding k=1 (new value 2 — unique)
-    b1 = t.route(t.spark.createDataFrame([(2, "a")], "k int, v string"))
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="staged_uniq_")
-    b1.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-    staged_ids = [r[0] for r in b1.select("__bucket").distinct().collect()]
-    # pre-fix this raised on the untouched (7,7) pair; post-fix it passes
-    dml._check_unique_staged(
-        t, tmp, ["k"], global_cols=["k"], base=base, rewritten_ids=staged_ids
+    spark = t.spark
+    full = t.scan()
+    # UPDATE SET k=2 WHERE k=1: the untouched (7,7) pair must not abort
+    dml._check_unique_global(
+        t, "k",
+        modified=spark.createDataFrame([(2,)], "k int"),
+        others=full.where("k <> 1").select("k"),
     )
-    # and a staged value colliding with an untouched row still raises
-    b2 = t.route(t.spark.createDataFrame([(9, "new")], "k int, v string"))
-    tmp2 = tempfile.mkdtemp(prefix="staged_uniq_")
-    b2.write.mode("overwrite").partitionBy("__bucket").parquet(tmp2)
-    ids2 = [r[0] for r in b2.select("__bucket").distinct().collect()]
-    # exclude the bucket that holds the on-disk 9 only if it differs from
-    # the staged bucket; k routes identically, so the staged bucket IS the
-    # bucket of the old 9 — simulate "k reassigned into 9's bucket" by
-    # claiming we rewrote no buckets (the old 9 row is then 'untouched')
+    # and a modified value colliding with an untouched row still raises
     with pytest.raises(ValueError, match="Duplicate key"):
-        dml._check_unique_staged(
-            t, tmp2, ["k"], global_cols=["k"], base=base, rewritten_ids=[]
+        dml._check_unique_global(
+            t, "k",
+            modified=spark.createDataFrame([(9,)], "k int"),
+            others=full.where("k <> 1").select("k"),
+        )
+
+
+def test_update_unaffected_by_survivor_duplicate_in_rewritten_bucket(mpp):
+    """ADVICE r7: a pre-existing duplicate whose copies are CARRIED THROUGH
+    a rewritten bucket as unmodified survivors must not abort an unrelated
+    UPDATE — only duplicate groups the operation's own new values
+    participate in may raise."""
+    from duckdb_mpp_spark import dml
+
+    mpp.sql("CREATE TABLE gdup2(k INT, v TEXT) PARTITION BY(k) WITH BUCKETS 4")
+    mpp.sql("INSERT INTO gdup2 VALUES(1,'a'),(7,'x'),(7,'y')")
+    t = mpp.table("gdup2")
+    spark = t.spark
+    full = t.scan()
+    # UPDATE SET k=2 WHERE v='a': both 7s are survivors (others side), the
+    # only modified value is 2 — no abort even though the 7s share the
+    # rewritten layout in the real staged files
+    dml._check_unique_global(
+        t, "k",
+        modified=spark.createDataFrame([(2,)], "k int"),
+        others=full.where("v <> 'a'").select("k"),
+    )
+    # two rows modified TO the same value: the operation creates the
+    # duplicate itself — must raise
+    with pytest.raises(ValueError, match="Duplicate key"):
+        dml._check_unique_global(
+            t, "k",
+            modified=spark.createDataFrame([(2,), (2,)], "k int"),
+            others=full.where("v = 'never'").select("k"),
         )
 
 
