@@ -33,10 +33,11 @@ style of ``operators/corpus.py``.
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_mpp_spark.operators.dedup import shingles
+from duckdb_mpp_spark.operators.dedup import shingle_hashes
 from duckdb_mpp_spark.operators.text import _duck_tokens, tokens
 from duckdb_mpp_spark.queries import Query, register
 from duckdb_mpp_spark.sources import load_table
+from duckdb_mpp_spark.table import plan_size_bytes
 
 SPAN_WORDS = 8        # duplicated-span width (words)
 KEYWORDS_PER_DOC = 3  # top-k keywords
@@ -51,54 +52,95 @@ def duplicated_span_stats(
     k-word gram occurs in ≥2 distinct documents, and the duplicated
     fraction.
 
-    Three key-partitioned shuffles, each algorithm-required: (doc, gram)
-    occurrence counts; gram → #docs; per-doc rollup. The gram → #docs step
-    is a groupBy + equi-join whose branches SHARE the (doc, gram)
-    aggregate exchange (ReusedExchange keeps the shingle explode
-    single-evaluation; the r6 window variant had the same property but
-    buffered each gram's rows in one WindowExec task — skew-unsafe, see
-    in-line note). The gram is
-    collapsed to a 64-bit xxhash64 key BEFORE the first shuffle: an 8-word
-    gram string averages ~40 bytes, so hashing cuts shuffle bytes ~5×
-    while exact-match semantics are preserved up to 2^-64-scale collisions
-    (the same trade minhash makes)."""
-    g = shingles(df, id_col, text_col, k=k).select(
-        id_col, F.xxhash64("sh").alias("sh")
+    Shape (r8, replacing the r7 self-join): the complement identity
+    ``n_dup_spans = n_spans − (spans of grams unique to this doc)`` lets
+    the heavy gram stream be consumed EXACTLY ONCE by a single gram-keyed
+    aggregate — ``groupBy(sh).agg(count, min(doc), max(doc))`` — with no
+    join back against it. A gram is unique to one doc iff
+    ``min(doc) == max(doc)`` (NULL ids handled explicitly below), and
+    every aggregate is map-side combinable, so a boilerplate gram shared
+    by 10⁸ docs arrives at its reducer as ≤ #map-tasks partial rows —
+    skew-immune by construction, strictly better than both the r6 window
+    (one hot key = one WindowExec task) and the r7 groupBy+join (hot key
+    rows stream through the probe side). ``n_spans`` needs no gram data
+    at all: the shingle generator emits exactly ``greatest(|tokens|−k+1,
+    1)`` spans per non-empty doc, so the totals side is one narrow
+    column-pruned scan with a tiny per-doc fold. Two key-partitioned
+    shuffles on the gram stream path (sh, then doc — the second over
+    unique-gram rows only, pre-aggregated) plus one broadcast-sized
+    doc-keyed join. Grams are 64-bit hashes of the token window
+    (:func:`shingle_hashes` — ``xxhash64`` over the k token columns, no
+    gram string ever materialized; the r6 jaccard measurement put
+    concat_ws string assembly at ~45% of the shingle stage), exact-match
+    semantics preserved up to 2^-64-scale collisions (the same trade
+    minhash makes)."""
+    g = shingle_hashes(df, id_col, text_col, k=k)
+    gram = g.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.count(id_col).alias("n_nonnull"),
+        F.min(id_col).alias("_owner"),
+        F.max(id_col).alias("mx"),
     )
-    # Duplication flag via groupBy + equi-join, NOT a window on the gram
-    # key (review r7): WindowExec buffers one key's rows in a single task
-    # with no AQE skew handling, and a boilerplate gram shared by 10^8
-    # docs is exactly the hot key this operator exists to find — the join
-    # streams it (tot side is 1 row/gram, partial-agged map-side, and AQE
-    # can skew-split the probe side). The gram-level aggregate is
-    # sum(occ), not count(*): "gram in ≥2 docs" ⟺ tot > occ (occurrences
-    # exist in OTHER docs — per has one row per (doc, gram)), and summing
-    # occ makes BOTH join branches consume identical columns, so column
-    # pruning leaves the (doc, gram) aggregate subtrees canonically equal
-    # and Catalyst plans a ReusedExchange — the shingle explode + map
-    # side run ONCE (a count(*)-keyed dpg pruned occ from one branch and
-    # silently re-ran the whole explode per branch; asserted in
-    # tests/test_review_r7b.py). No localCheckpoint needed (A/B'd r7:
-    # checkpoint 1.41 s, double-explode 1.26 s, reused exchange beats
-    # both; the skew-unsafe window read 0.95 s).
-    per = g.groupBy(id_col, "sh").agg(F.count("*").alias("occ"))
-    tot = per.groupBy("sh").agg(F.sum("occ").alias("tot"))
-    per = per.join(tot, "sh")
-    dup_occ = F.when(F.col("tot") > F.col("occ"), F.col("occ")).otherwise(F.lit(0))
-    return (
-        per.groupBy(id_col)
-        .agg(
-            F.sum("occ").alias("n_spans"),
-            F.sum(dup_occ).alias("n_dup_spans"),
+    # unique-to-one-doc grams: all occurrences in one non-NULL doc, or all
+    # in the NULL-id doc (SQL GROUP BY treats NULL ids as ONE document —
+    # min/max skip NULLs, so the all-NULL case needs its own arm; a gram
+    # mixing NULL and real docs is cross-document, matching the oracle's
+    # per-row n_docs count)
+    uniq = (
+        gram.where(
+            (
+                (F.col("n_nonnull") == F.col("tot"))
+                & (F.col("_owner") == F.col("mx"))
+            )
+            | (F.col("n_nonnull") == 0)
         )
-        .select(
-            id_col,
-            "n_spans",
-            "n_dup_spans",
-            F.round(
-                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
-            ).alias("dup_frac"),
+        .groupBy("_owner")
+        .agg(F.sum("tot").alias("n_uniq"))
+    )
+    # token COUNT is case-independent: skip tokens()'s lower() here (the
+    # gram side still lowercases — gram equality is defined over
+    # lowercased words). Value-identical, one less pass over corpus bytes.
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda x: x != F.lit(""),
         )
+    )
+    totals = (
+        df.select(
+            F.col(id_col),
+            F.when(
+                n_tok > 0, F.greatest(n_tok - (k - 1), F.lit(1))
+            ).cast("long").alias("n_spans"),
+        )
+        .where(F.col("n_spans").isNotNull())
+        # duplicate ids in the input fold into one output row, matching
+        # the old groupBy(id)-shaped rollup
+        .groupBy(id_col)
+        .agg(F.sum("n_spans").alias("n_spans"))
+    )
+    # uniq is ≤ one row per doc. AQE broadcasts it at runtime anyway
+    # (measured), but the static hint saves one adaptive stage round-trip
+    # (~0.14 s at sf0.1). The hint is SIZE-SWITCHED, not unconditional
+    # (review r5/r6 convention, e.g. corpus.py's offsets switch): uniq is
+    # O(#docs), so forcing a broadcast on a 10^8-doc corpus would ship GBs
+    # to every executor — past the threshold we leave the doc-keyed
+    # shuffle join to AQE's own runtime decision.
+    docs_bytes = plan_size_bytes(df)
+    small = docs_bytes is not None and docs_bytes < 4 << 30
+    joined = totals.join(
+        F.broadcast(uniq) if small else uniq,
+        F.expr(f"{id_col} <=> _owner"),
+        "left",
+    )
+    n_dup = F.col("n_spans") - F.coalesce(F.col("n_uniq"), F.lit(0))
+    return joined.select(
+        id_col,
+        "n_spans",
+        n_dup.alias("n_dup_spans"),
+        F.round(
+            n_dup.cast("double") / F.col("n_spans").cast("double"), 6
+        ).alias("dup_frac"),
     )
 
 

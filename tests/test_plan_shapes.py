@@ -178,26 +178,32 @@ def test_dynamic_partition_pruning_on_partitioned_source(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    # (query, needs exchange reuse, max corpus scans) — tfidf keeps a
-    # second scan, but it is the projection-pruned 1-row corpus COUNT,
-    # not a re-explode
-    "name,needs_reuse,scan_limit",
+    # (query, needs exchange reuse, explode allowed, max corpus scans) —
+    # tfidf keeps a second scan, but it is the projection-pruned 1-row
+    # corpus COUNT, not a re-explode; spans (r8 shape) consumes its gram
+    # stream in ONE aggregate (no join back, so nothing to reuse) plus a
+    # narrow token-count scan
+    "name,needs_reuse,explode_ok,scan_limit",
     [
-        ("dedup_substring_spans", True, 1),
-        ("text_tfidf_keywords", True, 2),
-        ("dedup_exact", False, 1),
+        ("dedup_substring_spans", False, True, 2),
+        ("text_tfidf_keywords", True, True, 2),
+        ("dedup_exact", False, False, 1),
     ],
 )
-def test_single_pipeline_no_duplicate_subtree(spark, name, needs_reuse, scan_limit):
+def test_single_pipeline_no_duplicate_subtree(
+    spark, name, needs_reuse, explode_ok, scan_limit
+):
     """The tokenize/explode subtree must evaluate ONCE, never once per
-    join branch (measured 2-5x at sf0.1). Since r7 the df/n_docs
-    attachment is a groupBy + equi-join (skew-safe, unlike the r3-r6
-    window) whose branches share the base aggregate exchange — so the
-    single-evaluation property lives in AQE's runtime exchange reuse and
-    the guard asserts the EXECUTED plan contains a Reused* stage (the
-    column-pruning trap — a second aggregate that doesn't consume the
-    first's output — silently specializes the branches and re-runs the
-    whole explode per branch with no reuse node)."""
+    join branch (measured 2-5x at sf0.1). tfidf's df attachment is a
+    groupBy + equi-join (skew-safe, unlike the r3-r6 window) whose
+    branches share the base aggregate exchange — the single-evaluation
+    property lives in AQE's runtime exchange reuse and the guard asserts
+    the EXECUTED plan contains a Reused* stage (the column-pruning trap —
+    a second aggregate that doesn't consume the first's output — silently
+    specializes the branches and re-runs the whole explode per branch
+    with no reuse node). spans has no second consumer at all since r8:
+    the complement identity removed the gram-keyed self-join, so the
+    guard is 'exactly one explode' instead."""
     df = run_spark_query(name, spark, SF_DIR)
     df.foreach(lambda r: None)
     # the adaptive plan string appends an "== Initial Plan ==" section
@@ -207,6 +213,15 @@ def test_single_pipeline_no_duplicate_subtree(spark, name, needs_reuse, scan_lim
     p = p.split("== Initial Plan ==")[0]
     if needs_reuse:
         assert "Reused" in p, p
+    if explode_ok:
+        # the explode/Generate node must appear exactly once (dedented;
+        # a per-branch re-run prints two distinct Generate nodes)
+        gen = {
+            ln.strip().lstrip("+-: ")
+            for ln in p.splitlines()
+            if ln.strip().lstrip("+-: ").startswith("Generate ")
+        }
+        assert len(gen) <= 1, p
     else:
         assert "Generate" not in p, p
     # distinct live scan nodes of the corpus (dedented; reused scans

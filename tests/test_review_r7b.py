@@ -145,17 +145,24 @@ def test_span_and_tfidf_plans_have_no_window_on_content_key(spark):
     tfidf_plan = tfidf_df._jdf.queryExecution().toString()
     assert "windowspecdefinition(sh" not in spans_plan.lower()
     assert "windowspecdefinition(tok" not in tfidf_plan.lower()
-    # ...and the join's two branches must SHARE the base aggregate
-    # exchange so the shingle explode / tokenize map side runs exactly
-    # once, not once per branch. AQE materializes the reuse only at
-    # runtime, so execute first and assert on the final adaptive plan
-    # (this is also the regression guard for the column-pruning trap:
-    # a count(*)-keyed second aggregate prunes differently per branch,
-    # canonical equality breaks, and the reuse silently vanishes).
-    for frame in (spans_df, tfidf_df):
-        frame.collect()
-        executed = frame._jdf.queryExecution().executedPlan().toString()
-        assert "reused" in executed.lower(), executed
+    # spans (r8 shape): the gram stream feeds exactly ONE aggregate —
+    # there must be no join keyed on the gram hash at all (the r7
+    # self-join shape needed an exchange reuse; the complement identity
+    # removed the second consumer). Grep the analyzed plan: 'sh' may
+    # appear only in Aggregate keys, never in a Join condition.
+    for ln in spans_plan.splitlines():
+        if "Join" in ln:
+            assert "sh#" not in ln, spans_plan
+    # tfidf's join branches must SHARE the tf aggregate exchange so the
+    # tokenize map side runs exactly once, not once per branch. AQE
+    # materializes the reuse only at runtime, so execute first and assert
+    # on the final adaptive plan (this is also the regression guard for
+    # the column-pruning trap: a count(*)-keyed second aggregate prunes
+    # differently per branch, canonical equality breaks, and the reuse
+    # silently vanishes).
+    tfidf_df.collect()
+    executed = tfidf_df._jdf.queryExecution().executedPlan().toString()
+    assert "reused" in executed.lower(), executed
 
 
 # --- events: NULL-aware gates ----------------------------------------------
