@@ -50,6 +50,11 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
+    # production-hash twin (xxhash64, no md5): benched so the variant a
+    # deployment would run is measured; its DuckDB mirror for ratio
+    # reading is dedup_ngram_jaccard's oracle (same algebra, md5 family)
+    # — its own oracle is a recall certificate, excluded in duck_bench
+    "dedup_ngram_jaccard_fast",
     "dedup_simhash_pairs",
     "embedding_neardup_pairs",
     "text_quality_score",

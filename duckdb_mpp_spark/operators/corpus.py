@@ -616,10 +616,22 @@ def global_shuffle_positions(
 def _register_shuffle():
     def shuffle_fn(spark, sf_dir):
         # ordered like the oracle's ORDER BY pos — the two-phase path
-        # returns join order, not pos order (review r6)
-        return global_shuffle_positions(
-            load_table(spark, sf_dir, "documents")
-        ).orderBy("pos")
+        # returns join order, not pos order (review r6). The sort strategy
+        # follows the same size switch as the shuffle itself (r8): below
+        # _SINGLE_SORT_BYTES the frame already lives in one task, so
+        # ordered_small skips orderBy's range-sampling job (the gate's
+        # whole 31× ratio was scheduling constant); past it the result is
+        # O(#docs) and keeps the parallel range sort — never coalesce(1)
+        # on a corpus-sized frame.
+        from duckdb_mpp_spark.queries import ordered_small
+        from duckdb_mpp_spark.table import plan_size_bytes
+
+        docs = load_table(spark, sf_dir, "documents")
+        res = global_shuffle_positions(docs)
+        size = plan_size_bytes(docs)
+        if size is not None and size <= _SINGLE_SORT_BYTES:
+            return ordered_small(res, "pos")
+        return res.orderBy("pos")
 
     register(
         "pipeline_global_shuffle",

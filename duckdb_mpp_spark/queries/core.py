@@ -237,18 +237,7 @@ register(
 )
 
 # TPC-H Q13: left outer join + count distribution (two-level aggregation).
-register(
-    "q13_customer_distribution",
-    Query(
-        # Q13 with the order counts pre-aggregated BELOW the join (Catalyst
-        # does not push partial aggregation through joins): the join input
-        # carries one row per customer-with-orders instead of every order
-        # row, so the exchange shrinks by the orders-per-customer factor at
-        # any scale and AQE can broadcast the aggregated side. COUNT(*) in
-        # the pre-agg ≡ COUNT(o_orderkey) in the joined form (o_orderkey is
-        # never NULL in an existing order row); no-order customers surface
-        # via COALESCE after the left join. Identical SQL both engines.
-        """
+_Q13_SQL = """
         SELECT c_count, COUNT(*) AS custdist
         FROM (
           SELECT COALESCE(oc.n, 0) AS c_count
@@ -259,8 +248,35 @@ register(
           ) AS oc ON c_custkey = oc.o_custkey
         ) AS c_orders
         GROUP BY c_count
-        ORDER BY custdist DESC, c_count DESC
-        """
+"""
+
+
+def _q13_fn(spark, sf_dir):
+    # the result is a count DISTRIBUTION (#distinct order counts — dozens
+    # of rows at any scale), so ordered_small replaces orderBy's
+    # range-sampling job (r8 — the gate wall was ~98% scheduling constant)
+    from pyspark.sql import functions as F
+
+    return (
+        spark.sql(_Q13_SQL)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+register(
+    "q13_customer_distribution",
+    Query(
+        # Q13 with the order counts pre-aggregated BELOW the join (Catalyst
+        # does not push partial aggregation through joins): the join input
+        # carries one row per customer-with-orders instead of every order
+        # row, so the exchange shrinks by the orders-per-customer factor at
+        # any scale and AQE can broadcast the aggregated side. COUNT(*) in
+        # the pre-agg ≡ COUNT(o_orderkey) in the joined form (o_orderkey is
+        # never NULL in an existing order row); no-order customers surface
+        # via COALESCE after the left join. Same inner SQL both engines.
+        spark=_q13_fn,
+        oracle=_Q13_SQL + "        ORDER BY custdist DESC, c_count DESC",
     ),
 )
 

@@ -9,7 +9,7 @@ distributed) and DuckDB has natively (the oracle uses ``ASOF JOIN``).
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.queries import Query, ordered_small, register
 from duckdb_mpp_spark.sources import load_table
 
 # Tumbling-window aggregation (batch form of the streaming windowed agg).
@@ -292,10 +292,15 @@ register(
 # reuse was possible; this shape is 1 scan + 2 exchanges). The result is
 # tiny (#cohorts × #weeks). Day difference is engine-split only in name:
 # Spark datediff(end, start) ≡ DuckDB date_diff('day', start, end).
-register(
-    "events_cohort_retention",
-    Query(
-        spark="""
+def _cohort_retention_fn(spark, sf_dir):
+    # callable, not SQL text (r8): the result is #cohorts × #weeks —
+    # calendar-bounded at ANY scale — so the final total order comes from
+    # ordered_small (single-partition sort) instead of orderBy's
+    # range-sampling job; one less job on a gate whose wall was ~99%
+    # scheduling constant (26× DuckDB at sub-second absolute).
+    return ordered_small(
+        spark.sql(
+            """
             WITH per_user AS (
               SELECT user_id,
                      collect_set(CAST(date_trunc('week', ts) AS DATE)) AS weeks
@@ -308,8 +313,17 @@ register(
                    COUNT(*) AS n_users
             FROM per_user LATERAL VIEW explode(weeks) AS act_week
             GROUP BY 1, 2
-            ORDER BY 1, 2
-        """,
+            """
+        ),
+        "cohort_week",
+        "weeks_since",
+    )
+
+
+register(
+    "events_cohort_retention",
+    Query(
+        spark=_cohort_retention_fn,
         oracle="""
             WITH firsts AS (
               SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -404,10 +418,15 @@ register(
 # last_value(IGNORE NULLS) over a per-type window ordered by the grid —
 # partitioned by type, so the window shuffle is keyed and bounded. The
 # decimal cell aggregate keeps the filled values engine-exact.
-register(
-    "events_resample_ffill",
-    Query(
-        spark="""
+def _resample_ffill_fn(spark, sf_dir):
+    # callable (r8): both join sides and the result are #types ×
+    # #grid-slots — CALENDAR-bounded at any scale — so the broadcast hint
+    # on the aggregated cells side is size-safe forever (it skips AQE's
+    # materialize-then-decide round-trip), and the total order comes from
+    # ordered_small instead of orderBy's range-sampling job.
+    return ordered_small(
+        spark.sql(
+            """
             WITH grid AS (
               SELECT t.event_type, g.slot
               FROM (SELECT DISTINCT event_type FROM events) t,
@@ -426,7 +445,7 @@ register(
               FROM events
               GROUP BY 1, 2
             )
-            SELECT g.event_type, g.slot,
+            SELECT /*+ BROADCAST(c) */ g.event_type, g.slot,
                    COALESCE(c.n, 0) AS n,
                    last_value(c.cell_value, true) OVER (
                      PARTITION BY g.event_type ORDER BY g.slot
@@ -434,8 +453,17 @@ register(
                    ) AS ffill_value
             FROM grid g LEFT JOIN cells c
               ON c.event_type = g.event_type AND c.slot = g.slot
-            ORDER BY 1, 2
-        """,
+            """
+        ),
+        "event_type",
+        "slot",
+    )
+
+
+register(
+    "events_resample_ffill",
+    Query(
+        spark=_resample_ffill_fn,
         oracle="""
             WITH grid AS (
               SELECT t.event_type, g.slot

@@ -24,7 +24,15 @@ import duckdb  # noqa: E402
 from bench import HEADLINE  # noqa: E402
 from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded  # noqa: E402
 
-EXCLUDED = {"streaming_hourly_agg"}
+EXCLUDED = {
+    # methodology mismatch: micro-batch runtime vs a batch SQL statement
+    "streaming_hourly_agg",
+    # its oracle is a recall CERTIFICATE (a cheap identical-pair count),
+    # not a workload mirror — timing it against the full Spark pipeline
+    # would be a fake 20× row. The fast variant's fair DuckDB mirror is
+    # dedup_ngram_jaccard's oracle (same algebra, md5 hash family).
+    "dedup_ngram_jaccard_fast",
+}
 
 
 def main() -> None:
