@@ -589,12 +589,17 @@ def streaming_upsert_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming crawl-dedup against a PERSISTED signature index — the
     production shape of continuous corpus ingestion: each micro-batch of
-    new documents is minhashed, deduped against the parquet signature
-    index via :func:`incremental_dedup` (two band-bucket equi-joins; the
-    corpus itself is never touched), its verdicts appended to a sink, and
-    its OWN signatures appended to the index so later batches dedup
-    against it. The reference has no streaming at all; batch-side parity
-    is the `dedup_incremental` oracle.
+    new documents is minhashed, deduped against the signature index via
+    :func:`incremental_dedup` (band-bucket equi-joins; the corpus itself
+    is never touched), its verdicts appended to a verdict table, and its
+    OWN signatures appended to the index so later batches dedup against
+    it. Both sinks are DistributedTables since r8: each append is one
+    snapshot commit carrying the micro-batch id
+    (``manifest.commit(stream_batch=…)``), so replay detection is
+    transactional with the data on BOTH sinks — the last marker-file
+    recipe in the streaming layer is gone (r7 verdict task #6). The
+    reference has no streaming at all; batch-side parity is the
+    `dedup_incremental` oracle.
 
     Determinism: today's crawl arrives as ONE file → availableNow runs it
     as one micro-batch, making 'dup_batch' (matched an earlier doc in the
@@ -602,77 +607,103 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of this query, each leaving the index larger — exercised by
     tests/test_streaming.py. At 100 TB the index is ~10⁻³ of corpus bytes
     and the per-batch cost is O(batch + matches), independent of corpus
-    size."""
+    size. (The hash-routed index table here plays the role the bucketed
+    ``write_band_index`` layout plays for the batch gate: signatures land
+    pre-partitioned on their join key.)"""
+    from duckdb_mpp_spark.mpp import MppSession
     from duckdb_mpp_spark.operators.dedup import minhash_bands
+
     docs = load_table(spark, sf_dir, "documents")
-    index_dir = _gate_tmpdir("dedup_index_") + "/bands"
-    verdict_dir = _gate_tmpdir("dedup_verdicts_") + "/out"
+    mpp = MppSession(spark, _gate_tmpdir("dedup_stream_mpp_"))
+    mpp.sql(
+        "CREATE TABLE crawl_band_index(doc_id BIGINT, band INT, "
+        "band_key TEXT) PARTITION BY (band_key) WITH BUCKETS 8"
+    )
+    mpp.sql(
+        "CREATE TABLE crawl_verdicts(doc_id BIGINT, verdict TEXT, "
+        "dup_of BIGINT) PARTITION BY (doc_id) WITH BUCKETS 8"
+    )
+    index_tbl = mpp.table("crawl_band_index")
+    verdict_tbl = mpp.table("crawl_verdicts")
     # persisted index: signatures of the already-crawled corpus
-    minhash_bands(docs.where("doc_id % 7 != 0")).write.parquet(index_dir)
-    crawl_dedup_day(spark, docs.where("doc_id % 7 = 0"), index_dir, verdict_dir)
-    return spark.read.parquet(verdict_dir).orderBy("doc_id")
+    index_tbl.insert(minhash_bands(docs.where("doc_id % 7 != 0")))
+    crawl_dedup_day(
+        spark, docs.where("doc_id % 7 = 0"), index_tbl, verdict_tbl
+    )
+    return verdict_tbl.scan().orderBy("doc_id")
 
 
 def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
-                    index_dir: str, verdict_dir: str,
+                    index_tbl, verdict_tbl,
                     checkpoint_dir: str | None = None) -> None:
     """One crawl delivery through the streaming dedup pipeline: stream the
     day's documents (one file → one micro-batch), dedup each batch against
-    the persisted index, append verdicts, append the batch's signatures to
-    the index. Reusable across days — tests drive multiple days to prove
-    the index actually grows.
+    the persisted index table, append verdicts, append the batch's
+    signatures to the index. Reusable across days — tests drive multiple
+    days to prove the index actually grows. ``index_tbl``/``verdict_tbl``
+    are :class:`DistributedTable` sinks.
 
-    Retry idempotence (review r5): foreachBatch offers at-least-once — a
-    crash between the two appends and the checkpoint commit re-runs the
-    batch, and by then the index already holds the batch's own signatures,
-    so every doc would re-verdict as a duplicate OF ITSELF alongside its
-    original verdict. A per-batch marker file (written LAST) makes the
-    body skip re-delivered batch ids. (The DISTRIBUTED-table sinks
-    upgraded past this recipe in r7 — their batch id rides inside the
-    snapshot commit itself, `manifest.commit(stream_batch=…)`; this
-    pipeline appends to plain parquet dirs, which have no atomic commit
-    to embed into, so the marker remains its honest contract.) The guard
-    only ENGAGES
-    when the caller supplies ``checkpoint_dir`` (review r6: with the
-    default throwaway dir, a retried CALL starts a fresh lineage and can
-    never see a prior marker — production retries of a crashed day must
-    pass the same persistent dir so source, offsets, and markers resume
-    as one lineage)."""
+    Retry idempotence (review r5 → r8): foreachBatch offers at-least-once
+    — a crash between the two appends and the checkpoint commit re-runs
+    the batch. Until r7 a per-batch marker file (written LAST) closed the
+    wide re-delivery window but left the narrow one open: a crash between
+    the index append and the marker re-ran the batch against an index
+    already holding its own bands, re-verdicting every doc as a duplicate
+    of itself. With DistributedTable sinks the batch id rides INSIDE each
+    table's snapshot commit, and each append is guarded by ITS OWN
+    table's applied-batch record, so every crash point resumes exactly:
+
+    - crash before the verdict commit → neither table applied → full
+      re-run (verdicts still read the index WITHOUT this batch's bands,
+      because the verdict append is ordered first);
+    - crash between the two commits → verdicts skip (applied), only the
+      index append re-runs;
+    - crash after both commits but before the stream's offset commit →
+      both skip; re-delivery is a no-op.
+
+    There is no marker file left to drift from the data. The guard only
+    has cross-CALL effect when the caller supplies ``checkpoint_dir``
+    (review r6: with the default throwaway dir, a retried CALL starts a
+    fresh source+offsets lineage — production retries of a crashed day
+    must pass the same persistent dir so source, offsets, and the replay
+    lineage resume as one unit)."""
     from duckdb_mpp_spark.operators.dedup import incremental_dedup, minhash_bands
 
     ckpt_dir = checkpoint_dir or _gate_tmpdir("dedup_ckpt_")
     src_dir = os.path.join(ckpt_dir, "src")
     # mode('ignore'): on a RETRIED day the crashed call already staged the
-    # source; keeping it preserves the offset lineage the markers key on
+    # source; keeping it preserves the offset lineage the batch ids key on
     day_docs.coalesce(1).write.mode("ignore").parquet(src_dir)
-    # markers live WITH the checkpoint: batch ids are only unique within
-    # one checkpoint lineage (each delivery/day restarts at 0), so keying
-    # them off the shared index would skip every later delivery's batch 0
-    marker_dir = os.path.join(ckpt_dir, "_applied_batches")
-    os.makedirs(marker_dir, exist_ok=True)
+    # lineage inside the exact checkpointLocation dir (ADVICE r7): batch
+    # ids are only unique within one checkpoint lifetime, and the identity
+    # must die with the checkpoint
+    ckpt_loc = os.path.join(ckpt_dir, "offsets")
+    lineage = _checkpoint_lineage(ckpt_loc)
 
     def dedup_batch(batch, batch_id):
-        marker = os.path.join(marker_dir, f"b{batch_id}")
-        if os.path.exists(marker):
-            return  # re-delivered batch: both appends already happened
+        if batch.isEmpty():
+            return  # replaying an empty batch is a no-op by construction
         bands = minhash_bands(batch).localCheckpoint(eager=True)
-        idx = spark.read.parquet(index_dir)
-        # bands already materialized above — a second barrier buys nothing
-        incremental_dedup(idx, bands, materialize_batch=False).write.mode(
-            "append"
-        ).parquet(verdict_dir)
-        bands.write.mode("append").parquet(index_dir)  # index grows per batch
-        with open(marker, "w") as f:
-            f.write("done")  # written last: a crash before this re-runs the
-            # batch against an index that may already hold its bands — the
-            # narrow double-append window a transactional sink would close;
-            # the marker closes the WIDE window (re-delivery after success)
+        # verdicts FIRST: they must be computed against the index as it
+        # stood BEFORE this batch's bands — the ordering plus per-table
+        # skip checks make every crash point safe (docstring)
+        applied_v = verdict_tbl.applied_stream_batch(lineage)
+        if applied_v is None or batch_id > applied_v:
+            verdicts = incremental_dedup(
+                index_tbl.scan(), bands, materialize_batch=False
+            )
+            verdict_tbl.insert(
+                verdicts, stream_batch=(lineage, batch_id)
+            )
+        applied_i = index_tbl.applied_stream_batch(lineage)
+        if applied_i is None or batch_id > applied_i:
+            index_tbl.insert(bands, stream_batch=(lineage, batch_id))
 
     q = (
         spark.readStream.schema(day_docs.schema)
         .parquet(src_dir)
         .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", os.path.join(ckpt_dir, "offsets"))
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )
