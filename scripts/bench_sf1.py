@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""sf≈1 matched-pair bench for the heavy corpus gates (VERDICT r7 #5).
+
+The 100 TB argument ("the ratio converges below 1 where stages outlast
+scheduling constants") rested on residual percentages until this script:
+it runs the SAME gate and the SAME oracle SQL on the SAME parquet at
+sf0.1 and at a 10× replica (sf≈1), warm min-of-2 per engine, DuckDB at
+32 threads — so the ratio's movement WITH SCALE is measured, not
+extrapolated. Output: one JSON line for BENCH_SF1_r8.json.
+
+Replica construction (reusing scale_probe's validated recipes):
+- documents: every word prefixed with a replica tag, so shingles /
+  minhashes / bands / candidate pairs are DISJOINT across replicas while
+  within-replica duplicate structure is preserved exactly — output and
+  join fan-out scale linearly by construction (see
+  scale_probe.replicate_documents for the artifact-graph failure mode
+  this avoids). The 1× baseline gets the same transform (tag zz0).
+- embeddings: each replica's vectors go through a replica-specific
+  SIGNED CIRCULAR SHIFT — an orthogonal transform, so within-replica
+  cosines are preserved EXACTLY (the gate's per-replica pair set is
+  identical) while cross-replica structure decorrelates to the ~1/√d
+  tail. At d=64 with a 0.35 threshold that tail is NOT empty — some
+  cross-replica pairs clear the gate, exactly as a real 10× sample from
+  the same clustered distribution would (near-dup pair counts grow
+  super-linearly in corpus size for a fixed cluster structure). Both
+  engines read the identical parquet, so the ratio stays a fair
+  engine-vs-engine measure of the larger workload; the measured
+  cross-replica pair count is reported in the output
+  (`cross_replica_neardup_pairs`). Linearity claims come from the
+  DOCUMENT gates, whose replicas are disjoint by construction.
+
+Caveat recorded in the output: `dedup_incremental`'s oracle recomputes
+the index from scratch while the Spark gate times the DAILY RUN against
+a prebuilt index (the same asymmetry the regular bench protocol has) —
+at 10× that asymmetry grows, so its row demonstrates the INDEX payoff,
+not an engine ratio; read the other five gates for engine-vs-engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+BASE_DIR = "/tmp/mpp_sf1_base"
+BIG_DIR = "/tmp/mpp_sf1_big"
+
+GATES = [
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "embedding_neardup_pairs",
+    "dedup_substring_spans",
+    "graph_triangle_count",
+    "dedup_incremental",
+]
+
+
+def _signed_embeddings(emb, rep: int):
+    """Replica-tagged embeddings: vec_id shifted, vector passed through a
+    replica-specific SIGNED CIRCULAR SHIFT (x'_i = ±x_{(i+7·rep) mod d},
+    signs from xxhash64(rep, i)) — a signed permutation, hence orthogonal:
+    within-replica cosines are preserved exactly, while cross-replica
+    cosines decorrelate even for cluster-spiky vectors (a plain sign flip
+    keeps a shared dominant dimension aligned; the shift moves it). rep 0
+    is the identity so the 1× baseline is the raw data. The output JSON
+    reports measured cross-replica leakage."""
+    if rep == 0:
+        return emb
+    k = 7 * rep
+    return emb.withColumn(
+        "embedding",
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1), i -> "
+            f"element_at(embedding, CAST((i + {k}) % size(embedding) AS INT) + 1)"
+            f" * IF(pmod(xxhash64({rep}, i), 2) = 0,"
+            " CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))"
+        ),
+    )
+
+
+def build(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    d_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    e_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    def tag_docs(i: int):
+        return docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * d_span)
+        ).withColumn("text", F.regexp_replace("text", "(^| )", f"$1zz{i}"))
+
+    def tag_emb(i: int):
+        return _signed_embeddings(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * e_span)), i
+        )
+
+    for path, n in ((BASE_DIR, 1), (BIG_DIR, REPLICAS)):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+        big_d, big_e = tag_docs(0), tag_emb(0)
+        for i in range(1, n):
+            big_d = big_d.union(tag_docs(i))
+            big_e = big_e.union(tag_emb(i))
+        big_d.repartition(8 * n).write.parquet(f"{path}/documents.parquet")
+        big_e.repartition(2 * n).write.parquet(f"{path}/embeddings.parquet")
+
+
+def time_spark(spark, sf_dir: str) -> dict[str, float]:
+    from duckdb_mpp_spark.queries import run_spark_query
+    from duckdb_mpp_spark.sources.tables import register_views
+
+    # force view re-registration for this dir (gates read via load_table
+    # with sf_dir, but the SQL-text paths go through views)
+    register_views(spark, sf_dir)
+    out = {}
+    for name in GATES:
+        run_spark_query(name, spark, sf_dir).foreach(lambda r: None)  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_spark_query(name, spark, sf_dir).foreach(lambda r: None)
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def time_duck(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    out = {}
+    for name in GATES:
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    con.close()
+    return out
+
+
+def main() -> None:
+    from duckdb_mpp_spark.queries import oracle_sqls
+    from duckdb_mpp_spark.session import get_spark
+
+    spark = get_spark(app_name="mpp-bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    oracles = oracle_sqls()
+
+    result = {
+        "protocol": (
+            "same gate + same oracle SQL on the same parquet at 1x and "
+            f"{REPLICAS}x (word-tag-disjoint docs, sign-flip-orthogonal "
+            "embeddings), warm min-of-2 per engine, DuckDB 32 threads"
+        ),
+        "replicas": REPLICAS,
+        "caveat_dedup_incremental": (
+            "spark times the daily run vs a prebuilt index; the oracle "
+            "recomputes the index - its row shows the index payoff, not "
+            "an engine ratio"
+        ),
+    }
+    # replica-construction honesty metrics: pair outputs must scale ~
+    # linearly (disjoint replicas), so record cross-replica leakage
+    from duckdb_mpp_spark.queries import run_spark_query
+
+    e_span = (
+        spark.read.parquet(f"{SRC}/embeddings.parquet")
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+        + 1
+    )
+    nd = run_spark_query("embedding_neardup_pairs", spark, BIG_DIR)
+    leak = nd.where(
+        (F.col("va") / e_span).cast("long")
+        != (F.col("vb") / e_span).cast("long")
+    ).count()
+    result["cross_replica_neardup_pairs"] = leak
+
+    for label, d in (("sf0.1", BASE_DIR), (f"sf1_{REPLICAS}x", BIG_DIR)):
+        s = time_spark(spark, d)
+        k = time_duck(d, oracles)
+        result[label] = {
+            "spark": s,
+            "duckdb": k,
+            "ratio": {
+                n: round(s[n] / max(k[n], 1e-4), 2) for n in GATES
+            },
+        }
+    print(json.dumps(result))
+    for p in (BASE_DIR, BIG_DIR):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
