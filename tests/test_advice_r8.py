@@ -41,10 +41,11 @@ def test_streaming_gates_mint_lineage_inside_checkpoint_location():
 
     src = inspect.getsource(streaming)
     # the only _checkpoint_lineage call sites pass a ckpt_loc that is also
-    # the checkpointLocation option
+    # the checkpointLocation option (ingest, upsert, crawl-dedup)
     assert '_checkpoint_lineage(ckpt)' not in src
-    assert src.count('_checkpoint_lineage(ckpt_loc)') == 2
-    assert src.count('.option("checkpointLocation", ckpt_loc)') == 2
+    n_lineage = src.count('_checkpoint_lineage(ckpt_loc)')
+    n_option = src.count('.option("checkpointLocation", ckpt_loc)')
+    assert n_lineage == n_option >= 3, (n_lineage, n_option)
 
 
 def test_reset_of_exact_checkpoint_dir_resets_lineage(tmp_path):
