@@ -155,8 +155,20 @@ def _blank_quotes_and_comments(text: str) -> str:
 
 def _find_keyword_top_level(text: str, word: str, start: int = 0) -> int:
     """Index of the first standalone ``word`` (case-insensitive) at paren
-    depth 0, outside single-quoted literals ('' escapes) and double-quoted
-    identifiers; -1 if absent."""
+    depth 0, outside single-quoted literals ('' escapes), double-quoted /
+    backtick identifiers, and ``--``/``/* */`` comments; -1 if absent.
+
+    The input is blanked through the comment-aware state machine FIRST
+    (review r8, confirmed repro): the old scanner tracked quotes itself
+    but was comment-blind, so a lone apostrophe inside a ``--`` comment
+    opened a fake literal that swallowed everything to the next real
+    quote — ``SELECT .. -- don't\\nUNION ALL SELECT .. WHERE x = 'y'``
+    hid the UNION from the set-op pruning guard and silently dropped
+    leg-2 rows. Blanking is length-preserving, so every caller's returned
+    positions keep mapping 1:1 onto its original text; the quote-tracking
+    branches below stay (they are correct over blanked text, where all
+    quote regions are balanced by construction)."""
+    text = _blank_quotes_and_comments(text)
     depth, i, n, wl, wu = 0, start, len(text), len(word), word.upper()
     while i < n:
         ch = text[i]
@@ -627,9 +639,11 @@ class MppSession:
         if upper in ("ROLLBACK", "ABORT"):
             return self.rollback()
 
-        # keyword checks run on literal-blanked text — 'RETURNING' inside a
-        # string value must not reject the statement (review r4)
-        blank_upper = _blank_literals(stripped).upper()
+        # keyword checks run on comment-and-literal-blanked text —
+        # 'RETURNING' inside a string value or a comment must not reject
+        # the statement (review r4; r8 switched to the state machine so a
+        # lone quote inside a comment can't swallow real keywords either)
+        blank_upper = _blank_quotes_and_comments(stripped).upper()
         if re.search(r"\bRETURNING\b", blank_upper):
             raise NotImplementedError("RETURNING statement not supported")
         if re.search(r"\bON\s+CONFLICT\b", blank_upper):
@@ -975,11 +989,12 @@ class MppSession:
         versions: dict[str, int] = {}
         for name in self.catalog._tables:
             pat = rf"\b({re.escape(name)})\s+VERSION\s+AS\s+OF\s+(\d+)\b"
-            # match against literal-blanked text (review r4: the clause
-            # inside a string value must neither mutate the literal nor pin
-            # the table), then splice the ORIGINAL text at the match spans —
-            # blanking is length-preserving so positions map 1:1
-            blank = _blank_literals(query)
+            # match against comment-and-literal-blanked text (review
+            # r4: the clause inside a string value must neither mutate the
+            # literal nor pin the table; r8: a clause inside a COMMENT must
+            # not pin either), then splice the ORIGINAL text at the match
+            # spans — blanking is length-preserving so positions map 1:1
+            blank = _blank_quotes_and_comments(query)
             out, pos = [], 0
             for m in re.finditer(pat, blank, flags=re.IGNORECASE):
                 versions[name] = int(m.group(2))
@@ -1077,7 +1092,10 @@ class MppSession:
                     # counting as relations (review r5 — same lexeme
                     # gaps as the set-op guard)
                     rf"(?:\bFROM\s+|\bJOIN\s+|,\s*){re.escape(name)}\b(?!\.)",
-                    _blank_literals(query),
+                    # state-machine blank (r8): a lone quote in a comment
+                    # erased a genuine second FROM ref under the literal
+                    # blanker, merging per-alias conjuncts (wrong results)
+                    _blank_quotes_and_comments(query),
                     re.IGNORECASE,
                 )
             )
@@ -1095,14 +1113,19 @@ class MppSession:
         rows). Conservative: Catalyst still applies the real predicates."""
         if not re.match(r"^\s*WITH\b", query, re.IGNORECASE):
             return False
-        main_sel = _find_keyword_top_level(query, "SELECT")
+        # comments/quoted identifiers/literals blanked in one scan over
+        # the RAW query: the keyword scans must never see a 'select'
+        # inside any of them (review r7/r8 — a 'select' inside a comment
+        # in the WITH prefix made main_sel point into the comment, every
+        # CTE-body relation ref then read as post-main-SELECT, and
+        # pruning re-enabled on a CTE-fed source; confirmed repro), and a
+        # literal pre-pass would mis-pair a lone quote inside a comment
+        # (ADVICE r7). _find_keyword_top_level blanks internally since r8,
+        # and positions map 1:1 because blanking is length-preserving.
+        blank = _blank_quotes_and_comments(query)
+        main_sel = _find_keyword_top_level(blank, "SELECT")
         if main_sel < 0:
             return True  # unparseable WITH shape: stay conservative
-        # comments/quoted identifiers/literals blanked in one scan over
-        # the RAW query: the backward keyword scan below must never see a
-        # 'select' inside any of them (review r7), and a literal pre-pass
-        # would mis-pair a lone quote inside a comment (ADVICE r7)
-        blank = _blank_quotes_and_comments(query)
         for m in re.finditer(
             rf"(\bFROM\s+|\bJOIN\s+|(,)\s*){re.escape(name)}\b(?!\.)",
             blank,
@@ -1150,7 +1173,7 @@ class MppSession:
         span = self._where_span(query)
         if span is not None and span[0] > setop:
             return False
-        blank = _blank_literals(query)
+        blank = _blank_quotes_and_comments(query)
         # \s* not \s+: `FROM tv,st` is valid SQL with no space after the
         # comma; (?!\.) so a qualified SELECT-list item `, st.v` is a
         # COLUMN ref, not a second relation (review r5, twice)
@@ -1204,7 +1227,7 @@ class MppSession:
         # verbatim (review r4: the old tokenize-and-rejoin split ``||`` into
         # ``| |``). Qualified (dotted) refs are matched whole and skipped.
         where_txt = query[span[0]:span[1]]
-        blank = _blank_literals(where_txt)
+        blank = _blank_quotes_and_comments(where_txt)
         out, pos, changed = [], 0, False
         word_re = re.compile(
             r"[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*"
