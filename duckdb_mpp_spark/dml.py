@@ -97,73 +97,67 @@ def _observed_matched(obs: Observation, df, pred) -> int:
         return df.where(pred).count()
 
 
-def _check_unique_staged(
-    table: DistributedTable,
-    tmp_path: str,
-    cols: list[str],
-) -> None:
-    """Bucket-local UNIQUE/PRIMARY KEY enforcement for COW rewrites
-    (review r4 — the reference's per-shard index rejects duplicate-creating
-    DML on every path, not just INSERT). The staged rewrite IS the complete
-    post-commit content of every affected bucket, and unaffected buckets
-    cannot gain bucket-local duplicates (the rewrite never re-routes,
-    upsert replaces by key), so the staged files alone suffice. Value-
-    GLOBAL constraints (the partition column) go through
-    :func:`_check_unique_global` instead, with the caller supplying the
-    exact modified-rows side. Raises (and the caller discards the staging
-    dir) before any snapshot publish, leaving the table untouched."""
-    if not cols:
-        return
-    staged = table.spark.read.option("basePath", tmp_path).parquet(tmp_path)
-    for col in cols:
-        dup = (
-            staged.select(BUCKET_COL, col)
-            .where(F.col(col).isNotNull())
-            .groupBy(BUCKET_COL, col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
-            .limit(1)
-            .collect()
+def _assert_deterministic_assignment(scan_df, text: str, col: str) -> None:
+    """UNIQUE enforcement for COW rewrites validates the operation's new
+    values by re-deriving them from the base scan (the staged files mix
+    modified rows with carried-through survivors, so they cannot supply a
+    modified-only side). Re-derivation is only sound when the assignment
+    expression is DETERMINISTIC — ``SET k = CAST(rand()*1e6 AS INT)``
+    would be validated against a different draw than the one the staged
+    write committed (review r8), so it is rejected loudly instead."""
+    proj = scan_df.select(F.expr(text).alias("_v"))
+    exprs = proj._jdf.queryExecution().analyzed().expressions()
+    det = all(exprs.apply(i).deterministic() for i in range(exprs.size()))
+    if not det:
+        raise ValueError(
+            f"nondeterministic assignment to unique column {col!r} is not "
+            "supported: the constraint check would validate a different "
+            "evaluation than the one committed"
         )
-        if dup:
-            raise ValueError(
-                f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
-                f'violates unique constraint in table "{table.meta.name}"'
-            )
 
 
-def _check_unique_global(
+def _check_unique_sides(
     table: DistributedTable,
     col: str,
     modified,
     others,
+    bucket_local: bool,
 ) -> None:
-    """Value-GLOBAL UNIQUE enforcement — the partition column, whose
-    re-assignment/insertion can collide with a row in a bucket the rewrite
-    never touched (review r6). ``modified`` holds ONLY the values this
+    """UNIQUE/PRIMARY KEY enforcement for COW rewrites/merges (review r4 —
+    the reference's per-shard index rejects duplicate-creating DML on
+    every path, not just INSERT). ``modified`` holds ONLY the values this
     operation actually assigned/inserted (one row per modified row);
-    ``others`` holds every OTHER post-commit row's value — untouched
-    buckets plus the rewrite's carried-through survivors. A duplicate
-    group aborts only when a modified value participates (ADVICE r7: the
-    old staged-files formulation flagged carried-through survivor rows as
-    operation-owned too, so a pre-existing on-disk duplicate with one copy
-    inside a rewritten bucket aborted an unrelated UPDATE — strictly
-    weaker than the insert path's 'only rejected for duplicates it would
-    create' contract). Both inputs are single-column projections of
-    already-planned scans — one pass each, only when a global column
-    changed."""
+    ``others`` holds every OTHER post-commit row's value that could share
+    the group. A duplicate group aborts only when a modified value
+    participates (ADVICE r7, extended to bucket-local constraints in r8:
+    the old staged-files formulation flagged carried-through survivor
+    rows as operation-owned too, so a pre-existing on-disk duplicate —
+    constraint added after a legacy load — with one copy inside a
+    rewritten bucket aborted an UNRELATED update; strictly weaker than
+    the insert path's 'only rejected for duplicates it would create'
+    contract).
+
+    ``bucket_local=True`` groups by (bucket, value) — the constraint the
+    reference's shard-local index enforces; the rewrite never re-routes
+    and MERGE replaces by key, so modified rows can only collide within
+    their own bucket and ``others`` needs only the REWRITTEN buckets'
+    surviving rows. ``bucket_local=False`` is the value-GLOBAL partition
+    column (review r6), where ``others`` must cover untouched buckets
+    too. Both inputs are narrow projections of already-planned scans —
+    one pass each, only when a unique column is actually written."""
+    group = [BUCKET_COL, col] if bucket_local else [col]
     side = (
-        modified.select(F.col(col))
+        modified.select(*group)
         .where(F.col(col).isNotNull())
         .withColumn("_is_modified", F.lit(True))
         .unionByName(
-            others.select(F.col(col))
+            others.select(*group)
             .where(F.col(col).isNotNull())
             .withColumn("_is_modified", F.lit(False))
         )
     )
     dup = (
-        side.groupBy(col)
+        side.groupBy(*group)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.max("_is_modified").alias("has_modified"),
@@ -177,6 +171,18 @@ def _check_unique_global(
             f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
             f'violates unique constraint in table "{table.meta.name}"'
         )
+
+
+def _check_unique_global(
+    table: DistributedTable,
+    col: str,
+    modified,
+    others,
+) -> None:
+    """Value-global flavor of :func:`_check_unique_sides` (kept as the
+    named entry point the partition-column callers and the ADVICE-r7
+    regression tests use)."""
+    _check_unique_sides(table, col, modified, others, bucket_local=False)
 
 
 def _dml_bucket_ids(
@@ -278,39 +284,47 @@ def update(
         return 0
     changed_unique = [c for c in meta.unique_columns if c in assignments]
     if changed_unique:
-        # the partition-column constraint is value-GLOBAL (table.py
-        # _enforce_unique): an assignment like SET k = 1 lands the new
-        # value in a bucket the staged rewrite never touched, so the
-        # staged-only bucket-local check cannot see the collision. The
-        # modified side is re-derived from the base scan (pred + the
+        # The modified side is re-derived from the base scan (pred + the
         # assignment expression), NOT read back from the staged files —
         # staged files mix modified rows with carried-through survivors,
         # and flagging survivors as operation-owned aborted unrelated
-        # UPDATEs on pre-existing duplicates (ADVICE r7).
-        global_cols = [
-            c for c in changed_unique if c == meta.partition_column
-        ]
+        # UPDATEs on pre-existing duplicates (ADVICE r7, extended to the
+        # bucket-local columns in r8). Re-derivation requires the
+        # assignment to be deterministic (guarded below, review r8). The
+        # partition-column constraint is value-GLOBAL (table.py
+        # _enforce_unique): an assignment like SET k = 1 lands the new
+        # value in a bucket the staged rewrite never touched, so its
+        # others side must cover the whole table; every other unique
+        # column is bucket-local and — because the rewrite never re-routes
+        # — both sides restrict to the rewritten buckets (review r8: the
+        # first cut scanned all buckets for the modified side too;
+        # _dml_bucket_ids guarantees pred-matching rows live only in ids).
         try:
-            _check_unique_staged(
-                table, tmp, [c for c in changed_unique if c not in global_cols]
+            full = table.scan(
+                where=None, keep_bucket=True, version=base, pinned=True
             )
-            for col in global_cols:
+            in_ids = (
+                full.where(F.col(BUCKET_COL).isin(ids))
+                if len(ids) < meta.buckets
+                else full
+            )
+            for col in changed_unique:
                 text = assignments[col]
                 if _DEFAULT_RE.match(text):
                     text = _resolve_default(table, col)
+                _assert_deterministic_assignment(full, text, col)
                 dt = meta.schema[col].dataType
-                full = table.scan(
-                    where=None, keep_bucket=True, version=base, pinned=True
+                modified = in_ids.where(pred).select(
+                    BUCKET_COL, F.expr(text).cast(dt).alias(col)
                 )
-                _check_unique_global(
-                    table,
-                    col,
-                    modified=full.where(pred).select(
-                        F.expr(text).cast(dt).alias(col)
-                    ),
-                    # pred is already NULL-coalesced to false, so ~pred is
-                    # exactly the not-updated rows (their values survive)
-                    others=full.where(~pred).select(col),
+                is_global = col == meta.partition_column
+                # pred is NULL-coalesced to false, so ~pred is exactly
+                # the not-updated rows (their values survive the rewrite)
+                others = (full if is_global else in_ids).where(~pred).select(
+                    BUCKET_COL, col
+                )
+                _check_unique_sides(
+                    table, col, modified, others, bucket_local=not is_global
                 )
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -441,36 +455,34 @@ def upsert(
         .parquet(tmp)
     )
     if meta.unique_columns:
-        # partition-column constraint stays value-GLOBAL here too (review
-        # r6, live repro): with a COMPOSITE upsert key, a misplaced row in
-        # a dirty bucket can share the partition value but differ on the
-        # other key fields — it is then neither replaced (full-key match
-        # fails) nor seen by the staged bucket-local check. The modified
-        # side is the input batch itself; every base row surviving the
-        # full-key anti-join (misplaced dirty rows included) is 'others',
-        # so the r6 repro still aborts while a pre-existing duplicate the
-        # batch never touches no longer does (ADVICE r7).
-        global_cols = [
-            c for c in meta.unique_columns if c == meta.partition_column
-        ]
+        # The modified side is the (checkpointed) input batch itself —
+        # values fixed, no re-evaluation hazard. partition-column
+        # constraint stays value-GLOBAL (review r6, live repro): with a
+        # COMPOSITE upsert key, a misplaced row in a dirty bucket can
+        # share the partition value but differ on the other key fields —
+        # it is then neither replaced (full-key match fails) nor visible
+        # bucket-locally; its surviving value rides the global others
+        # side. Every other unique column is bucket-local: routed input
+        # rows collide only within their own bucket, so both sides
+        # restrict to the rewritten buckets (``existing`` is exactly
+        # that). Survivor-only duplicate groups no longer abort (ADVICE
+        # r7, extended to bucket-local in r8).
         try:
-            _check_unique_staged(
-                table, tmp,
-                [c for c in meta.unique_columns if c not in global_cols],
+            full = table.scan(
+                where=None, keep_bucket=True, version=base, pinned=True
             )
-            for col in global_cols:
-                full = table.scan(
-                    where=None, keep_bucket=True, version=base, pinned=True
-                )
-                _check_unique_global(
+            keys = new_rows.select(*key_cols).distinct()
+            for col in meta.unique_columns:
+                is_global = col == meta.partition_column
+                others = (full if is_global else existing).join(
+                    keys, key_cols, "left_anti"
+                ).select(BUCKET_COL, col)
+                _check_unique_sides(
                     table,
                     col,
-                    modified=new_rows.select(col),
-                    others=full.join(
-                        new_rows.select(*key_cols).distinct(),
-                        key_cols,
-                        "left_anti",
-                    ).select(col),
+                    modified=new_rows.select(BUCKET_COL, col),
+                    others=others,
+                    bucket_local=not is_global,
                 )
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -681,13 +681,25 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
     lineage = _checkpoint_lineage(ckpt_loc)
 
     def dedup_batch(batch, batch_id):
+        # skip checks FIRST (review r8): a fully re-delivered batch (crash
+        # after both commits but before the offset commit) must not pay
+        # the minhash pipeline just to skip both inserts — the applied
+        # reads are cheap manifest metadata
+        applied_v = verdict_tbl.applied_stream_batch(lineage)
+        applied_i = index_tbl.applied_stream_batch(lineage)
+        if (
+            applied_v is not None
+            and batch_id <= applied_v
+            and applied_i is not None
+            and batch_id <= applied_i
+        ):
+            return
         if batch.isEmpty():
             return  # replaying an empty batch is a no-op by construction
         bands = minhash_bands(batch).localCheckpoint(eager=True)
         # verdicts FIRST: they must be computed against the index as it
         # stood BEFORE this batch's bands — the ordering plus per-table
         # skip checks make every crash point safe (docstring)
-        applied_v = verdict_tbl.applied_stream_batch(lineage)
         if applied_v is None or batch_id > applied_v:
             verdicts = incremental_dedup(
                 index_tbl.scan(), bands, materialize_batch=False
@@ -695,7 +707,6 @@ def crawl_dedup_day(spark: SparkSession, day_docs: DataFrame,
             verdict_tbl.insert(
                 verdicts, stream_batch=(lineage, batch_id)
             )
-        applied_i = index_tbl.applied_stream_batch(lineage)
         if applied_i is None or batch_id > applied_i:
             index_tbl.insert(bands, stream_batch=(lineage, batch_id))
 

@@ -86,3 +86,90 @@ def test_returning_in_comment_is_not_rejected(mpp):
     # ...while a REAL RETURNING clause still raises reference parity
     with pytest.raises(NotImplementedError, match="RETURNING"):
         mpp.sql("INSERT INTO rc VALUES(3) RETURNING k")
+
+
+# --- dml: unique-check soundness and contract precision (review r8) ---------
+
+def test_nondeterministic_assignment_to_unique_column_rejected(mpp):
+    # re-derivation-based checking would validate a different rand() draw
+    # than the one committed — rejected loudly instead of silently unsound
+    import pytest as _pytest
+
+    mpp.sql(
+        "CREATE TABLE ndet(k INT UNIQUE, v TEXT) PARTITION BY(k) WITH BUCKETS 4"
+    )
+    mpp.sql("INSERT INTO ndet VALUES(1,'a'),(2,'b')")
+    with _pytest.raises(ValueError, match="[Nn]ondeterministic"):
+        mpp.sql("UPDATE ndet SET k = CAST(rand()*1000 AS INT) WHERE v = 'a'")
+    # deterministic assignments keep working
+    assert mpp.sql("UPDATE ndet SET k = 3 WHERE v = 'a'") == 1
+    got = sorted(k for (k,) in rows(mpp.table("ndet").scan().select("k"), "k"))
+    assert got == [2, 3]
+
+
+def test_update_unique_still_rejects_created_duplicates(mpp):
+    mpp.sql(
+        "CREATE TABLE udup(k INT, u INT UNIQUE) PARTITION BY(k) WITH BUCKETS 4"
+    )
+    mpp.sql("INSERT INTO udup VALUES(1,10),(1,11),(2,20)")
+    # bucket-local collision: two rows in k=1's bucket end at u=10
+    with pytest.raises(ValueError, match="Duplicate key"):
+        mpp.sql("UPDATE udup SET u = 10 WHERE u = 11")
+    # two modified rows assigned the same value also abort
+    with pytest.raises(ValueError, match="Duplicate key"):
+        mpp.sql("UPDATE udup SET u = 99 WHERE k = 1")
+    # non-colliding update still commits
+    assert mpp.sql("UPDATE udup SET u = 12 WHERE u = 11") == 1
+
+
+def test_update_survivor_only_bucket_duplicate_does_not_abort(mpp):
+    """r8 contract extension: a pre-existing bucket-local duplicate whose
+    rows are carried through the rewrite UNMODIFIED must not abort an
+    unrelated UPDATE of a different unique column's row in the same
+    bucket."""
+    from duckdb_mpp_spark import dml
+
+    # no constraint at load time → the on-disk duplicate (u=7,u=7) exists;
+    # declare it via meta to exercise the DML check path directly
+    mpp.sql("CREATE TABLE sdup(k INT, u INT, v TEXT) PARTITION BY(k) WITH BUCKETS 2")
+    mpp.sql(
+        "INSERT INTO sdup VALUES(1,7,'a'),(1,7,'b'),(1,5,'c'),(2,9,'d')"
+    )
+    t = mpp.table("sdup")
+    t.meta.unique_columns = ["u"]
+    # updates u of the v='c' row only; the (7,7) survivors share its bucket
+    assert dml.update(t, {"u": "6"}, "v = 'c'") == 1
+    got = sorted(u for (u,) in rows(t.scan().select("u"), "u"))
+    assert got == [6, 7, 7, 9]
+    # but touching one of the duplicates TO the duplicate value aborts
+    with pytest.raises(ValueError, match="Duplicate key"):
+        dml.update(t, {"u": "7"}, "v = 'c'")
+
+
+def test_upsert_survivor_only_bucket_duplicate_does_not_abort(mpp):
+    from duckdb_mpp_spark import dml
+
+    # composite merge key (k, j) so an input row can land IN the
+    # survivors' bucket (same k) without replacing them (different j) —
+    # the unique contract is bucket-local, so only same-bucket collisions
+    # count
+    mpp.sql(
+        "CREATE TABLE sdup2(k INT, j INT, u INT) PARTITION BY(k) WITH BUCKETS 2"
+    )
+    mpp.sql("INSERT INTO sdup2 VALUES(1,1,7),(1,2,7)")
+    t = mpp.table("sdup2")
+    t.meta.unique_columns = ["u"]
+    spark = t.spark
+    # lands in the (7,7) survivors' bucket with a fresh u — must commit
+    n = dml.upsert(
+        t, spark.createDataFrame([(1, 3, 5)], "k int, j int, u int"), ["k", "j"]
+    )
+    assert n == 1
+    # while an inserted duplicate of a surviving value in the SAME bucket
+    # still aborts
+    with pytest.raises(ValueError, match="Duplicate key"):
+        dml.upsert(
+            t,
+            spark.createDataFrame([(1, 4, 7)], "k int, j int, u int"),
+            ["k", "j"],
+        )

@@ -163,11 +163,14 @@ def test_streaming_incremental_dedup_index_grows(spark):
     assert got[11] == ("dup_index", 1)       # day 1: dup of the seed corpus
     assert got[20] == ("dup_index", 10)      # day 2: dup of a DAY-1 doc —
     # only possible because day 1's signatures entered the persisted index
-    # r8: batch ids ride in the snapshot commits (no marker files) — each
-    # day's delivery is its own checkpoint lineage
-    assert "_applied_batches" not in str(
-        verd.scan().inputFiles()
-    )
+    # r8: batch ids ride in the snapshot commits — no marker recipe left
+    # anywhere in the streaming layer (source-level pin: the old
+    # implementation created an _applied_batches dir per checkpoint)
+    import inspect
+
+    import duckdb_mpp_spark.streaming as streaming_mod
+
+    assert "_applied_batches" not in inspect.getsource(streaming_mod)
 
 
 def test_crawl_dedup_day_replay_skips_both_appends(spark, tmp_path):
@@ -203,6 +206,8 @@ def test_crawl_dedup_day_replay_skips_both_appends(spark, tmp_path):
     crawl_dedup_day(spark, day, idx, verd, checkpoint_dir=ckpt)
     assert verd.scan().count() == n_verd
     assert idx.scan().count() == n_idx
+    # no marker side-files anywhere under the persistent checkpoint
+    assert not os.path.exists(os.path.join(ckpt, "_applied_batches"))
     lineage_file = os.path.join(ckpt, "offsets", "_mpp_lineage")
     assert os.path.exists(lineage_file)
     lineage = open(lineage_file).read().strip()
