@@ -241,7 +241,18 @@ def lsh_candidate_pairs(
     both join sides would recompute the corpus scan, and ITERATIVE
     consumers (connected components re-reads pairs per round) would
     recompute it once per action. Same move a 100 TB run wants: write
-    signatures once, join twice.
+    signatures once, join twice. EAGER since r8 (here and at every
+    multi-consumer checkpoint in this module): ``eager=False`` defers
+    materialization to first use, and AQE submits independent query
+    stages CONCURRENTLY (``withThreadLocalCaptured`` jobs), so the
+    consumers raced to compute the not-yet-checkpointed RDD — observed
+    live as five parallel 32-task evaluations of the same corpus
+    pipeline in one triangle-count run (15 jobs / ~1.5 s in affected
+    sessions vs 7 jobs / ~0.3 s; session-bimodal, which also explains a
+    slice of the cross-session bench variance attributed to box noise).
+    Eager materialization runs the pipeline exactly once, synchronously,
+    before any consumer stage exists — measured equal in the fast mode
+    and immune to the slow one.
 
     ``materialize=False`` (r8): for single-action consumers (the jaccard
     gate collects once), an explicit ``repartition(band, band_key)``
@@ -255,7 +266,7 @@ def lsh_candidate_pairs(
     so the join itself adds no exchange, and AQE's skew-join split still
     applies to a pathological hot band bucket."""
     if materialize:
-        bands = bands.localCheckpoint(eager=False)
+        bands = bands.localCheckpoint(eager=True)
         a = bands.select(
             F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_key")
         )
@@ -430,7 +441,7 @@ def jaccard_verify(
     if materialize_pairs:
         # pairs feeds two consumers (candidate-doc semi-join + routing
         # join) and its lineage is the whole LSH pipeline — materialize once
-        pairs = pairs.localCheckpoint(eager=False)
+        pairs = pairs.localCheckpoint(eager=True)
     if not sh_restricted:
         sh = sh.join(_candidate_docs(pairs, id_col), id_col, "left_semi")
     # set semantics: distinct (doc, shingle) keyed by the PAIR — a hot doc's
@@ -463,7 +474,7 @@ def jaccard_verify(
             sh.repartition(id_col)
             .dropDuplicates([id_col, "sh"])
             .withColumn("n", F.count("*").over(w))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         a = dshn.select(
             F.col(id_col).alias("doc_a"), "sh", F.col("n").alias("na")
@@ -490,7 +501,7 @@ def jaccard_verify(
                 6,
             ).alias("jaccard"),
         )
-    dsh = sh.distinct().localCheckpoint(eager=False)
+    dsh = sh.distinct().localCheckpoint(eager=True)
     sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = dsh.select(F.col(id_col).alias("doc_a"), "sh")
     b = dsh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -570,7 +581,7 @@ def incremental_dedup(
         # materialize_batch=False when the caller already checkpointed (a
         # filter over a materialized frame re-reads cached blocks — a
         # second barrier buys nothing, r6)
-        batch_bands = batch_bands.localCheckpoint(eager=False)
+        batch_bands = batch_bands.localCheckpoint(eager=True)
     nb = batch_bands.select(F.col(id_col).alias("new_id"), "band", "band_key")
     if prefilter:
         # map-side index prefilter: drops exactly the index rows the left
@@ -962,7 +973,7 @@ def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: 
     Fingerprints are materialized before the self-join (same reasoning as
     ``lsh_candidate_pairs``: one 8-byte row per doc vs recomputing the
     token-bit pipeline for both join sides)."""
-    sim = sim.localCheckpoint(eager=False)
+    sim = sim.localCheckpoint(eager=True)
     blocks = _simhash_blocks(max_hamming + 1)
     block_structs = F.array(
         *[
@@ -1028,7 +1039,7 @@ def simhash64_neighbor_pairs(
     PER DISTINCT BLOCK VALUE. Hamming distance is the sum of the two
     halves' ``bit_count(xor)`` terms; fingerprints (two 8-byte columns per
     doc) are materialized before the self-join."""
-    sim = sim.localCheckpoint(eager=False)
+    sim = sim.localCheckpoint(eager=True)
     bounds = _simhash64_bounds(max_hamming + 1)
     block_structs = F.array(
         *[
@@ -1282,7 +1293,7 @@ def _register():
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
         batch_bands = minhash_bands(
             docs.where(F.col("doc_id") % 7 == F.lit(0))
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         idx = read_band_index(
             spark,
             _persisted_band_index(spark, sf_dir),
@@ -1476,7 +1487,7 @@ def connected_components(
     # materialize the edge list once: its lineage is the whole LSH pipeline,
     # and every iteration joins against it — without this the corpus-scan →
     # shingle → band join recomputes O(diameter) times
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
     for _ in range(max_iter):
@@ -1494,7 +1505,7 @@ def connected_components(
         )
         # lazy checkpoint: the convergence agg below is the action that
         # materializes it — one job per round instead of two
-        new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.localCheckpoint(eager=True)
         # labels only ever decrease → the label sum is strictly monotone and
         # stationary exactly at the fixpoint; one cheap agg replaces a
         # change-detection join.
@@ -1662,7 +1673,7 @@ def minhash_similarity_estimate(
     two estimate join legs (localCheckpoint — the corpus is shingled ONCE).
     Returns (doc_a, doc_b, n_agree, est_jaccard) with est = n_agree/K,
     exact in both engines (integer count, one exact binary division)."""
-    mh = minhash_wide(docs, id_col, text_col).localCheckpoint(eager=False)
+    mh = minhash_wide(docs, id_col, text_col).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(_bands_from_wide(mh, id_col))
     stack_expr = "stack({}, {}) AS (seed, mh)".format(
         K_MINHASH, ", ".join(f"{s}, mh{s}" for s in range(K_MINHASH))

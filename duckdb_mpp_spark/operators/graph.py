@@ -84,7 +84,7 @@ def triangles(edges: DataFrame) -> DataFrame:
             F.max_by("node", key).alias("v"),
         )
         .select("u", "v")
-        .localCheckpoint(eager=False)  # three legs share one evaluation
+        .localCheckpoint(eager=True)  # three legs share one evaluation
     )
     uv = oriented.select("u", "v")
     vw = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
@@ -134,7 +134,7 @@ _TRIANGLE_ORACLE = _DUCK_BANDS + f""",
 def _register() -> None:
     def triangle_fn(spark, sf_dir):
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-        edges = lsh_candidate_pairs(minhash_bands(docs)).localCheckpoint(eager=False)
+        edges = lsh_candidate_pairs(minhash_bands(docs)).localCheckpoint(eager=True)
         return (
             triangle_counts(edges)
             .orderBy(F.col("n_triangles").desc(), "doc_id")
