@@ -337,14 +337,23 @@ def jaccard_verify_from_docs(
     cands = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
-    docs_c = docs.join(cands, id_col, "left_semi")
+    # candidate-TEXT repartition between the semi-join and the explode
+    # (r8 plan audit): the doc-keyed exchange this branch needs for the
+    # dedupe+window carries candidate DOCUMENTS here — before the r8 fix
+    # it sat above the exploded shingle stream, so the branch paid the
+    # corpus-wide _spread exchange AND a shingle-stream exchange. Placed
+    # here, the explode/dedupe/window all inherit HashPartitioning(id)
+    # (partitioning keys ⊆ dedupe keys; = window keys — the r6 rule), the
+    # branch's only exchange is candidate-text-sized, and the upstream
+    # corpus scan+spread subtree stays canonically equal to the minhash
+    # branch's, so Catalyst reuses ONE corpus exchange for the whole gate.
+    docs_c = docs.join(cands, id_col, "left_semi").repartition(id_col)
     sh = shingle_hashes(docs_c, id_col, text_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col)
     dshn = (
-        sh.repartition(id_col)
-        .dropDuplicates([id_col, "sh"])
+        sh.dropDuplicates([id_col, "sh"])
         .withColumn("n", F.count("*").over(w))
     )
     a = dshn.select(F.col(id_col).alias("doc_a"), "sh", F.col("n").alias("na"))
