@@ -48,6 +48,7 @@ from duckdb_mpp_spark.table import (
     BUCKET_COL,
     DistributedTable,
     _max_partition_bytes,
+    check_unique_sides,
     plan_size_bytes,
     split_from_bytes,
     spread_for_bucket_write,
@@ -97,20 +98,24 @@ def _observed_matched(obs: Observation, df, pred) -> int:
         return df.where(pred).count()
 
 
-def _assert_deterministic_assignment(scan_df, text: str, col: str) -> None:
+def _assert_deterministic_assignment(
+    scan_df, text: str, col: str, what: str = "assignment to"
+) -> None:
     """UNIQUE enforcement for COW rewrites validates the operation's new
     values by re-deriving them from the base scan (the staged files mix
     modified rows with carried-through survivors, so they cannot supply a
-    modified-only side). Re-derivation is only sound when the assignment
-    expression is DETERMINISTIC — ``SET k = CAST(rand()*1e6 AS INT)``
-    would be validated against a different draw than the one the staged
-    write committed (review r8), so it is rejected loudly instead."""
+    modified-only side). Re-derivation is only sound when every expression
+    it replays is DETERMINISTIC — ``SET k = CAST(rand()*1e6 AS INT)``
+    (review r8) or ``WHERE rand() < 0.9`` (review r8b: the predicate
+    partitions both check sides) would be validated against a different
+    draw than the one the staged write committed, so both are rejected
+    loudly instead."""
     proj = scan_df.select(F.expr(text).alias("_v"))
     exprs = proj._jdf.queryExecution().analyzed().expressions()
     det = all(exprs.apply(i).deterministic() for i in range(exprs.size()))
     if not det:
         raise ValueError(
-            f"nondeterministic assignment to unique column {col!r} is not "
+            f"nondeterministic {what} unique column {col!r} is not "
             "supported: the constraint check would validate a different "
             "evaluation than the one committed"
         )
@@ -125,52 +130,28 @@ def _check_unique_sides(
 ) -> None:
     """UNIQUE/PRIMARY KEY enforcement for COW rewrites/merges (review r4 —
     the reference's per-shard index rejects duplicate-creating DML on
-    every path, not just INSERT). ``modified`` holds ONLY the values this
+    every path, not just INSERT). Delegates to the ONE shared primitive
+    (``table.check_unique_sides`` — unified r8 with the insert path, so
+    contract fixes land once). ``modified`` holds ONLY the values this
     operation actually assigned/inserted (one row per modified row);
     ``others`` holds every OTHER post-commit row's value that could share
-    the group. A duplicate group aborts only when a modified value
+    the group; a duplicate group aborts only when a modified value
     participates (ADVICE r7, extended to bucket-local constraints in r8:
     the old staged-files formulation flagged carried-through survivor
     rows as operation-owned too, so a pre-existing on-disk duplicate —
     constraint added after a legacy load — with one copy inside a
-    rewritten bucket aborted an UNRELATED update; strictly weaker than
-    the insert path's 'only rejected for duplicates it would create'
-    contract).
+    rewritten bucket aborted an UNRELATED update).
 
-    ``bucket_local=True`` groups by (bucket, value) — the constraint the
-    reference's shard-local index enforces; the rewrite never re-routes
-    and MERGE replaces by key, so modified rows can only collide within
-    their own bucket and ``others`` needs only the REWRITTEN buckets'
-    surviving rows. ``bucket_local=False`` is the value-GLOBAL partition
-    column (review r6), where ``others`` must cover untouched buckets
-    too. Both inputs are narrow projections of already-planned scans —
-    one pass each, only when a unique column is actually written."""
-    group = [BUCKET_COL, col] if bucket_local else [col]
-    side = (
-        modified.select(*group)
-        .where(F.col(col).isNotNull())
-        .withColumn("_is_modified", F.lit(True))
-        .unionByName(
-            others.select(*group)
-            .where(F.col(col).isNotNull())
-            .withColumn("_is_modified", F.lit(False))
-        )
+    ``bucket_local=True``: the rewrite never re-routes and MERGE replaces
+    by key, so modified rows can only collide within their own bucket and
+    ``others`` needs only the REWRITTEN buckets' surviving rows.
+    ``bucket_local=False`` is the value-GLOBAL partition column (review
+    r6), where ``others`` must cover untouched buckets too. Both inputs
+    are narrow projections of already-planned scans — one pass each, only
+    when a unique column is actually written."""
+    check_unique_sides(
+        table.meta.name, col, modified, others, bucket_local=bucket_local
     )
-    dup = (
-        side.groupBy(*group)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("_is_modified").alias("has_modified"),
-        )
-        .where((F.col("n") > 1) & F.col("has_modified"))
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
-            f'violates unique constraint in table "{table.meta.name}"'
-        )
 
 
 def _check_unique_global(
@@ -308,6 +289,14 @@ def update(
                 if len(ids) < meta.buckets
                 else full
             )
+            # the WHERE predicate partitions BOTH sides of the check, so
+            # it must be deterministic too (review r8b: UPDATE ... WHERE
+            # rand() < 0.9 would stage one set of matches and validate a
+            # different one — silent UNIQUE violation or spurious abort)
+            if where is not None:
+                _assert_deterministic_assignment(
+                    full, where, changed_unique[0], what="WHERE predicate with"
+                )
             for col in changed_unique:
                 text = assignments[col]
                 if _DEFAULT_RE.match(text):

@@ -73,22 +73,6 @@ _DELETE_RE = re.compile(
 )
 
 
-def _blank_literals(text: str) -> str:
-    """Replace the CONTENTS of every SQL string literal with spaces,
-    length-preserving, so keyword/identifier regexes can run over the
-    result and their match positions map 1:1 back onto the original text.
-    (A keyword inside a literal — ``'use ON CONFLICT here'`` — must never
-    trigger statement routing or clause rewrites; review r4.) Consumes both
-    ``''``-doubled and ``\\'``-backslash escapes — Spark's default parser
-    treats ``\\'`` as an escaped quote, so ``'don\\'t'`` must blank as ONE
-    literal, not un-blank its tail (ADVICE r4)."""
-    return re.sub(
-        r"'(?:[^'\\]|''|\\.)*'",
-        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
-        text,
-    )
-
-
 def _blank_quotes_and_comments(text: str) -> str:
     """Length-preserving blank of single-quoted literals, double-quoted /
     backtick identifiers, ``--`` line comments and ``/* */`` block
@@ -107,14 +91,15 @@ def _blank_quotes_and_comments(text: str) -> str:
     source. Scanned left-to-right with comment state tracked, a quote
     character inside an already-open comment is inert. Same reason this
     function consumes single-quoted literals itself rather than composing
-    with :func:`_blank_literals`: the pre-pass would make the same
+    with a literal-only pre-pass (the comment-blind ``_blank_literals``
+    helper this replaced in r8): the pre-pass would make the same
     mis-pairing mistake before the state machine ever saw the text."""
     out = list(text)
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
         if ch == "'":
-            # same escape rules as _blank_literals: ''-doubling and \'
+            # Spark-parser escape rules: ''-doubling and \'
             j = i + 1
             while j < n:
                 if text[j] == "\\" and j + 1 < n:
@@ -899,7 +884,12 @@ class MppSession:
         the DISTINCT key set)."""
         q = _find_keyword_top_level(query, "QUALIFY")
         if q < 0:
-            no_strings = re.sub(r"'(?:[^']|'')*'", "''", query)
+            # fallback guard scans the same comment-and-literal-blanked
+            # text as the scanner (review r8b: after the comment-aware
+            # switch, 'qualify' inside a comment was invisible to the
+            # scanner but still matched the raw-text fallback, rejecting
+            # a valid query with NotImplementedError)
+            no_strings = _blank_quotes_and_comments(query)
             if re.search(r"\bQUALIFY\b", no_strings, re.IGNORECASE):
                 raise NotImplementedError(
                     "QUALIFY is supported at the top level of a query only "
@@ -1041,11 +1031,15 @@ class MppSession:
 
     def _alias_names(self, query: str, part_col: str) -> set[str]:
         """Select-list aliases of the partition column, so pruning resolves
-        filters through aliases (expression_helper.hpp:16-34 parity)."""
+        filters through aliases (expression_helper.hpp:16-34 parity).
+        Harvested from comment-and-literal-blanked text (review r8b): an
+        alias-shaped fragment inside a comment — ``/* k AS foo */`` — made
+        ``foo = 5`` prune as a partition filter, the wrong-results
+        direction the r8 scanner sweep fixed in the keyword guards."""
         aliases = set()
         for m in re.finditer(
             rf"\b{re.escape(part_col)}\s+(?:AS\s+)?([A-Za-z_]\w*)\b",
-            query,
+            _blank_quotes_and_comments(query),
             re.IGNORECASE,
         ):
             word = m.group(1)
@@ -1068,8 +1062,12 @@ class MppSession:
         the qualifier whitelist for pruning (a filter qualified by any other
         relation must never prune this table)."""
         quals = {name.lower()}
+        # blanked text (review r8b): a comment containing ``st x`` must not
+        # let another relation's ``x.k = 5`` prune this table
         for m in re.finditer(
-            rf"\b{re.escape(name)}\s+(?:AS\s+)?([A-Za-z_]\w*)\b", query, re.IGNORECASE
+            rf"\b{re.escape(name)}\s+(?:AS\s+)?([A-Za-z_]\w*)\b",
+            _blank_quotes_and_comments(query),
+            re.IGNORECASE,
         ):
             word = m.group(1)
             if word.upper() not in self._NON_ALIAS_KEYWORDS:

@@ -289,20 +289,6 @@ def lsh_candidate_pairs(
     )
 
 
-def _candidate_docs(pairs: DataFrame, id_col: str) -> DataFrame:
-    """Doc ids appearing in any candidate pair — WITH multiplicity.
-
-    Every consumer is the build side of a ``left_semi`` join, where
-    duplicates are free (the hash build dedupes keys anyway); a
-    ``.distinct()`` here added a full exchange + aggregation purely to
-    shrink a frame that is already tiny relative to the corpus. Measured
-    r6: dropping it is −0.4 s on the jaccard gate at sf0.1 (one fewer
-    AQE stage-job), value-identical output."""
-    return pairs.select(F.col("doc_a").alias(id_col)).union(
-        pairs.select(F.col("doc_b").alias(id_col))
-    )
-
-
 def jaccard_verify_from_docs(
     docs: DataFrame,
     pairs: DataFrame,
@@ -311,10 +297,11 @@ def jaccard_verify_from_docs(
 ) -> DataFrame:
     """Jaccard verify with the candidate filter pushed BELOW the shingle
     computation (new r4): restrict ``docs`` to pair members first, then
-    shingle only those. The semi-join inside ``jaccard_verify`` filters the
-    shingle STREAM, which still tokenizes and shingles the entire corpus
-    before dropping non-candidates — Catalyst will not push a semi-join
-    under the Generate node. After LSH, candidates are a small fraction of
+    shingle only those. (The pre-r4 shape semi-joined the shingle STREAM,
+    which still tokenized and shingled the entire corpus before dropping
+    non-candidates — Catalyst will not push a semi-join under the
+    Generate node; that generic-stream variant was removed in r8 after
+    its last caller migrated here.) After LSH, candidates are a small fraction of
     the corpus (banding exists precisely to make them sparse), so at
     100 TB this turns the verify stage's second corpus pass into a pass
     over candidate docs only. Shingle keys are 64-bit hashes (same
@@ -379,11 +366,6 @@ def jaccard_verify_from_docs(
     )
 
 
-# Fold per-doc set sizes into the routing join (window annotation on dsh)
-# instead of a separate sizes aggregate + two post-hoc joins — see the
-# branch note in jaccard_verify. A/B'd r6; module flag kept for re-measure.
-_FOLD_SIZES = True
-
 
 def shingle_hashes(
     df: DataFrame,
@@ -411,130 +393,6 @@ def shingle_hashes(
     )
     h = F.xxhash64(*[F.try_element_at("t", F.col("i") + j) for j in range(k)])
     return idx.select(id_col, h.alias("sh"))
-
-
-def jaccard_verify(
-    sh: DataFrame,
-    pairs: DataFrame,
-    id_col: str = "doc_id",
-    *,
-    materialize_pairs: bool = True,
-    sh_restricted: bool = False,
-) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
-    Set semantics: distinct shingles per doc; integer intersection/union
-    counts so the division is engine-identical.
-
-    Shape (VERDICT r01 fix): the naive formulation equi-joins shingles to
-    shingles and only then restricts to candidate pairs — O(Σ_sh df(sh)²),
-    a blow-up on hot shingles that Catalyst won't reorder away (CBO off).
-    Instead the candidate restriction comes FIRST: semi-join the shingle
-    stream down to docs that occur in some pair, then route each candidate
-    doc's (distinct) shingles through the pair table — ``pairs ⋈_doc_a dsh
-    ⋈_(doc_b, sh) dsh`` — and count matches per pair. The shingle equi-join
-    key is (doc_b, sh), so fan-out is O(|pairs| · shingles/doc), immune to
-    hot-shingle skew (a shingle in d docs never materializes d² rows; a doc
-    in p pairs replicates its shingle list p times, exactly the work the
-    intersection inherently needs). Only pairs sharing ≥1 shingle are
-    returned. Measured at sf0.1 this beat carrying per-doc ``collect_set``
-    arrays through two joins + ``array_intersect`` (2.56 s vs 2.84 s
-    end-to-end): the array payloads shuffle twice and ``array_intersect``
-    re-sorts both sides per pair.
-
-    r5 stage-count trims (VERDICT r4 #2): ``materialize_pairs=False`` lets
-    a caller that already checkpointed pairs skip the second barrier;
-    ``sh_restricted=True`` skips the candidate semi-join when the shingle
-    stream is already candidate-only (``jaccard_verify_from_docs`` filters
-    the DOCS before shingling). The size joins stay post-hoc on the small
-    ``inter`` frame — see the skew note below."""
-    if materialize_pairs:
-        # pairs feeds two consumers (candidate-doc semi-join + routing
-        # join) and its lineage is the whole LSH pipeline — materialize once
-        pairs = pairs.localCheckpoint(eager=True)
-    if not sh_restricted:
-        sh = sh.join(_candidate_docs(pairs, id_col), id_col, "left_semi")
-    # set semantics: distinct (doc, shingle) keyed by the PAIR — a hot doc's
-    # shingles spread across partitions, and the sizes aggregate below ships
-    # only per-doc counts. (r5 tried fusing size into one collect_set pass:
-    # measured flat at sf0.1 and rejected for the same reason the r1
-    # array-carrying formulation was — one pathological doc's whole shingle
-    # set would sit in a single aggregation buffer.) Materialized once —
-    # feeds both routing-join sides and the sizes aggregate.
-    from pyspark.sql import Window
-
-    if _FOLD_SIZES:
-        # Per-doc set size rides ON the shingle rows (one window pass over
-        # the already-materialized dsh) instead of a separate sizes
-        # aggregate + two post-hoc joins — the routing join then carries na
-        # /nb as 8-byte payloads and the pair aggregation picks them up
-        # with first() (every row of a doc carries the same value). Trades
-        # 3 stages (agg + 2 joins) for 1 (window exchange on doc id); the
-        # window buffers one doc's shingle list per task — bounded by doc
-        # length, not corpus (VERDICT r5 #2).
-        # ONE exchange for dedupe + size: cluster by doc id first, then
-        # dropDuplicates and the window both have their ClusteredDistribution
-        # satisfied by HashPartitioning(doc_id) (partitioning keys ⊆
-        # dedupe keys; = window keys), so neither re-shuffles. The plain
-        # ``sh.distinct()`` form shuffled on (doc, sh) and the window then
-        # re-shuffled on doc — two exchanges of the candidate shingle
-        # stream for the one this needs.
-        w = Window.partitionBy(id_col)
-        dshn = (
-            sh.repartition(id_col)
-            .dropDuplicates([id_col, "sh"])
-            .withColumn("n", F.count("*").over(w))
-            .localCheckpoint(eager=True)
-        )
-        a = dshn.select(
-            F.col(id_col).alias("doc_a"), "sh", F.col("n").alias("na")
-        )
-        b = dshn.select(
-            F.col(id_col).alias("doc_b"), "sh", F.col("n").alias("nb")
-        )
-        inter = (
-            pairs.join(a, "doc_a")
-            .join(b, ["doc_b", "sh"])
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.count("*").alias("i"),
-                F.first("na").alias("na"),
-                F.first("nb").alias("nb"),
-            )
-        )
-        return inter.select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-    dsh = sh.distinct().localCheckpoint(eager=True)
-    sizes = dsh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = dsh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = dsh.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1495,8 +1353,11 @@ def connected_components(
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     # materialize the edge list once: its lineage is the whole LSH pipeline,
     # and every iteration joins against it — without this the corpus-scan →
-    # shingle → band join recomputes O(diameter) times
-    edges = edges.localCheckpoint(eager=True)
+    # shingle → band join recomputes O(diameter) times. Lazy (exempt from
+    # the r8 eager sweep): each iteration's action consumes edges through
+    # ONE join subtree, so round 1 materializes it race-free and later
+    # rounds reuse the blocks.
+    edges = edges.localCheckpoint(eager=False)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
     for _ in range(max_iter):
@@ -1512,9 +1373,12 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
             )
         )
-        # lazy checkpoint: the convergence agg below is the action that
-        # materializes it — one job per round instead of two
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence agg below is the SINGLE, strictly
+        # sequential consumer that materializes it — one job per round
+        # instead of two. (Deliberately exempt from the r8 eager sweep: the
+        # AQE concurrency race needs multiple consumers inside one action;
+        # here no next-round consumer exists until after the agg returns.)
+        new_labels = new_labels.localCheckpoint(eager=False)
         # labels only ever decrease → the label sum is strictly monotone and
         # stationary exactly at the fixpoint; one cheap agg replaces a
         # change-detection join.

@@ -103,6 +103,54 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return None if size >= _STATS_UNKNOWN else size
 
 
+def check_unique_sides(
+    table_name: str,
+    col: str,
+    modified: DataFrame,
+    others: DataFrame,
+    bucket_local: bool,
+) -> None:
+    """The ONE duplicate-detection primitive every UNIQUE/PRIMARY KEY
+    enforcement path shares (insert via ``_enforce_unique``, COW
+    UPDATE/upsert via ``dml._check_unique_sides`` — unified r8 so a
+    semantics fix lands once). ``modified`` holds only the values the
+    operation creates (inserted batch rows / re-derived SET values);
+    ``others`` holds every other row's value that could share the group.
+    A duplicate group raises only when a modified value participates: the
+    operation is rejected for duplicates IT would create, never for an
+    inconsistency already on disk (ADVICE r6/r7). ``bucket_local`` groups
+    by (bucket, value) — the reference's per-shard index semantics
+    (create_distributed_table.cpp:107); the value-GLOBAL partition-column
+    constraint groups by value alone (review r6). Multiple NULLs allowed
+    (SQL UNIQUE)."""
+    group = [BUCKET_COL, col] if bucket_local else [col]
+    side = (
+        modified.select(*group)
+        .where(F.col(col).isNotNull())
+        .withColumn("_is_modified", F.lit(True))
+        .unionByName(
+            others.select(*group)
+            .where(F.col(col).isNotNull())
+            .withColumn("_is_modified", F.lit(False))
+        )
+    )
+    dup = (
+        side.groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_is_modified").alias("has_modified"),
+        )
+        .where((F.col("n") > 1) & F.col("has_modified"))
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
+            f'violates unique constraint in table "{table_name}"'
+        )
+
+
 def write_split_factor(df: DataFrame, n_groups: int, cap: int = 64) -> int:
     """Intra-bucket write fan-out for a bucket-routed write:
     ``plan bytes / (n_groups × maxPartitionBytes)``, floored at 1 and
@@ -489,33 +537,13 @@ class DistributedTable:
             # partition-column constraint: value-global (same value can sit
             # in different buckets only via routing-dirty misplacement, and
             # that's exactly the duplicate this must catch)
-            group = [col] if col == self.meta.partition_column else [BUCKET_COL, col]
-            keys = (
-                existing.select(BUCKET_COL, col)
-                .withColumn("__new", F.lit(0))
-                .unionByName(
-                    routed.select(BUCKET_COL, col).withColumn("__new", F.lit(1))
-                )
-                .where(F.col(col).isNotNull())
+            check_unique_sides(
+                self.meta.name,
+                col,
+                modified=routed,
+                others=existing,
+                bucket_local=col != self.meta.partition_column,
             )
-            # require a batch row in the duplicate group: THIS insert is
-            # only rejected for duplicates it would create, never for an
-            # inconsistency already on disk
-            dup = (
-                keys.groupBy(*group)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("__new").alias("has_new"),
-                )
-                .where((F.col("n") > 1) & (F.col("has_new") == 1))
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"Constraint Error: Duplicate key \"{col}: {dup[0][col]}\" "
-                    f'violates unique constraint in table "{self.meta.name}"'
-                )
 
     def insert(
         self, df: DataFrame, stream_batch: tuple[str, int] | None = None
