@@ -154,8 +154,15 @@ def contamination_overlap(
     release. ``benchmark`` is (any id, text); its distinct shingle set is
     broadcast, so the corpus is filtered in one map-side-joined scan.
 
-    Per-doc totals are the expression ``size(array_distinct(grams))`` —
-    no second shuffle over the shingle stream."""
+    One two-level aggregation produces BOTH per-doc counts (review r8):
+    the broadcast left-join flags each shingle occurrence, (doc, sh)
+    dedupes with map-side partial aggregation (a repeated gram collapses
+    before the shuffle), and the per-doc rollup counts total vs flagged
+    distinct shingles. The previous shape computed totals as a separate
+    expression-only scan keyed per input ROW while hits merged per id —
+    duplicate doc_ids (a malformed-but-real crawl input) then yielded
+    contamination_frac > 1.0 and diverged from the oracle's per-id
+    DISTINCT semantics; this shape matches the oracle for every input."""
     bench_sh = (
         # 64-bit gram keys: smaller broadcast table, bigint join keys, and
         # the count_distinct shuffle moves 8 bytes per surviving gram
@@ -164,27 +171,23 @@ def contamination_overlap(
         .select(F.xxhash64("sh").alias("sh"))
         .distinct()
     )
-    ws = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (SHINGLE_WORDS - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(ws, i, SHINGLE_WORDS), " "),
-    )
-    # Join BEFORE any distinct: the broadcast join filters the shingle
-    # stream map-side (an eval set hits a tiny corpus fraction), so the only
-    # shuffle is the per-doc aggregate over contaminated occurrences —
-    # distinct-first would shuffle the entire corpus shingle stream.
-    # Totals are a separate expression-only scan: carrying the per-doc total
-    # through the explode forces the gram array to materialize around the
-    # Generate and measured ~1.6x slower than the second streaming pass.
-    totals = docs.select(F.col(id_col), F.size(F.array_distinct(grams)).alias("n_shingles"))
-    hits = (
+    flagged = (
         shingles(docs, id_col, text_col)
         .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
-        .join(F.broadcast(bench_sh), "sh")
-        .groupBy(id_col)
-        .agg(F.count_distinct("sh").alias("n_contaminated"))
+        .join(
+            F.broadcast(bench_sh.withColumn("hit", F.lit(1))), "sh", "left"
+        )
     )
-    return totals.join(hits, id_col).select(
+    per = (
+        flagged.groupBy(id_col, "sh")
+        .agg(F.max("hit").alias("hit"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    return per.where(F.col("n_contaminated") > 0).select(
         id_col,
         "n_shingles",
         "n_contaminated",
@@ -317,6 +320,13 @@ def sequence_packing(
     ``offset DIV context``. Each worker's window is independent — at 100 TB
     set ``n_workers`` ≈ cluster cores and no global sort ever happens (the
     per-worker window is the only shuffle)."""
+    # loud preconditions (review r8, the chunk_documents r7 convention):
+    # context<=0 hits DIVIDE_BY_ZERO mid-job under ANSI Spark, n_workers<=0
+    # a modulo error — fail at call time with the actual contract instead
+    if context <= 0:
+        raise ValueError(f"context must be positive, got {context}")
+    if n_workers <= 0:
+        raise ValueError(f"n_workers must be positive, got {n_workers}")
     tc = df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tok"),
@@ -326,8 +336,13 @@ def sequence_packing(
             % n_workers
         ).cast("int").alias("worker"),
     )
-    w = Window.partitionBy("worker").orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # NULLS LAST: a NULL id must take the same cumulative-sum position in
+    # both dialects (review r8 — Spark asc defaults NULLS FIRST, DuckDB
+    # 1.0 NULLS LAST, shifting every later doc's offset)
+    w = (
+        Window.partitionBy("worker")
+        .orderBy(F.col(id_col).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offs = tc.withColumn("cum", F.sum("n_tok").over(w))
     return (
@@ -410,7 +425,13 @@ def stratified_sample_exact(
     instead of fully sorting the stratum — the property that keeps a hot
     stratum from becoming a full sort at 100 TB."""
     rnd = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(strata_col).orderBy(rnd, F.col(id_col))
+    # NULLS LAST on both window keys (review r8): a NULL id yields a NULL
+    # shuffle key, and Spark's asc default (NULLS FIRST) would ALWAYS
+    # sample it while DuckDB's (NULLS LAST) would drop it — the r6
+    # cross-dialect NULL-ordering class, applied to window keys too
+    w = Window.partitionBy(strata_col).orderBy(
+        rnd.asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     return (
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -778,7 +799,9 @@ def sqrt_flatten_sample(
     at scale."""
     rnd = F.md5(F.concat(F.lit("t"), F.col(id_col).cast("string")))
     part = Window.partitionBy(domain_col)
-    w = part.orderBy(rnd, F.col(id_col))
+    # NULLS LAST on window keys: cross-dialect default divergence for a
+    # NULL id's NULL shuffle key (review r8, same class as stratified)
+    w = part.orderBy(rnd.asc_nulls_last(), F.col(id_col).asc_nulls_last())
     n = F.count(F.lit(1)).over(part)
     cap = F.least(n, F.floor(F.sqrt(n) * scale).cast("long"))
     return (

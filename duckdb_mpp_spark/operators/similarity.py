@@ -105,8 +105,14 @@ def blocked_pair_scores(
     B = n_blocks
     # NULL embeddings never pair (np.stack would crash the kernel on a
     # None; the oracle's NULL products fail any threshold the same way —
-    # review r6). Ragged lengths remain a loud data error via np.stack.
-    base = emb.where(F.col(vec_col).isNotNull()).select(
+    # review r6). NULL ids never pair either (review r8: the kernel's
+    # id < id comparisons raise TypeError on None, killing the job, while
+    # the oracle's ``a.vec_id < b.vec_id`` silently drops the row — one
+    # bad id in a 100 TB corpus must not fail the whole pass). Ragged
+    # lengths remain a loud data error via np.stack.
+    base = emb.where(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.pmod(F.hash(id_col), F.lit(B)).alias("blk"),
@@ -579,6 +585,15 @@ def kmeans_fit(
     round; assignment is embarrassingly parallel; the mean shuffle carries
     k×dim doubles per partition (map-side combined).
     """
+    # NULL embeddings never participate (review r8): a NULL vector among
+    # the k lowest ids became a NULL centroid whose NULL d2 won every
+    # min-struct argmin (struct comparison sorts the NULL field first),
+    # hijacking ALL assignments and crashing the inertia sum — one
+    # fetch-failure row must not kill the clustering. Same filter as
+    # blocked_pair_scores.
+    emb = emb.where(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
     init = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -746,8 +761,11 @@ def class_centroids(emb: DataFrame) -> DataFrame:
 
 def _register_centroids():
     def centroids_fn(spark, sf_dir):
+        # explicit NULLS LAST: Spark asc defaults NULLS FIRST, DuckDB 1.0
+        # NULLS LAST — a NULL label would flip row order vs the oracle
+        # (the corpus.py r6 convention, applied here in r8)
         return class_centroids(load_table(spark, sf_dir, "embeddings")).orderBy(
-            "label", "dim"
+            F.col("label").asc_nulls_last(), "dim"
         )
 
     register(
@@ -820,7 +838,8 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
     return (
         assigned.groupBy("label", "assigned")
         .agg(F.count("*").alias("n"))
-        .orderBy("label", "assigned")
+        # NULLS LAST: cross-dialect default divergence (r6 convention, r8)
+        .orderBy(F.col("label").asc_nulls_last(), "assigned")
     )
 
 

@@ -58,12 +58,6 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def stopword_ratio(col: Column | str, lang: str) -> Column:
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS[lang])))
-    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
-
-
 def language_id(col: Column | str) -> Column:
     """argmax over per-language stopword ratios; deterministic preference
     order (alphabetical) on ties; 'und' when no marker word hits.
@@ -114,40 +108,82 @@ def _upper_ratio(t: Column) -> Column:
     return upper.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
 
 
-def quality_score_col(text_col: str = "text") -> Column:
-    """The composite quality score as ONE per-row expression — exported so
-    pipelines (operators/curation.py) can attach it in their existing
-    projection instead of joining quality_features back onto the corpus
-    (review r4: that join was a second corpus scan + corpus-wide shuffle)."""
-    t = F.col(text_col)
-    n_toks = F.size(tokens(text_col))
+def _token_stats(text_col: str) -> Column:
+    """(n, sum_len, stop_en) token-derived scalars from ONE tokenization —
+    the 1-element-array ``transform`` binding pins the token array to a
+    lambda variable so it evaluates once (language_id's r6 trick; review
+    r8 applied it to the quality family, which evaluated the interpreted
+    ``split``/``filter`` higher-order trees up to six times per row
+    across its output columns)."""
+    stats = F.transform(
+        F.array(tokens(text_col)),
+        lambda ws: F.struct(
+            F.size(ws).alias("n"),
+            F.aggregate(
+                ws, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).alias("sum_len"),
+            F.size(
+                F.filter(ws, lambda x: x.isin(STOPWORDS["en"]))
+            ).alias("stop_en"),
+        ),
+    )
+    return F.element_at(stats, 1)
+
+
+def _score_from_stats(st: Column, t: Column) -> Column:
+    """Composite quality score over a bound token-stats struct (shared by
+    quality_score_col and quality_features so the formula lives once)."""
+    n = st["n"]
+    stop = st["stop_en"].cast("double") / F.greatest(n, F.lit(1)).cast(
+        "double"
+    )
     return (
-        0.4 * F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
-        + 0.3 * F.least(stopword_ratio(text_col, "en") * 5.0, F.lit(1.0))
+        0.4 * F.least(n.cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stop * 5.0, F.lit(1.0))
         + 0.2 * (1.0 - F.least(_punct_ratio(t) * 10.0, F.lit(1.0)))
         + 0.1 * (1.0 - F.least(_upper_ratio(t) * 10.0, F.lit(1.0)))
     )
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as ONE per-row expression — exported so
+    pipelines (operators/curation.py) can attach it in their existing
+    projection instead of joining quality_features back onto the corpus
+    (review r4: that join was a second corpus scan + corpus-wide shuffle).
+    Tokenizes once via :func:`_token_stats`."""
+    return _score_from_stats(_token_stats(text_col), F.col(text_col))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword / case features + composite score."""
+    """Length / punctuation / stopword / case features + composite score.
+
+    Tokenization shape (review r8): all token-derived outputs read ONE
+    bound stats struct computed in its own projection — the optimizer's
+    CollapseProject keeps non-cheap expressions un-inlined, so the
+    interpreted higher-order trees evaluate once per row instead of once
+    per output column (the language_id r6 finding, applied across
+    columns)."""
     t = F.col(text_col)
-    toks = tokens(text_col)
-    n_chars = F.length(t)
-    n_toks = F.size(toks)
-    sum_tok_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-    stop = stopword_ratio(text_col, "en")
-    return df.select(
+    staged = df.select(
+        "doc_id", t.alias("_t"), _token_stats(text_col).alias("_st")
+    )
+    st = F.col("_st")
+    n = st["n"]
+    return staged.select(
         "doc_id",
-        n_chars.cast("int").alias("n_chars_calc"),
-        n_toks.alias("n_tokens"),
-        (sum_tok_len.cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")).alias(
-            "avg_token_len"
-        ),
-        _punct_ratio(t).alias("punct_ratio"),
-        _upper_ratio(t).alias("upper_ratio"),
-        stop.alias("stopword_ratio"),
-        quality_score_col(text_col).alias("quality_score"),
+        F.length("_t").cast("int").alias("n_chars_calc"),
+        n.alias("n_tokens"),
+        (
+            st["sum_len"].cast("double")
+            / F.greatest(n, F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+        _punct_ratio(F.col("_t")).alias("punct_ratio"),
+        _upper_ratio(F.col("_t")).alias("upper_ratio"),
+        (
+            st["stop_en"].cast("double")
+            / F.greatest(n, F.lit(1)).cast("double")
+        ).alias("stopword_ratio"),
+        _score_from_stats(st, F.col("_t")).alias("quality_score"),
     )
 
 
@@ -180,10 +216,6 @@ def bpe_token_estimate(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 # gate queries + DuckDB oracles
 # ---------------------------------------------------------------------------
-
-def _dedent(s: str) -> str:
-    return s
-
 
 def _duck_tokens(expr: str = "text") -> str:
     # COALESCE to [] mirrors tokens()'s NULL→empty-array contract (review
