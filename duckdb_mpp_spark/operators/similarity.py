@@ -19,6 +19,19 @@
 Scores are rounded to 4 decimals in the output (both engines compute the
 unrounded value to ~1e-15; ranking uses the unrounded score with a unique id
 tiebreak).
+
+INPUT CONTRACT (review r8, empirically confirmed dialect boundary): every
+embedding is a fixed-``DIM`` array of non-NULL floats. Out-of-contract
+vectors produce engine-SPECIFIC garbage rather than an agreed value —
+Spark's ``aggregate`` fold propagates a NULL element (the vector never
+ranks), while the DuckDB oracles' ``SUM`` over ``generate_series(1, DIM)``
+skips NULL/out-of-range terms and returns a finite partial-prefix cosine
+(a 32-dim vector scores against the first 32 dims only; >DIM-dim vectors
+score truncated). NULL embeddings and NULL ids ARE handled (filtered at
+every entry point); ragged or NULL-element vectors should be dropped or
+padded upstream — enforcing a dimension check per row would put a
+``size()`` branch on the hot path of every kernel for a malformation the
+encoder pipeline owns.
 """
 
 from pyspark.sql import Column, DataFrame, Window

@@ -132,3 +132,61 @@ def test_lean_and_checkpoint_pairs_agree(spark):
         for r in lsh_candidate_pairs(minhash_bands(docs)).collect()
     }
     assert lean == ckpt and lean
+
+
+# --- r8 third pass: NULL-input robustness (similarity/corpus) ---------------
+
+def test_blocked_pairs_survive_null_id_and_embedding(spark):
+    from duckdb_mpp_spark.operators.similarity import blocked_pair_scores
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (None, [1.0, 0.0, 0.0, 0.0]),  # NULL id: must be skipped
+            (4, None),                      # NULL embedding: skipped
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = blocked_pair_scores(emb, min_score=0.5).collect()
+    assert {(r.va, r.vb) for r in got} == {(1, 2)}
+
+
+def test_kmeans_survives_null_embedding_in_init_range(spark):
+    from duckdb_mpp_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(1, 9)]
+    rows[0] = (1, None)  # NULL embedding at the lowest id (init range)
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    log = []
+    cent = kmeans_fit(emb, k=3, iters=2, inertia_log=log)
+    assert cent.count() > 0
+    assert all(x is not None for x in log)
+
+
+def test_contamination_duplicate_ids_merge_like_oracle(spark):
+    from duckdb_mpp_spark.operators.corpus import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon"), (7, "zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    rows = contamination_overlap(docs, bench).collect()
+    # one merged per-id row, frac bounded by 1.0 (pre-fix: two rows, 2.0)
+    assert len(rows) == 1
+    assert rows[0].n_shingles == rows[0].n_contaminated
+    assert rows[0].contamination_frac == 1.0
+
+
+def test_sequence_packing_validates_parameters(spark):
+    from duckdb_mpp_spark.operators.corpus import sequence_packing
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="context"):
+        sequence_packing(docs, context=0)
+    with pytest.raises(ValueError, match="n_workers"):
+        sequence_packing(docs, n_workers=0)
