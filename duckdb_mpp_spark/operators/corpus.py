@@ -17,8 +17,11 @@ Cross-engine determinism (so DuckDB oracles hash-match exactly):
 
 Scale notes (100 TB):
 - repetition/PII/sampling are single-scan map work;
-- contamination broadcast-joins the (small) benchmark shingle set — the
-  corpus side is never shuffled;
+- contamination broadcast-joins the (small) benchmark shingle set, then
+  pays ONE shuffle of 8-byte hashed gram keys (map-side (doc, gram)
+  dedupe collapses within-doc repeats first) — the price of per-id
+  DISTINCT semantics that stay exact even under duplicate doc_ids
+  (review r8; linear in corpus, same magnitude as any dedup gram pass);
 - sequence packing windows within hash-assigned workers, so parallelism is
   the worker count (set ~cluster cores), never a global sort.
 """
