@@ -128,8 +128,23 @@ def _blank_quotes_and_comments(text: str) -> str:
                 out[k] = " "
             i = end  # newline survives: -- comments are line-scoped
         elif ch == "/" and i + 1 < n and text[i + 1] == "*":
-            j = text.find("*/", i + 2)
-            end = (j + 2) if j >= 0 else n
+            # Spark supports NESTED bracketed comments (SPARK-28880), so a
+            # flat find("*/") would stop at the INNER terminator of
+            # '/* a /* b */ VERSION AS OF 1 */' and leave the tail visible
+            # to every keyword guard (ADVICE r8: _pin_versions could splice
+            # from inside a comment). Track depth; blank until it returns
+            # to zero. Unterminated → blank to end (safe direction).
+            depth_c, j = 1, i + 2
+            while j < n and depth_c:
+                if text[j] == "/" and j + 1 < n and text[j + 1] == "*":
+                    depth_c += 1
+                    j += 2
+                elif text[j] == "*" and j + 1 < n and text[j + 1] == "/":
+                    depth_c -= 1
+                    j += 2
+                else:
+                    j += 1
+            end = j if depth_c == 0 else n
             for k in range(i, end):
                 out[k] = " "
             i = end
