@@ -72,8 +72,19 @@ def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     whose last stage does corpus-sized work (e.g. a high-cardinality
     aggregate or a wide join): that would serialize the heavy stage, a far
     worse outcome than orderBy's sampling pass.
+
+    NULLS LAST (ADVICE r8): Spark's default asc is NULLS FIRST while every
+    DuckDB oracle ORDER BY defaults NULLS LAST — the r6 convention pins
+    asc_nulls_last at every shared-order sort site, and this helper's
+    callers (cohort, ffill, global-shuffle, jaccard pair lists) inherit it
+    here so a NULL sort key (e.g. a NULL cohort_week from all-NULL ts)
+    cannot diverge the row order between dialects.
     """
-    return df.coalesce(1).sortWithinPartitions(*cols)
+    from pyspark.sql import functions as F
+
+    return df.coalesce(1).sortWithinPartitions(
+        *[F.col(c).asc_nulls_last() for c in cols]
+    )
 
 
 def register(name: str, query: Query) -> None:
