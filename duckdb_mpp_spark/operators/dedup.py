@@ -521,10 +521,13 @@ _BAND_INDEX_META = "_band_index_meta.json"
 
 
 def _band_index_has_data(path: str) -> bool:
-    """True when the layout directory holds any band-bucket data
-    (``band_bucket=`` partition dirs or bare parquet files) — underscore/
-    dot bookkeeping files don't count. Distinguishes a fresh layout from
-    a populated-but-metaless one (crashed writer / legacy layout)."""
+    """True when the layout directory holds any band-bucket DATA: a
+    ``band_bucket=`` partition directory or a bare ``*.parquet`` file.
+    Underscore/dot bookkeeping never counts — and neither does any OTHER
+    stray entry (ADVICE r8: treating "any non-underscore entry" as data
+    made a stray file or empty subdirectory look populated-but-metaless,
+    so appends hard-failed with the 'crashed writer' error and reads
+    silently lost bucket pruning on a layout that was actually fresh)."""
     import os
 
     if not os.path.isdir(path):
@@ -532,7 +535,11 @@ def _band_index_has_data(path: str) -> bool:
     for name in os.listdir(path):
         if name.startswith(("_", ".")):
             continue
-        return True
+        full = os.path.join(path, name)
+        if name.startswith("band_bucket=") and os.path.isdir(full):
+            return True
+        if name.endswith(".parquet") and os.path.isfile(full):
+            return True
     return False
 
 
