@@ -99,7 +99,7 @@ def _observed_matched(obs: Observation, df, pred) -> int:
 
 
 def _assert_deterministic_assignment(
-    scan_df, text: str, col: str, what: str = "assignment to"
+    scan_df, text: str, col: str, what: str = "assignment"
 ) -> None:
     """UNIQUE enforcement for COW rewrites validates the operation's new
     values by re-deriving them from the base scan (the staged files mix
@@ -109,15 +109,25 @@ def _assert_deterministic_assignment(
     (review r8) or ``WHERE rand() < 0.9`` (review r8b: the predicate
     partitions both check sides) would be validated against a different
     draw than the one the staged write committed, so both are rejected
-    loudly instead."""
+    loudly instead.
+
+    Scope note (ADVICE r8): this guard only runs when a UNIQUE column is
+    assigned, because only then does re-derivation validate anything. A
+    nondeterministic WHERE with NO unique column assigned still stages and
+    commits whatever row set the staged write happened to match — accepted,
+    since no constraint is being checked against a replay; the committed
+    files themselves are the single evaluation."""
     proj = scan_df.select(F.expr(text).alias("_v"))
     exprs = proj._jdf.queryExecution().analyzed().expressions()
     det = all(exprs.apply(i).deterministic() for i in range(exprs.size()))
     if not det:
+        # name the nondeterministic EXPRESSION itself as the subject —
+        # reporting changed_unique[0] for a bad WHERE pointed the user at
+        # a column whose assignment was fine (ADVICE r8)
         raise ValueError(
-            f"nondeterministic {what} unique column {col!r} is not "
-            "supported: the constraint check would validate a different "
-            "evaluation than the one committed"
+            f"nondeterministic {what} ({text!r}) is not supported when a "
+            f"unique column ({col!r}) is assigned: the constraint check "
+            "would validate a different evaluation than the one committed"
         )
 
 
@@ -223,6 +233,18 @@ def update(
 
     pred = F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
 
+    # WHERE determinism is validated BEFORE staging (ADVICE r8 + observed
+    # behavior: the staged write's observe() metric embeds the predicate,
+    # and Spark rejects nondeterministic observed metrics with an opaque
+    # analyzer error — checking here turns that into the engine's own
+    # message naming the offending predicate). Scope unchanged: only when
+    # a unique column is assigned does re-derivation validate anything.
+    early_unique = [c for c in meta.unique_columns if c in assignments]
+    if early_unique and where is not None:
+        _assert_deterministic_assignment(
+            df, where, early_unique[0], what="WHERE predicate"
+        )
+
     out_cols = []
     for field in meta.schema.fields:
         if field.name in assignments:
@@ -289,14 +311,12 @@ def update(
                 if len(ids) < meta.buckets
                 else full
             )
-            # the WHERE predicate partitions BOTH sides of the check, so
-            # it must be deterministic too (review r8b: UPDATE ... WHERE
+            # the WHERE predicate partitions BOTH sides of the check, so it
+            # must be deterministic too (review r8b: UPDATE ... WHERE
             # rand() < 0.9 would stage one set of matches and validate a
-            # different one — silent UNIQUE violation or spurious abort)
-            if where is not None:
-                _assert_deterministic_assignment(
-                    full, where, changed_unique[0], what="WHERE predicate with"
-                )
+            # different one — silent UNIQUE violation or spurious abort).
+            # Checked before staging (early_unique above); nothing to
+            # re-check here.
             for col in changed_unique:
                 text = assignments[col]
                 if _DEFAULT_RE.match(text):
