@@ -107,6 +107,21 @@ def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
         return ns_names
 
 
+# Inferred read schema per parquet path. Reading parquet WITHOUT a schema
+# runs a one-task footer-inference Spark job on EVERY DataFrameReader call
+# (observed r9: every gate paid one ~60-90 ms job per run just to re-learn
+# a schema that never changes); passing the cached schema skips the job.
+# Keyed by path alone: fixture/bench datasets are write-once per path, and
+# a stale entry would fail loudly at scan time (schema mismatch), not
+# silently. ``clear_schema_cache`` is the escape hatch for tests that
+# rewrite a path in-process.
+_READ_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def clear_schema_cache() -> None:
+    _READ_SCHEMA_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, adapting ns timestamps (see
     ``_nanos_timestamp_cols``).
@@ -126,10 +141,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         == "true"
     )
     ns_cols = _nanos_timestamp_cols(path, nanos_conf_set=nanos_set)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if ns_cols:
+        # must be active BEFORE schema inference too — without it Spark
+        # refuses the file outright
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cached = _READ_SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _READ_SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     for c in ns_cols:
         # integer division keeps full precision (ns epoch overflows double)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
