@@ -157,39 +157,62 @@ def contamination_overlap(
     release. ``benchmark`` is (any id, text); its distinct shingle set is
     broadcast, so the corpus is filtered in one map-side-joined scan.
 
-    One two-level aggregation produces BOTH per-doc counts (review r8):
-    the broadcast left-join flags each shingle occurrence, (doc, sh)
-    dedupes with map-side partial aggregation (a repeated gram collapses
-    before the shuffle), and the per-doc rollup counts total vs flagged
-    distinct shingles. The previous shape computed totals as a separate
-    expression-only scan keyed per input ROW while hits merged per id —
-    duplicate doc_ids (a malformed-but-real crawl input) then yielded
-    contamination_frac > 1.0 and diverged from the oracle's per-id
-    DISTINCT semantics; this shape matches the oracle for every input."""
-    bench_sh = (
-        # 64-bit gram keys: smaller broadcast table, bigint join keys, and
-        # the count_distinct shuffle moves 8 bytes per surviving gram
-        # instead of the raw ~40-byte string (collision odds 2^-64-scale)
-        shingles(benchmark, id_col, text_col)
-        .select(F.xxhash64("sh").alias("sh"))
-        .distinct()
+    Semantics (exact, review r8): per-id DISTINCT shingle counts — under
+    duplicate doc_ids (a malformed-but-real crawl input) the hit and
+    total counts both merge per id, so contamination_frac ≤ 1 always and
+    matches the oracle for every input.
+
+    Scale shape (r9, ADVICE r8): the r8 exactness fix shuffled the whole
+    corpus's (doc, sh) stream to get per-id DISTINCT totals — correct but
+    linear-in-corpus network for a check whose OUTPUT is only the
+    contaminated docs. This shape restores hit-bounded shuffles:
+
+    1. hits — the corpus gram stream is filtered map-side by the
+       broadcast benchmark set (inner join), so only CONTAMINATED grams
+       ever reach an exchange; one count_distinct per doc gives exact
+       per-id hit counts.
+    2. totals — a SECOND corpus scan restricted (broadcast semi-join on
+       the tiny hit-doc set) to contaminated docs BEFORE shingling; its
+       count_distinct shuffles only those docs' grams.
+
+    Trade: one extra map pass over the corpus (scan + tokenize — scales
+    with cores, no network) in exchange for zero corpus-sized shuffles
+    (scales with cluster bisection bandwidth). At 100 TB the second scan
+    is embarrassingly parallel while the saved shuffle is the bottleneck
+    resource; contaminated docs are a sliver of a curated corpus by
+    construction. The r9 interleaved A/B (sf0.1, through the registry;
+    numbers in SCALING.md) read hit-bounded 0.66 s min vs 0.85-0.92 s for
+    both corpus-shuffle shapes (the r8 two-level aggregate and the
+    one-exchange multi-distinct alternative), so the scale-right shape is
+    also the fastest at bench scale."""
+    # 64-bit gram keys: smaller broadcast table, bigint join keys, and
+    # the count_distinct shuffle moves 8 bytes per surviving gram
+    # instead of the raw ~40-byte string (collision odds 2^-64-scale)
+    bench_grams = shingles(benchmark, id_col, text_col).select(
+        F.xxhash64("sh").alias("sh")
     )
-    flagged = (
-        shingles(docs, id_col, text_col)
-        .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
-        .join(
-            F.broadcast(bench_sh.withColumn("hit", F.lit(1))), "sh", "left"
-        )
+    dsh = shingles(docs, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("sh").alias("sh")
     )
-    per = (
-        flagged.groupBy(id_col, "sh")
-        .agg(F.max("hit").alias("hit"))
+    # un-deduplicated benchmark grams broadcast directly: duplicate
+    # broadcast keys only duplicate matched gram rows, which
+    # count_distinct collapses anyway — skipping the distinct removes
+    # its exchange (and the eval set is MBs at any corpus scale)
+    hits = (
+        dsh.join(F.broadcast(bench_grams), "sh")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("hit").alias("n_contaminated"),
-        )
+        .agg(F.count_distinct("sh").alias("n_contaminated"))
     )
+    docs_c = docs.join(F.broadcast(hits.select(id_col)), id_col, "left_semi")
+    tot = (
+        shingles(docs_c, id_col, text_col)
+        .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shingles"))
+    )
+    # no broadcast hint: both sides are per-doc aggregates whose final
+    # exchanges hash the same id — the join rides that co-partitioning
+    per = tot.join(hits, id_col)
     return per.where(F.col("n_contaminated") > 0).select(
         id_col,
         "n_shingles",
@@ -493,7 +516,11 @@ def _register() -> None:
         bench = load_table(spark, sf_dir, "part").select(
             F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
         )
-        return contamination_overlap(docs, bench).orderBy("doc_id")
+        # result is at most one row per contaminated doc — size-switched
+        # final order (single-task sort under the budget, orderBy past it)
+        from duckdb_mpp_spark.queries import ordered_result
+
+        return ordered_result(contamination_overlap(docs, bench), docs, "doc_id")
 
     register(
         "text_contamination_overlap",
@@ -607,7 +634,14 @@ def global_shuffle_positions(
         F.concat_ws("", F.lit("epoch-42:"), F.col(id_col).cast("string"))
     )
     if not two_phase:
-        return docs.select(
+        # coalesce(1) BELOW the window (r9): CoalesceExec(1) reports
+        # SinglePartition, which satisfies the empty-PARTITION-BY window's
+        # AllTuples requirement, so Catalyst plans NO exchange at all —
+        # scan, sort, window and the gate's final order run as ONE task in
+        # ONE job (the gate's whole 31× ratio was AQE stage scheduling
+        # over a 6 ms oracle). Single-task by construction is exactly what
+        # this branch already chose; the size switch above bounds it.
+        return docs.coalesce(1).select(
             F.col(id_col).alias("doc_id"),
             (
                 F.row_number().over(Window.orderBy(key, F.col(id_col))) - 1
@@ -647,15 +681,10 @@ def _register_shuffle():
         # whole 31× ratio was scheduling constant); past it the result is
         # O(#docs) and keeps the parallel range sort — never coalesce(1)
         # on a corpus-sized frame.
-        from duckdb_mpp_spark.queries import ordered_small
-        from duckdb_mpp_spark.table import plan_size_bytes
+        from duckdb_mpp_spark.queries import ordered_result
 
         docs = load_table(spark, sf_dir, "documents")
-        res = global_shuffle_positions(docs)
-        size = plan_size_bytes(docs)
-        if size is not None and size <= _SINGLE_SORT_BYTES:
-            return ordered_small(res, "pos")
-        return res.orderBy("pos")
+        return ordered_result(global_shuffle_positions(docs), docs, "pos")
 
     register(
         "pipeline_global_shuffle",

@@ -192,10 +192,11 @@ def minhash_wide_fast(
     oracle can reproduce signatures bit-for-bit; a deployment has no
     oracle and should not pay cryptographic hashing on every gram of a
     100 TB corpus — md5 is ~10× slower per byte than xxhash64 and needs
-    the ~40-byte gram string materialized first. At sf0.1 the delta is
-    small (1.18 → 1.12 s min interleaved; scheduling dominates at that
-    scale) but it is pure per-byte map work, so it grows linearly with
-    corpus size while the scheduling floor does not.
+    the ~40-byte gram string materialized first. At sf0.1 the wall delta
+    is inside session noise (scheduling dominates at that scale — the
+    twin gates time within ~5% of each other in every checked-in
+    BENCH_r* run), but the saving is pure per-byte map work, so it grows
+    linearly with corpus size while the scheduling floor does not.
 
     Banding over this family selects a (deterministically) different
     candidate subset than the md5 family — candidate recall is a property
@@ -294,6 +295,8 @@ def jaccard_verify_from_docs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    candidate_repartition: bool = True,
 ) -> DataFrame:
     """Jaccard verify with the candidate filter pushed BELOW the shingle
     computation (new r4): restrict ``docs`` to pair members first, then
@@ -307,62 +310,67 @@ def jaccard_verify_from_docs(
     over candidate docs only. Shingle keys are 64-bit hashes (same
     shuffle-bytes trade as the gate query).
 
-    r8 checkpoint-free shape (single-action callers — the gate collects
-    once): ``pairs`` is consumed three times (candidate explode + both
-    routing-join hops), but its ``distinct``'s exchange is ONE canonical
-    subtree every consumer reuses — PROVIDED each consumer needs both
-    columns, which is why the candidate list is built with
-    ``explode(array(doc_a, doc_b))`` and not the old two-select union
-    (column pruning would specialize the union legs to single columns,
-    canonical equality breaks, and the whole LSH pipeline silently re-runs
-    per leg — the r7b trap, plan-asserted in tests/test_review_r8_perf).
-    Same trick for the dedup+size side: both routing branches consume the
-    identical repartition(id) exchange. No localCheckpoint anywhere means
-    AQE keeps runtime sizes and broadcasts the tiny pair/candidate sides
-    (an RDD-backed checkpoint reports unknown stats and forced sort-merge
-    plans). Measured r8 at sf0.1: 1.43 → 1.18 s min interleaved."""
+    r9 gram-SET shape (replacing the r8 two-routing-join + window shape,
+    VERDICT r8 #1 — stage count, not compute, was the gate's residual):
+    each candidate doc's distinct gram set is collected into ONE array
+    row (``collect_set`` — per-row memory is the same order as the
+    doc's own text column, which the pipeline already holds), and the
+    intersection is computed per PAIR as a single ``array_intersect``
+    expression — no gram-level shuffle, no window sort, no final groupBy:
+    the two exchanges and the window the old shape spent on routing grams
+    to pairs become one join stage against the gram-set table. ``pairs``
+    is consumed twice (candidate explode + the final probe) through its
+    one distinct exchange; the gram-set table is consumed twice (doc_a /
+    doc_b sides) through ONE broadcast (size-switched hint, the
+    substrings.py convention: past 4 GiB of source docs the hint drops
+    and AQE's runtime decision — broadcast when the CANDIDATE set is
+    small, shuffle join otherwise — takes over; the shuffle fallback
+    moves array rows, ~half the bytes of the old (id, sh) gram stream).
+    Zero-intersection candidate pairs now surface with jaccard 0.0
+    instead of being dropped by the inner gram join — callers threshold
+    anyway, and a candidate pair IS a 0-similarity fact, not an absence.
+
+    ``candidate_repartition`` (r8 plan audit, size-aware since r9): the
+    explicit repartition places the doc-keyed exchange on candidate TEXTS
+    (below the shingle explode), keeps the corpus scan+spread subtree
+    canonical with the minhash branch's (one corpus exchange for the
+    whole gate), and the collect_set groupBy rides it (partitioning ⊆
+    grouping keys). Callers that KNOW ``docs`` is already id-partitioned
+    (the gates, whose _spread repartitioned a small scan) pass False —
+    the r9 interleaved A/B on this shape measured that consistently
+    faster at sf0.1 (min 1.34 s vs 1.45 s over 6 reps) even though it
+    plans one more AQE stage; for unpartitioned inputs True stays the
+    default so the exchange lands on texts, not grams."""
     cands = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
-    # candidate-TEXT repartition between the semi-join and the explode
-    # (r8 plan audit): the doc-keyed exchange this branch needs for the
-    # dedupe+window carries candidate DOCUMENTS here — before the r8 fix
-    # it sat above the exploded shingle stream, so the branch paid the
-    # corpus-wide _spread exchange AND a shingle-stream exchange. Placed
-    # here, the explode/dedupe/window all inherit HashPartitioning(id)
-    # (partitioning keys ⊆ dedupe keys; = window keys — the r6 rule), the
-    # branch's only exchange is candidate-text-sized, and the upstream
-    # corpus scan+spread subtree stays canonically equal to the minhash
-    # branch's, so Catalyst reuses ONE corpus exchange for the whole gate.
-    docs_c = docs.join(cands, id_col, "left_semi").repartition(id_col)
-    sh = shingle_hashes(docs_c, id_col, text_col)
-    from pyspark.sql import Window
+    docs_c = docs.join(cands, id_col, "left_semi")
+    if candidate_repartition:
+        docs_c = docs_c.repartition(id_col)
+    gsets = (
+        shingle_hashes(docs_c, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("g"))
+    )
+    from duckdb_mpp_spark.table import plan_size_bytes
 
-    w = Window.partitionBy(id_col)
-    dshn = (
-        sh.dropDuplicates([id_col, "sh"])
-        .withColumn("n", F.count("*").over(w))
-    )
-    a = dshn.select(F.col(id_col).alias("doc_a"), "sh", F.col("n").alias("na"))
-    b = dshn.select(F.col(id_col).alias("doc_b"), "sh", F.col("n").alias("nb"))
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("i"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
+    docs_bytes = plan_size_bytes(docs)
+    small = docs_bytes is not None and docs_bytes < 4 << 30
+    g = F.broadcast(gsets) if small else gsets
+    ga = g.select(F.col(id_col).alias("doc_a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col(id_col).alias("doc_b"), F.col("g").alias("g_b"))
+    i = F.size(F.array_intersect("g_a", "g_b"))
+    na, nb = F.size("g_a"), F.size("g_b")
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                i.cast("double") / (na + nb - i).cast("double"), 6
+            ).alias("jaccard"),
         )
-    )
-    return inter.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("i").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-            6,
-        ).alias("jaccard"),
     )
 
 
@@ -993,7 +1001,26 @@ _DUCK_BANDS = f"""
 
 def _register():
     def exact_fn(spark, sf_dir):
-        return exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+        # size-switched single-task plan (r9): under the single-task sort
+        # budget, coalesce(1) BELOW the window makes CoalesceExec report
+        # SinglePartition, which satisfies the (h)-window's clustering
+        # requirement — NO exchange, no AQE stage-jobs: scan, window and
+        # the final doc_id sort run as one task in one job, exactly the
+        # one-thread plan DuckDB picks for a 2-column stream this size.
+        # Past the budget the parallel window + range orderBy return
+        # unchanged — at 100 TB this gate is the exchange-then-window
+        # shape it always was.
+        from duckdb_mpp_spark.queries import (
+            SINGLE_SORT_BYTES,
+            ordered_small,
+        )
+        from duckdb_mpp_spark.table import plan_size_bytes
+
+        docs = load_table(spark, sf_dir, "documents")
+        size = plan_size_bytes(docs)
+        if size is not None and size <= SINGLE_SORT_BYTES:
+            return ordered_small(exact_dedup(docs.coalesce(1)), "doc_id")
+        return exact_dedup(docs).orderBy(F.asc_nulls_last("doc_id"))
 
     register(
         "dedup_exact",
@@ -1044,7 +1071,8 @@ def _register():
     )
 
     def jaccard_fn(spark, sf_dir):
-        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        docs0 = load_table(spark, sf_dir, "documents")
+        docs = _spread(docs0, "doc_id")
         # candidate-filtered verify (jaccard_verify_from_docs): the verify
         # pass shingles only docs that appear in some LSH pair, and gram
         # keys are 64-bit hashes — ~5× fewer shuffle bytes than raw gram
@@ -1052,10 +1080,14 @@ def _register():
         # parity is on the resulting Jaccard scores, which are identical).
         # Checkpoint-free single-action flow (r8): exchange reuse replaces
         # both localCheckpoints — see lsh_candidate_pairs/
-        # jaccard_verify_from_docs docstrings; 1.43 → 1.18 s min at sf0.1.
+        # jaccard_verify_from_docs docstrings. When _spread repartitioned
+        # (docs is not docs0), the verify branch skips its candidate-text
+        # repartition: the id partitioning it would create already exists.
         pairs = lsh_candidate_pairs(minhash_bands(docs), materialize=False)
         return ordered_small(
-            jaccard_verify_from_docs(docs, pairs).where(F.col("jaccard") >= 0.5),
+            jaccard_verify_from_docs(
+                docs, pairs, candidate_repartition=docs is docs0
+            ).where(F.col("jaccard") >= 0.5),
             "doc_a",
             "doc_b",
         )
@@ -1107,13 +1139,14 @@ def _register():
         # recall IS hash-draw-dependent and deliberately uncertified here
         # — it is covered by the md5 twin gate (`dedup_ngram_jaccard`),
         # which shares every pipeline line except the two hash columns.
-        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        docs0 = load_table(spark, sf_dir, "documents")
+        docs = _spread(docs0, "doc_id")
         pairs = lsh_candidate_pairs(
             minhash_bands_fast(docs), materialize=False
         )
-        found = jaccard_verify_from_docs(docs, pairs).where(
-            F.col("jaccard") >= 0.5
-        )
+        found = jaccard_verify_from_docs(
+            docs, pairs, candidate_repartition=docs is docs0
+        ).where(F.col("jaccard") >= 0.5)
         toks = docs.select("doc_id", tokens("text").alias("ws")).where(
             F.size("ws") > 0
         )

@@ -87,6 +87,31 @@ def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     )
 
 
+# Below this SOURCE size a result frame derived from it may take the
+# single-task sort (ordered_small) even when the result is corpus-shaped:
+# one task sorts 256 MiB in low seconds, and DuckDB effectively runs the
+# whole query in that regime anyway. Past it, orderBy's parallel range
+# sort is the only plan that scales. Shared with corpus.py's two-phase
+# global-shuffle switch, which is the same single-task-vs-parallel trade.
+SINGLE_SORT_BYTES = 256 << 20
+
+
+def ordered_result(df: DataFrame, source: DataFrame, *cols: str) -> DataFrame:
+    """Total order for a result frame whose size tracks ``source``:
+    ordered_small (one job, no range sampling) while the source plan sits
+    under SINGLE_SORT_BYTES, parallel orderBy past it. Use for gate
+    results that are O(#rows of source) — thresholded/aggregated results
+    that are ALWAYS small should call ordered_small directly."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mpp_spark.table import plan_size_bytes
+
+    size = plan_size_bytes(source)
+    if size is not None and size <= SINGLE_SORT_BYTES:
+        return ordered_small(df, *cols)
+    return df.orderBy(*[F.col(c).asc_nulls_last() for c in cols])
+
+
 def register(name: str, query: Query) -> None:
     assert name not in REGISTRY, f"duplicate query {name}"
     REGISTRY[name] = query
