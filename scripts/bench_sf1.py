@@ -54,6 +54,9 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = 10
 BASE_DIR = "/tmp/mpp_sf1_base"
 BIG_DIR = "/tmp/mpp_sf1_big"
+BIG30_DIR = "/tmp/mpp_sf3_big30"  # 30x docs-only replica (r9 crossover point)
+EV_BASE_DIR = "/tmp/mpp_sf1_ev_base"  # events/customer/orders 1x rewrite
+EV_BIG_DIR = "/tmp/mpp_sf1_ev_big"  # events/customer/orders 10x replica
 
 GATES = [
     "dedup_ngram_jaccard",
@@ -63,6 +66,20 @@ GATES = [
     "graph_triangle_count",
     "dedup_incremental",
 ]
+
+# the two gates whose 10x ratio had not crossed 1.5 by r8 — measured again
+# at 30x (VERDICT r8 #1b: "one 30x point for just those two gates")
+GATES_30X = ["dedup_ngram_jaccard", "dedup_incremental"]
+
+# fixed-overhead micro-gates (VERDICT r8 #5): the 100 TB story for these
+# rested on the scheduling-residual argument alone; this section gives them
+# the same measured-with-a-DuckDB-column treatment as the corpus gates
+FIXED_GATES = [
+    "q13_customer_distribution",
+    "events_cohort_retention",
+    "events_sessionization",
+]
+FIXED_TABLES = ["events", "customer", "orders"]
 
 
 def _signed_embeddings(emb, rep: int):
@@ -88,7 +105,8 @@ def _signed_embeddings(emb, rep: int):
     )
 
 
-def build(spark) -> None:
+def build_docs(spark, targets) -> None:
+    """targets: iterable of (path, n_replicas, with_embeddings)."""
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     d_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -104,19 +122,60 @@ def build(spark) -> None:
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * e_span)), i
         )
 
-    for path, n in ((BASE_DIR, 1), (BIG_DIR, REPLICAS)):
+    for path, n, with_emb in targets:
         if os.path.exists(path):
             shutil.rmtree(path)
         os.makedirs(path)
-        big_d, big_e = tag_docs(0), tag_emb(0)
+        big_d = tag_docs(0)
         for i in range(1, n):
             big_d = big_d.union(tag_docs(i))
-            big_e = big_e.union(tag_emb(i))
         big_d.repartition(8 * n).write.parquet(f"{path}/documents.parquet")
-        big_e.repartition(2 * n).write.parquet(f"{path}/embeddings.parquet")
+        if with_emb:
+            big_e = tag_emb(0)
+            for i in range(1, n):
+                big_e = big_e.union(tag_emb(i))
+            big_e.repartition(2 * n).write.parquet(f"{path}/embeddings.parquet")
 
 
-def time_spark(spark, sf_dir: str) -> dict[str, float]:
+def build_fixed(spark, targets) -> None:
+    """Replicas for the fixed-overhead gates: events shifted on user_id
+    (user-key cardinality scales; timestamps repeat — the user-keyed gates
+    here are unaffected, see scale_probe.probe_events_overhead), customer/
+    orders shifted on custkey/orderkey CONSISTENTLY so each replica's join
+    structure is disjoint and q13's per-customer distribution is preserved
+    exactly. The 1x side goes through the same rewrite (tag 0) so both
+    scales read the same multi-file µs-timestamp layout in both engines.
+    targets: iterable of (path, n_replicas)."""
+    from duckdb_mpp_spark.sources import load_table
+
+    ev = load_table(spark, SRC, "events")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    c_span = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    o_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def tag(df, col, span, i):
+        return df.withColumn(col, F.col(col) + F.lit(i * span))
+
+    for path, n in targets:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+        big_ev, big_c, big_o = ev, cust, orders
+        for i in range(1, n):
+            big_ev = big_ev.union(
+                ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+            )
+            big_c = big_c.union(tag(cust, "c_custkey", c_span, i))
+            big_o = big_o.union(
+                tag(tag(orders, "o_orderkey", o_span, i), "o_custkey", c_span, i)
+            )
+        big_ev.repartition(4 * n).write.parquet(f"{path}/events.parquet")
+        big_c.repartition(2 * n).write.parquet(f"{path}/customer.parquet")
+        big_o.repartition(2 * n).write.parquet(f"{path}/orders.parquet")
+
+
+def time_spark(spark, sf_dir: str, gates=GATES) -> dict[str, float]:
     from duckdb_mpp_spark.queries import run_spark_query
     from duckdb_mpp_spark.sources.tables import register_views
 
@@ -124,7 +183,7 @@ def time_spark(spark, sf_dir: str) -> dict[str, float]:
     # with sf_dir, but the SQL-text paths go through views)
     register_views(spark, sf_dir)
     out = {}
-    for name in GATES:
+    for name in gates:
         run_spark_query(name, spark, sf_dir).foreach(lambda r: None)  # warm
         best = float("inf")
         for _ in range(2):
@@ -135,15 +194,20 @@ def time_spark(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def time_duck(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
+def time_duck(
+    sf_dir: str,
+    oracles: dict[str, str],
+    gates=GATES,
+    tables=("documents", "embeddings"),
+) -> dict[str, float]:
     con = duckdb.connect()
     con.execute("SET threads=32")
-    for t in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
-        )
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
     out = {}
-    for name in GATES:
+    for name in gates:
         sql = oracles[name]
         con.execute(sql).fetchall()  # warm
         best = float("inf")
@@ -156,15 +220,11 @@ def time_duck(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
     return out
 
 
-def main() -> None:
-    from duckdb_mpp_spark.queries import oracle_sqls
-    from duckdb_mpp_spark.session import get_spark
-
-    spark = get_spark(app_name="mpp-bench-sf1")
-    spark.sparkContext.setLogLevel("ERROR")
-    build(spark)
-    oracles = oracle_sqls()
-
+def section_docs(spark, oracles) -> dict:
+    """The r8 section unchanged: six heavy corpus gates at 1x and 10x."""
+    build_docs(
+        spark, [(BASE_DIR, 1, True), (BIG_DIR, REPLICAS, True)]
+    )
     result = {
         "protocol": (
             "same gate + same oracle SQL on the same parquet at 1x and "
@@ -182,32 +242,95 @@ def main() -> None:
     # linearly (disjoint replicas), so record cross-replica leakage
     from duckdb_mpp_spark.queries import run_spark_query
 
-    e_span = (
-        spark.read.parquet(f"{SRC}/embeddings.parquet")
-        .agg(F.max("vec_id"))
-        .collect()[0][0]
-        + 1
-    )
-    nd = run_spark_query("embedding_neardup_pairs", spark, BIG_DIR)
-    leak = nd.where(
-        (F.col("va") / e_span).cast("long")
-        != (F.col("vb") / e_span).cast("long")
-    ).count()
-    result["cross_replica_neardup_pairs"] = leak
+    try:
+        e_span = (
+            spark.read.parquet(f"{SRC}/embeddings.parquet")
+            .agg(F.max("vec_id"))
+            .collect()[0][0]
+            + 1
+        )
+        nd = run_spark_query("embedding_neardup_pairs", spark, BIG_DIR)
+        leak = nd.where(
+            (F.col("va") / e_span).cast("long")
+            != (F.col("vb") / e_span).cast("long")
+        ).count()
+        result["cross_replica_neardup_pairs"] = leak
 
-    for label, d in (("sf0.1", BASE_DIR), (f"sf1_{REPLICAS}x", BIG_DIR)):
-        s = time_spark(spark, d)
-        k = time_duck(d, oracles)
-        result[label] = {
+        for label, d in (("sf0.1", BASE_DIR), (f"sf1_{REPLICAS}x", BIG_DIR)):
+            s = time_spark(spark, d)
+            k = time_duck(d, oracles)
+            result[label] = {
+                "spark": s,
+                "duckdb": k,
+                "ratio": {
+                    n: round(s[n] / max(k[n], 1e-4), 2) for n in GATES
+                },
+            }
+    finally:
+        for p in (BASE_DIR, BIG_DIR):
+            shutil.rmtree(p, ignore_errors=True)
+    return result
+
+
+def section_x30(spark, oracles) -> dict:
+    """30x docs replica for the two gates whose 10x ratio had not crossed
+    (VERDICT r8 #1b). Read the trend against this run's docs section."""
+    build_docs(spark, [(BIG30_DIR, 30, False)])
+    try:
+        s = time_spark(spark, BIG30_DIR, GATES_30X)
+        k = time_duck(BIG30_DIR, oracles, GATES_30X, tables=("documents",))
+        return {
+            "replicas": 30,
             "spark": s,
             "duckdb": k,
             "ratio": {
-                n: round(s[n] / max(k[n], 1e-4), 2) for n in GATES
+                n: round(s[n] / max(k[n], 1e-4), 2) for n in GATES_30X
             },
         }
+    finally:
+        shutil.rmtree(BIG30_DIR, ignore_errors=True)
+
+
+def section_fixed(spark, oracles) -> dict:
+    """Fixed-overhead micro-gates with a measured DuckDB column at 1x and
+    10x (VERDICT r8 #5): q13 over customer/orders replicas, cohort +
+    sessionization over user-shifted events replicas."""
+    build_fixed(spark, [(EV_BASE_DIR, 1), (EV_BIG_DIR, REPLICAS)])
+    result: dict = {"replicas": REPLICAS}
+    try:
+        for label, d in (("sf0.1", EV_BASE_DIR), (f"sf1_{REPLICAS}x", EV_BIG_DIR)):
+            s = time_spark(spark, d, FIXED_GATES)
+            k = time_duck(d, oracles, FIXED_GATES, tables=FIXED_TABLES)
+            result[label] = {
+                "spark": s,
+                "duckdb": k,
+                "ratio": {
+                    n: round(s[n] / max(k[n], 1e-4), 2) for n in FIXED_GATES
+                },
+            }
+    finally:
+        for p in (EV_BASE_DIR, EV_BIG_DIR):
+            shutil.rmtree(p, ignore_errors=True)
+    return result
+
+
+def main() -> None:
+    from duckdb_mpp_spark.queries import oracle_sqls
+    from duckdb_mpp_spark.session import get_spark
+
+    sections = sys.argv[1:] or ["docs", "x30", "fixed"]
+    spark = get_spark(app_name="mpp-bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    oracles = oracle_sqls()
+
+    result: dict = {}
+    if "docs" in sections:
+        result.update(section_docs(spark, oracles))
+    if "x30" in sections:
+        result["x30_jaccard_incremental"] = section_x30(spark, oracles)
+    if "fixed" in sections:
+        result["fixed_overhead_10x"] = section_fixed(spark, oracles)
     print(json.dumps(result))
-    for p in (BASE_DIR, BIG_DIR):
-        shutil.rmtree(p, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -248,7 +248,11 @@ def bench_dedup(spark, docs_dir: str) -> dict[str, float]:
         pairs = jaccard_verify_from_docs(
             docs, lsh_candidate_pairs(minhash_bands(docs))
         ).where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
-        return triangle_counts(pairs.localCheckpoint(eager=False))
+        # eager: triangle_counts consumes the pair list from three legs,
+        # and a LAZY checkpoint with multiple consumers races AQE's
+        # concurrent stage submission into re-evaluating the whole verify
+        # pipeline per leg (the r8 eager-checkpoint rule)
+        return triangle_counts(pairs.localCheckpoint(eager=True))
 
     run("graph_triangles_verified", verified_triangles)
     return out
