@@ -106,28 +106,40 @@ def _assert_deterministic_assignment(
     modified rows with carried-through survivors, so they cannot supply a
     modified-only side). Re-derivation is only sound when every expression
     it replays is DETERMINISTIC — ``SET k = CAST(rand()*1e6 AS INT)``
-    (review r8) or ``WHERE rand() < 0.9`` (review r8b: the predicate
-    partitions both check sides) would be validated against a different
-    draw than the one the staged write committed, so both are rejected
-    loudly instead.
-
-    Scope note (ADVICE r8): this guard only runs when a UNIQUE column is
-    assigned, because only then does re-derivation validate anything. A
-    nondeterministic WHERE with NO unique column assigned still stages and
-    commits whatever row set the staged write happened to match — accepted,
-    since no constraint is being checked against a replay; the committed
-    files themselves are the single evaluation."""
-    proj = scan_df.select(F.expr(text).alias("_v"))
-    exprs = proj._jdf.queryExecution().analyzed().expressions()
-    det = all(exprs.apply(i).deterministic() for i in range(exprs.size()))
-    if not det:
-        # name the nondeterministic EXPRESSION itself as the subject —
-        # reporting changed_unique[0] for a bad WHERE pointed the user at
-        # a column whose assignment was fine (ADVICE r8)
+    (review r8) would be validated against a different draw than the one
+    the staged write committed, so it is rejected loudly instead. WHERE
+    predicates have their own guard (:func:`_assert_deterministic_where`,
+    which applies to EVERY COW rewrite, not only unique-assigned ones)."""
+    if not _is_deterministic(scan_df, text):
         raise ValueError(
             f"nondeterministic {what} ({text!r}) is not supported when a "
             f"unique column ({col!r}) is assigned: the constraint check "
             "would validate a different evaluation than the one committed"
+        )
+
+
+def _is_deterministic(scan_df, text: str) -> bool:
+    proj = scan_df.select(F.expr(text).alias("_v"))
+    exprs = proj._jdf.queryExecution().analyzed().expressions()
+    return all(exprs.apply(i).deterministic() for i in range(exprs.size()))
+
+
+def _assert_deterministic_where(scan_df, where: str) -> None:
+    """Every COW rewrite rejects a nondeterministic WHERE up front (review
+    r9 — the r8 guard ran only when a unique column was assigned and only
+    after staging): the staged write's matched-count ``observe()`` metric
+    embeds the predicate, and Spark rejects nondeterministic observed
+    metrics with an opaque analyzer error regardless, so the only choices
+    are this named, actionable error or that one. When a unique column IS
+    assigned there is the further re-derivation unsoundness (review r8b:
+    the predicate partitions both constraint-check sides, so a different
+    draw would be validated than the one committed)."""
+    if not _is_deterministic(scan_df, where):
+        raise ValueError(
+            f"nondeterministic WHERE predicate ({where!r}) is not "
+            "supported in UPDATE/DELETE: the matched-row observation and "
+            "any constraint re-derivation would evaluate a different "
+            "draw than the one the rewrite commits"
         )
 
 
@@ -233,17 +245,10 @@ def update(
 
     pred = F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
 
-    # WHERE determinism is validated BEFORE staging (ADVICE r8 + observed
-    # behavior: the staged write's observe() metric embeds the predicate,
-    # and Spark rejects nondeterministic observed metrics with an opaque
-    # analyzer error — checking here turns that into the engine's own
-    # message naming the offending predicate). Scope unchanged: only when
-    # a unique column is assigned does re-derivation validate anything.
-    early_unique = [c for c in meta.unique_columns if c in assignments]
-    if early_unique and where is not None:
-        _assert_deterministic_assignment(
-            df, where, early_unique[0], what="WHERE predicate"
-        )
+    # WHERE determinism is validated BEFORE staging, for EVERY update
+    # (ADVICE r8 + review r9): see _assert_deterministic_where.
+    if where is not None:
+        _assert_deterministic_where(df, where)
 
     out_cols = []
     for field in meta.schema.fields:
@@ -522,6 +527,10 @@ def delete(table: DistributedTable, where: str | None = None) -> int:
     df = table.scan(where=None, keep_bucket=True, version=base, pinned=True)
     if len(ids) < meta.buckets:
         df = df.where(F.col(BUCKET_COL).isin(ids))
+    # same up-front guard as update() (review r9): the observe() below
+    # embeds the predicate and Spark rejects nondeterministic observed
+    # metrics with an opaque analyzer error otherwise
+    _assert_deterministic_where(df, where)
     pred = F.coalesce(F.expr(where), F.lit(False))
     obs = Observation()
     tmp = table.path + f".cow-{uuid.uuid4().hex[:8]}"

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from duckdb_mpp_spark.operators.dedup import SHINGLE_WORDS, shingles
 from duckdb_mpp_spark.operators.text import _duck_tokens, token_count, tokens
-from duckdb_mpp_spark.queries import Query, register
+from duckdb_mpp_spark.queries import SINGLE_SORT_BYTES, Query, register
 from duckdb_mpp_spark.sources import load_table
 
 TWO_POW_56 = float(1 << 56)
@@ -203,7 +203,21 @@ def contamination_overlap(
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_contaminated"))
     )
-    docs_c = docs.join(F.broadcast(hits.select(id_col)), id_col, "left_semi")
+    # the hit-doc id hint is SIZE-SWITCHED (review r9): "contaminated docs
+    # are a sliver" is an assumption about the input, not an invariant — a
+    # corpus that republishes the eval set widely makes hits O(#docs), and
+    # a forced corpus-sized broadcast would hit Spark's broadcast limit
+    # where a shuffle semi-join degrades gracefully. Under the switch the
+    # semi-join build is provably bounded by the (small) corpus itself;
+    # past it AQE decides from the measured hit count.
+    from duckdb_mpp_spark.table import plan_size_bytes
+
+    docs_bytes = plan_size_bytes(docs)
+    small = docs_bytes is not None and docs_bytes < 256 << 20
+    hit_ids = hits.select(id_col)
+    docs_c = docs.join(
+        F.broadcast(hit_ids) if small else hit_ids, id_col, "left_semi"
+    )
     tot = (
         shingles(docs_c, id_col, text_col)
         .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
@@ -588,10 +602,15 @@ ORDER BY pos
 
 
 # Above this input size the single-task global window (fast at fixture
-# scale: no second scan, no offset join) hands off to the two-phase rank.
-# 256 MiB ≈ what one task sorts in low seconds; past it the single task
-# IS the wall while two-phase's extra column-pruned scan stays map-parallel.
-_SINGLE_SORT_BYTES = 256 << 20
+# scale: no second scan, no offset join) hands off to the two-phase rank:
+# past it the single task IS the wall while two-phase's extra
+# column-pruned scan stays map-parallel. The SHARED constant (not a local
+# copy — review r9): this switch and ordered_result's sort switch must
+# agree, or a source between two diverged values would get the parallel
+# O(#docs) two-phase result wrapped in ordered_small's coalesce(1) —
+# exactly the corpus-sized single-task serialization both switches exist
+# to prevent.
+_SINGLE_SORT_BYTES = SINGLE_SORT_BYTES
 
 
 def global_shuffle_positions(

@@ -321,11 +321,12 @@ def jaccard_verify_from_docs(
     to pairs become one join stage against the gram-set table. ``pairs``
     is consumed twice (candidate explode + the final probe) through its
     one distinct exchange; the gram-set table is consumed twice (doc_a /
-    doc_b sides) through ONE broadcast (size-switched hint, the
-    substrings.py convention: past 4 GiB of source docs the hint drops
-    and AQE's runtime decision — broadcast when the CANDIDATE set is
-    small, shuffle join otherwise — takes over; the shuffle fallback
-    moves array rows, ~half the bytes of the old (id, sh) gram stream).
+    doc_b sides) through ONE broadcast (size-switched hint bounded by the
+    broadcast PAYLOAD — gram sets are ~1.3× candidate text bytes, so the
+    switch is 256 MiB of source docs, see the inline comment; past it
+    AQE's runtime decision — broadcast when the CANDIDATE set is small,
+    shuffle join otherwise — takes over; the shuffle fallback moves
+    array rows, ~half the bytes of the old (id, sh) gram stream).
     Zero-intersection candidate pairs now surface with jaccard 0.0
     instead of being dropped by the inner gram join — callers threshold
     anyway, and a candidate pair IS a 0-similarity fact, not an absence.
@@ -354,8 +355,16 @@ def jaccard_verify_from_docs(
     )
     from duckdb_mpp_spark.table import plan_size_bytes
 
+    # The broadcast payload is the candidate docs' FULL gram sets — ~1.3×
+    # their text bytes, NOT one row per doc — so the hint's switch must
+    # bound the payload, not borrow substrings.py's 4 GiB per-doc-row
+    # threshold (review r9: a 3 GiB duplicate-heavy corpus where most docs
+    # are candidates would force a multi-GiB broadcast AQE cannot veto).
+    # 256 MiB of source docs caps the forced broadcast at ~350 MB worst
+    # case; past it AQE's runtime decision takes over (broadcast when the
+    # candidate subset measures small, shuffle join otherwise).
     docs_bytes = plan_size_bytes(docs)
-    small = docs_bytes is not None and docs_bytes < 4 << 30
+    small = docs_bytes is not None and docs_bytes < 256 << 20
     g = F.broadcast(gsets) if small else gsets
     ga = g.select(F.col(id_col).alias("doc_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col(id_col).alias("doc_b"), F.col("g").alias("g_b"))

@@ -107,15 +107,18 @@ def _nanos_timestamp_cols(path: str, nanos_conf_set: bool = False) -> list[str]:
         return ns_names
 
 
-# Inferred read schema per parquet path. Reading parquet WITHOUT a schema
-# runs a one-task footer-inference Spark job on EVERY DataFrameReader call
-# (observed r9: every gate paid one ~60-90 ms job per run just to re-learn
-# a schema that never changes); passing the cached schema skips the job.
-# Keyed by path alone: fixture/bench datasets are write-once per path, and
-# a stale entry would fail loudly at scan time (schema mismatch), not
-# silently. ``clear_schema_cache`` is the escape hatch for tests that
-# rewrite a path in-process.
-_READ_SCHEMA_CACHE: dict[str, object] = {}
+# Inferred (schema, ns_cols) per parquet path. Reading parquet WITHOUT a
+# schema runs a one-task footer-inference Spark job on EVERY
+# DataFrameReader call (observed r9: every gate paid one ~60-90 ms job per
+# run just to re-learn a schema that never changes); passing the cached
+# schema skips the job, and caching ns_cols beside it skips the per-call
+# pyarrow footer sweep too. Keyed by (path, mtime_ns) — NOT path alone
+# (review r9): a stale schema does not fail loudly — Spark silently
+# prunes columns a rewrite added and null-fills columns it dropped — so
+# staleness must be detected, not assumed away; a rewrite replaces the
+# file (or the directory's files), which bumps the mtime and misses the
+# cache. ``clear_schema_cache`` remains the belt-and-braces escape hatch.
+_READ_SCHEMA_CACHE: dict[tuple[str, int], tuple[object, list[str]]] = {}
 
 
 def clear_schema_cache() -> None:
@@ -134,23 +137,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     load_table) in the same session gets raw int64 columns and must do its
     own ÷1000 truncation, exactly like ``streaming.stream_events`` does."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_set = (
-        str(
-            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        ).lower()
-        == "true"
-    )
-    ns_cols = _nanos_timestamp_cols(path, nanos_conf_set=nanos_set)
-    if ns_cols:
-        # must be active BEFORE schema inference too — without it Spark
-        # refuses the file outright
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cached = _READ_SCHEMA_CACHE.get(path)
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, -1)
+    cached = _READ_SCHEMA_CACHE.get(key)
     if cached is None:
+        nanos_set = (
+            str(
+                spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            ).lower()
+            == "true"
+        )
+        ns_cols = _nanos_timestamp_cols(path, nanos_conf_set=nanos_set)
+        if ns_cols:
+            # must be active BEFORE schema inference too — without it
+            # Spark refuses the file outright
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        _READ_SCHEMA_CACHE[path] = df.schema
+        _READ_SCHEMA_CACHE[key] = (df.schema, ns_cols)
     else:
-        df = spark.read.schema(cached).parquet(path)
+        schema, ns_cols = cached
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(schema).parquet(path)
     for c in ns_cols:
         # integer division keeps full precision (ns epoch overflows double)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -153,6 +153,10 @@ def build_fixed(spark, targets) -> None:
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     c_span = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
     o_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    # data-derived like the other spans (review r9): a hardcoded offset
+    # collides replica user ranges on fixtures whose ids reach it, which
+    # would silently merge users and skew the measured workload
+    u_span = ev.agg(F.max("user_id")).collect()[0][0] + 1
 
     def tag(df, col, span, i):
         return df.withColumn(col, F.col(col) + F.lit(i * span))
@@ -164,7 +168,7 @@ def build_fixed(spark, targets) -> None:
         big_ev, big_c, big_o = ev, cust, orders
         for i in range(1, n):
             big_ev = big_ev.union(
-                ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+                ev.withColumn("user_id", F.col("user_id") + F.lit(i * u_span))
             )
             big_c = big_c.union(tag(cust, "c_custkey", c_span, i))
             big_o = big_o.union(

@@ -166,3 +166,19 @@ def test_nondeterministic_where_error_names_the_predicate(mpp):
     msg = str(ei.value)
     assert "WHERE predicate" in msg
     assert "rand() < 0.5" in msg
+
+
+def test_nondeterministic_where_rejected_without_unique_column_too(mpp):
+    # review r9: the staged write's observe() metric embeds the predicate
+    # and Spark rejects nondeterministic observed metrics regardless — so
+    # EVERY UPDATE/DELETE gets the engine's named error, not the opaque
+    # INVALID_OBSERVED_METRICS analyzer failure
+    mpp.sql("CREATE TABLE ndw2(k INT, v TEXT) PARTITION BY(k) WITH BUCKETS 4")
+    mpp.sql("INSERT INTO ndw2 VALUES(1,'a'),(2,'b')")
+    with pytest.raises(ValueError, match="WHERE predicate"):
+        mpp.sql("UPDATE ndw2 SET v = 'x' WHERE rand() < 0.5")
+    with pytest.raises(ValueError, match="WHERE predicate"):
+        mpp.sql("DELETE FROM ndw2 WHERE rand() < 0.5")
+    # deterministic WHEREs keep working on both paths
+    assert mpp.sql("UPDATE ndw2 SET v = 'x' WHERE k = 1") == 1
+    assert mpp.sql("DELETE FROM ndw2 WHERE k = 2") == 1

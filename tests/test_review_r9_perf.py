@@ -139,9 +139,12 @@ def test_load_table_schema_cached_second_read_runs_no_job(spark):
     assert sc.statusTracker().getJobIdsForGroup(group) == []
 
 
-def test_schema_cache_clear_allows_path_rewrite(spark, tmp_path):
+def test_schema_cache_detects_path_rewrite_by_mtime(spark, tmp_path):
+    # a rewrite bumps the path's mtime, so the cache misses WITHOUT any
+    # manual clear — the staleness class (Spark silently prunes added
+    # columns / null-fills dropped ones under an explicit schema) cannot
+    # occur for on-disk rewrites
     from duckdb_mpp_spark.sources import load_table
-    from duckdb_mpp_spark.sources.tables import clear_schema_cache
 
     p = str(tmp_path)
     spark.createDataFrame([(1,)], "a bigint").write.parquet(f"{p}/orders.parquet")
@@ -149,5 +152,4 @@ def test_schema_cache_clear_allows_path_rewrite(spark, tmp_path):
     spark.createDataFrame([(1, 2)], "a bigint, b bigint").write.mode(
         "overwrite"
     ).parquet(f"{p}/orders.parquet")
-    clear_schema_cache()
     assert load_table(spark, p, "orders").columns == ["a", "b"]
