@@ -32,10 +32,7 @@ register(
 )
 
 # Sessionization: 30-minute inactivity gap via lag + running sum.
-register(
-    "events_sessionization",
-    Query(
-        """
+_SESSIONIZATION_CORE = """
         SELECT user_id,
                CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
@@ -49,8 +46,30 @@ register(
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) AS flagged
         GROUP BY user_id
-        ORDER BY user_id
-        """
+"""
+
+
+def _sessionization_fn(spark, sf_dir):
+    # callable (r9, the q13 recipe): the result is one row per user —
+    # O(source) — so the final total order is size-switched: under the
+    # single-task budget it skips orderBy's range-sampling job (the gate
+    # wall was ~98% scheduling constant), past it the parallel range sort
+    # returns. Same inner SQL both engines.
+    from duckdb_mpp_spark.queries import ordered_result
+    from duckdb_mpp_spark.sources import load_table
+
+    return ordered_result(
+        spark.sql(_SESSIONIZATION_CORE),
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+    )
+
+
+register(
+    "events_sessionization",
+    Query(
+        spark=_sessionization_fn,
+        oracle=_SESSIONIZATION_CORE + "        ORDER BY user_id",
     ),
 )
 
@@ -505,10 +524,7 @@ register(
 # picked by a deterministic (ts, event_id) ordering. One groupBy + one
 # keyed window, both partitioned by user — at any scale the shuffles carry
 # per-user rows, and the two branches join on the same user key.
-register(
-    "events_user_features",
-    Query(
-        spark="""
+_USER_FEATURES_CORE = """
             WITH agg AS (
               SELECT user_id,
                      COUNT(*) AS n_events,
@@ -534,8 +550,26 @@ register(
             SELECT a.user_id, a.n_events, a.n_types, a.total_value,
                    a.avg_gap_sec, l.last_type
             FROM agg a JOIN latest l USING (user_id)
-            ORDER BY a.user_id
-        """,
+"""
+
+
+def _user_features_fn(spark, sf_dir):
+    # callable (r9): one row per user — size-switched final order, same
+    # rationale as _sessionization_fn above
+    from duckdb_mpp_spark.queries import ordered_result
+    from duckdb_mpp_spark.sources import load_table
+
+    return ordered_result(
+        spark.sql(_USER_FEATURES_CORE),
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+    )
+
+
+register(
+    "events_user_features",
+    Query(
+        spark=_user_features_fn,
         oracle="""
             WITH agg AS (
               SELECT user_id,

@@ -13,10 +13,7 @@ from duckdb_mpp_spark.queries import Query, register
 from duckdb_mpp_spark.sources import load_table
 
 # Top-k per group via ROW_NUMBER (the canonical OLAP window pattern).
-register(
-    "window_topk_per_group",
-    Query(
-        """
+_TOPK_CORE = """
         SELECT l_suppkey, l_partkey, rev, rn
         FROM (
           SELECT l_suppkey, l_partkey, rev,
@@ -29,8 +26,30 @@ register(
           ) AS agg
         ) AS ranked
         WHERE rn <= 3
-        ORDER BY l_suppkey, rn
-        """
+"""
+
+
+def _topk_fn(spark, sf_dir):
+    # callable (r9, the q13 recipe): the rank<=k filter already plans a
+    # Partial WindowGroupLimit BEFORE the exchange (Spark 3.5+), so the
+    # only trimmable cost was the final orderBy's range-sampling job — the
+    # result is 3 rows per supplier, O(suppliers), size-switched on the
+    # lineitem source (conservative upper bound).
+    from duckdb_mpp_spark.queries import ordered_result
+
+    return ordered_result(
+        spark.sql(_TOPK_CORE),
+        load_table(spark, sf_dir, "lineitem"),
+        "l_suppkey",
+        "rn",
+    )
+
+
+register(
+    "window_topk_per_group",
+    Query(
+        spark=_topk_fn,
+        oracle=_TOPK_CORE + "        ORDER BY l_suppkey, rn",
     ),
 )
 
