@@ -96,10 +96,7 @@ register(
 )
 
 # CUBE with GROUPING() null-disambiguation.
-register(
-    "agg_cube",
-    Query(
-        """
+_CUBE_CORE = """
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS INT) AS g_status,
@@ -107,8 +104,30 @@ register(
                SUM(l_quantity) AS sum_qty
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
-        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
-        """
+"""
+
+
+def _cube_fn(spark, sf_dir):
+    # flag × status domains + margins — domain-bounded at any scale, so
+    # the single-partition sort replaces orderBy's range-sampling job
+    # (the q13 recipe). ordered_small pins asc NULLS LAST, matching the
+    # oracle's default placement of the super-aggregate NULL keys.
+    from duckdb_mpp_spark.queries import ordered_small
+
+    return ordered_small(
+        spark.sql(_CUBE_CORE),
+        "g_flag",
+        "g_status",
+        "l_returnflag",
+        "l_linestatus",
+    )
+
+
+register(
+    "agg_cube",
+    Query(
+        spark=_cube_fn,
+        oracle=_CUBE_CORE + "        ORDER BY g_flag, g_status, l_returnflag, l_linestatus",
     ),
 )
 
