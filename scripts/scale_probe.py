@@ -533,24 +533,34 @@ def probe_events_overhead(spark) -> dict[str, object]:
     big = reps[0]
     for r in reps[1:]:
         big = big.union(r)
-    big_path = "/tmp/mpp_scale_events10"
-    if os.path.exists(big_path):
-        shutil.rmtree(big_path)
+    big_root = "/tmp/mpp_scale_events10"
+    if os.path.exists(big_root):
+        shutil.rmtree(big_root)
     out: dict[str, object] = {}
     try:
-        big.repartition(32).write.parquet(big_path)
-        for label, df in (
-            ("sf0.1", ev),
-            ("x10", spark.read.parquet(big_path)),
+        # laid out as a sf-dir ({root}/events.parquet) so the CALLABLE
+        # gates (size-switched final orders since r8/r9) can consult
+        # load_table for their plan-size switch; the SQL inside them reads
+        # the temp view registered below either way
+        big.repartition(32).write.parquet(f"{big_root}/events.parquet")
+        for label, df, sfd in (
+            ("sf0.1", ev, SRC),
+            ("x10", spark.read.parquet(f"{big_root}/events.parquet"), big_root),
         ):
             df.createOrReplaceTempView("events")
             for n in names:
-                sql = REGISTRY[n].spark
-                spark.sql(sql).write.format("noop").mode("overwrite").save()  # warm
+                q = REGISTRY[n]
+                if callable(q.spark):
+                    def mk(q=q, sfd=sfd):
+                        return q.spark(spark, sfd)
+                else:
+                    def mk(q=q):
+                        return spark.sql(q.spark)
+                mk().write.format("noop").mode("overwrite").save()  # warm
                 best = float("inf")
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    spark.sql(sql).write.format("noop").mode("overwrite").save()
+                    mk().write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                 out[f"{n}__{label}"] = round(best, 3)
         out["per_row_ratio_vs_linear"] = {
@@ -561,7 +571,7 @@ def probe_events_overhead(spark) -> dict[str, object]:
         # the x10 view points at the replica we delete — leave the view on
         # the real table, and reclaim the replica even on mid-probe failure
         ev.createOrReplaceTempView("events")
-        shutil.rmtree(big_path, ignore_errors=True)
+        shutil.rmtree(big_root, ignore_errors=True)
     return out
 
 

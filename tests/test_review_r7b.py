@@ -28,16 +28,22 @@ def _duck_rows(con, sql):
     return [tuple(r) for r in res.fetchall()]
 
 
-def _both(spark, con, name, frames, shadow):
-    """Run REGISTRY[name]'s Spark text and oracle on the same crafted
+def _both(spark, con, name, frames, shadow, sf_dir=None):
+    """Run REGISTRY[name]'s Spark side and oracle on the same crafted
     frames (registered via the shadow_views fixture so the real tables
     come back after the test / DuckDB tables); return both row lists
-    sorted."""
+    sorted. Callable gates (r9: size-switched final orders) read the
+    crafted frames through the shadowed views too; ``sf_dir`` supplies
+    the parquet layout they consult for plan-size switches."""
     q = REGISTRY[name]
     for tbl, df in frames.items():
         shadow(tbl, df)
         con.register(tbl, df.toPandas())
-    s = sorted((tuple(r) for r in spark.sql(q.spark).collect()), key=_key)
+    if callable(q.spark):
+        sdf = q.spark(spark, sf_dir)
+    else:
+        sdf = spark.sql(q.spark)
+    s = sorted((tuple(r) for r in sdf.collect()), key=_key)
     d = sorted(_duck_rows(con, q.oracle_sql()), key=_key)
     return s, d
 
@@ -239,7 +245,10 @@ def test_zscore_sample_stats_skip_null_values(spark, events_fixture_dir, shadow_
 def test_user_features_avg_gap_counts_real_timestamps(spark, events_fixture_dir, shadow_views):
     _sf, events, _orders = events_fixture_dir
     con = duckdb.connect()
-    s, d = _both(spark, con, "events_user_features", {"events": events}, shadow_views)
+    s, d = _both(
+        spark, con, "events_user_features", {"events": events}, shadow_views,
+        sf_dir=_sf,
+    )
     assert s == d
     by_user = {r[0]: r for r in s}
     # user 8 has ts [NULL, 2024-01-13]: ONE real timestamp → no gap (NULL
