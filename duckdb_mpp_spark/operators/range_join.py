@@ -42,6 +42,13 @@ def interval_bin_join(
             "interval_bin_join supports how='inner' only (the bin explode + "
             f"residual post-filter breaks outer semantics); got {how!r}"
         )
+    if bin_seconds < 1:
+        # non-ANSI division by zero is NULL, so bin_seconds=0 binned every
+        # row NULL and the equi-join silently returned an EMPTY frame
+        # (review r9; a caller deriving bin width from data can truncate
+        # to 0 for sub-second intervals). Negative widths invert the bin
+        # arithmetic just as silently.
+        raise ValueError(f"bin_seconds must be >= 1, got {bin_seconds}")
     for df, name in ((points, "points"), (intervals, "intervals")):
         if "__bin" in df.columns:
             raise ValueError(

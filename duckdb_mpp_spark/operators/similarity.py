@@ -66,6 +66,46 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d)
 
 
+def _maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Size-switched broadcast hint (review r9 — the repo convention from
+    jaccard_verify/substrings): the ANN query sets are corpus-PROPORTIONAL
+    slices (``vec_id % 50 = 0`` etc.), so an unconditional ``F.broadcast``
+    would force 1-2% of a 100 TB embeddings table into a broadcast
+    relation AQE cannot veto. Under 256 MiB of PLANNED size the static
+    hint skips AQE's measure-then-decide round-trip; past it the hint
+    drops and AQE's runtime decision (broadcast if the slice measures
+    small, shuffle join otherwise) takes over. Catalyst's filter-
+    selectivity estimate errs large on modulo predicates, which errs this
+    switch in the safe (no-hint) direction."""
+    from duckdb_mpp_spark.table import plan_size_bytes
+
+    b = plan_size_bytes(df)
+    return F.broadcast(df) if (b is not None and b < 256 << 20) else df
+
+
+def _assert_unique_ids(df: DataFrame, col: str, what: str) -> None:
+    """Duplicate ids are NOT mergeable for vector operators (review r9 —
+    unlike contamination's per-id DISTINCT semantics): every path keys
+    rows by id, so a duplicated id either conflates two vectors' scores
+    (the top-k oracles SUM dot products across duplicate rows into one
+    garbage score while the Spark window interleaves both rows' ranks) or
+    fans one row's argmin result onto every duplicate (kmeans _assign) —
+    silent wrong results either way, invisible to unique-id fixtures.
+    Validated loudly at operator entry: one count/count_distinct aggregate
+    over the id column; callers that pre-validate at ingest pass
+    ``assume_unique_ids=True`` to skip the pass."""
+    r = df.agg(
+        F.count(col).alias("n"), F.count_distinct(col).alias("d")
+    ).collect()[0]
+    if r["n"] != r["d"]:
+        raise ValueError(
+            f"{what}: {r['n'] - r['d']} duplicate value(s) in id column "
+            f"{col!r} ({r['n']} non-null rows, {r['d']} distinct) — "
+            "duplicate ids conflate distinct vectors' scores; deduplicate "
+            "or re-key upstream"
+        )
+
+
 # Partition head-room factor over the B(B+1)/2 natural GEMM groups:
 # hashing g keys into g bins leaves ~1/e empty and stacks groups 2-3 deep,
 # so some head-room protects tail latency — but each partition is a
@@ -115,6 +155,13 @@ def blocked_pair_scores(
     import numpy as np  # deferred: keep module import light
     import pandas as pd
 
+    if n_blocks < 1:
+        # pmod(hash, 0) is NULL under the non-ANSI session, so every row's
+        # block (and the exploded pair ranges) would be NULL and the kernel
+        # would silently return an EMPTY frame — and the docstring invites
+        # sizing n_blocks from corpus bytes, where an integer formula can
+        # truncate to 0 (review r9). Loud beats an empty dedup pass.
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
     B = n_blocks
     # NULL embeddings never pair (np.stack would crash the kernel on a
     # None; the oracle's NULL products fail any threshold the same way —
@@ -225,11 +272,19 @@ def blocked_pair_scores(
 
 
 def brute_force_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 10
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors. ``queries``: (qid, qv); ``corpus``:
-    (cid, cv). Queries are broadcast; corpus is scanned once."""
-    pairs = F.broadcast(queries).crossJoin(corpus).where(F.col("qid") != F.col("cid"))
+    (cid, cv). Queries broadcast under the size switch; corpus scanned
+    once. Duplicate ids rejected loudly (see _assert_unique_ids)."""
+    if not assume_unique_ids:
+        _assert_unique_ids(queries, "qid", "brute_force_topk queries")
+        _assert_unique_ids(corpus, "cid", "brute_force_topk corpus")
+    pairs = _maybe_broadcast(queries).crossJoin(corpus).where(F.col("qid") != F.col("cid"))
     scored = pairs.select(
         "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
     )
@@ -280,19 +335,23 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
-def quantized_topk(qz: DataFrame, k: int = 10) -> DataFrame:
+def quantized_topk(
+    qz: DataFrame, k: int = 10, *, assume_unique_ids: bool = False
+) -> DataFrame:
     """Brute-force top-k cosine over quantized vectors. ``qz`` is
     ``quantize_embeddings`` output plus a boolean ``is_query`` column.
-    Same broadcast-queries × one-corpus-pass shape as the float path; the
-    per-pair kernel is an integer dot product (SIMD-friendly, no float
-    reduction-order concerns)."""
+    Same size-switched-broadcast-queries × one-corpus-pass shape as the
+    float path; the per-pair kernel is an integer dot product
+    (SIMD-friendly, no float reduction-order concerns)."""
+    if not assume_unique_ids:
+        _assert_unique_ids(qz, "vec_id", "quantized_topk")
     queries = qz.where("is_query").select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
     )
     corpus = qz.select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nrm").alias("cn")
     )
-    pairs = F.broadcast(queries).crossJoin(corpus).where(F.col("qid") != F.col("cid"))
+    pairs = _maybe_broadcast(queries).crossJoin(corpus).where(F.col("qid") != F.col("cid"))
     scored = pairs.select(
         "qid",
         "cid",
@@ -371,7 +430,7 @@ def _register():
             F.col("embedding").alias("cv"),
             F.col("label").alias("cell"),
         )
-        pairs = F.broadcast(queries).join(corpus, "cell").where(F.col("qid") != F.col("cid"))
+        pairs = _maybe_broadcast(queries).join(corpus, "cell").where(F.col("qid") != F.col("cid"))
         scored = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
         w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
         return (
@@ -431,7 +490,7 @@ def _register():
         corpus = withb.select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
         )
-        pairs = F.broadcast(queries).join(corpus, "bucket").where(F.col("qid") != F.col("cid"))
+        pairs = _maybe_broadcast(queries).join(corpus, "bucket").where(F.col("qid") != F.col("cid"))
         scored = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
         w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
         return (
@@ -583,6 +642,8 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 3,
     inertia_log: list | None = None,
+    *,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column, pure DataFrame ops.
 
@@ -607,6 +668,12 @@ def kmeans_fit(
     emb = emb.where(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
+    # duplicate vec_ids would silently corrupt the assignment (review r9:
+    # _assign groupBy takes the argmin over the UNION of duplicate rows'
+    # candidates, then the join fans that one winner onto every duplicate
+    # with the other row's d2 — Lloyd's monotonicity no longer holds)
+    if not assume_unique_ids:
+        _assert_unique_ids(emb, "vec_id", "kmeans_fit")
     init = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -689,15 +756,26 @@ def _register_kmeans():
         here are 1-row/k-row convergence scalars (documented engine
         convention), never data-sized."""
         emb = load_table(spark, sf_dir, "embeddings")
+        # the SAME NULL filter kmeans_fit applies internally (review r9):
+        # the final assignment and the all_assigned denominator must see
+        # the same row set, or one NULL-id fetch-failure row flips the
+        # gate red (NULL equi-join keys never match) and an all-NULL
+        # cluster's inertia=None crashes the sums below
+        emb_ok = emb.where(
+            F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+        )
         log: list = []
-        centroids = kmeans_fit(emb, k=8, iters=3, inertia_log=log)
+        centroids = kmeans_fit(emb_ok, k=8, iters=3, inertia_log=log)
         final = (
-            _assign(emb, centroids)
+            _assign(emb_ok, centroids)
             .groupBy("cluster_id")
             .agg(F.count("*").alias("n"), F.sum("d2").alias("inertia"))
             .collect()
         )
+        # n_vectors counts ALL rows (oracle: COUNT(*)); the assignment
+        # invariant is over the VALID rows
         n_vectors = emb.count()
+        n_valid = emb_ok.count()
         n_assigned = sum(r["n"] for r in final)
         final_inertia = sum(r["inertia"] for r in final)
         seq = log + [final_inertia]
@@ -706,7 +784,7 @@ def _register_kmeans():
         )
         row = (
             n_vectors,
-            n_assigned == n_vectors,
+            n_assigned == n_valid,
             len(final) <= 8,
             all(r["inertia"] >= 0 for r in final) and all(v >= 0 for v in seq),
             monotone,
@@ -842,7 +920,15 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
         .groupBy("vec_id", "label", "c_label")
         .agg(F.sum(term).alias("d2"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    # asc_nulls_last on BOTH the tiebreak and the final sort (review r9):
+    # a NULL-label centroid exists whenever the corpus has NULL-label
+    # vectors, and on an exact DECIMAL d2 tie Spark's default asc would
+    # pick the NULL centroid FIRST while the oracle's DuckDB default
+    # (NULLS LAST) picks the labeled one — different confusion COUNTS,
+    # not just row order
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("c_label").asc_nulls_last()
+    )
     assigned = (
         d2.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -852,7 +938,9 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
         assigned.groupBy("label", "assigned")
         .agg(F.count("*").alias("n"))
         # NULLS LAST: cross-dialect default divergence (r6 convention, r8)
-        .orderBy(F.col("label").asc_nulls_last(), "assigned")
+        .orderBy(
+            F.col("label").asc_nulls_last(), F.col("assigned").asc_nulls_last()
+        )
     )
 
 
@@ -919,13 +1007,24 @@ def hard_negative_topk(
     confuses with the positives). ``queries``: (qid, qv, qlabel);
     ``corpus``: (cid, cv, clabel).
 
-    Same scale shape as brute_force_topk: queries broadcast, one corpus
-    scan, per-query WindowGroupLimit heap. The label-mismatch predicate is
-    applied BEFORE scoring, so excluded (same-label) pairs never pay the
-    dot product. IVF/LSH bucketing composes exactly as for plain ANN when
-    the corpus outgrows a single scan per query batch."""
+    Same scale shape as brute_force_topk: queries broadcast under the
+    size switch, one corpus scan, per-query WindowGroupLimit heap. The
+    label-mismatch predicate is applied BEFORE scoring, so excluded
+    (same-label) pairs never pay the dot product. IVF/LSH bucketing
+    composes exactly as for plain ANN when the corpus outgrows a single
+    scan per query batch.
+
+    NULL-label policy (review r9, documented contract): ``clabel !=
+    qlabel`` is SQL three-valued, so a NULL-label QUERY mines zero
+    negatives and a NULL-label CORPUS vector is never served as one —
+    identical in both dialects (the oracle shares the predicate). That is
+    the conservative choice for training data: an unlabeled vector's
+    label-distinctness is UNKNOWN, and serving it as a "different-label"
+    hard negative would poison the contrastive signal whenever the
+    missing label actually matches the query's. Filter or impute labels
+    upstream to opt unlabeled data in."""
     pairs = (
-        F.broadcast(queries)
+        _maybe_broadcast(queries)
         .crossJoin(corpus)
         .where(F.col("clabel") != F.col("qlabel"))
     )

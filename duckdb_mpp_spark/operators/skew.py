@@ -47,16 +47,38 @@ def _salt_col(df: DataFrame, n_salts: int) -> Column:
     already fetched, silently double/under-counting. Hashing row content is
     retry-stable: the same input row always lands on the same sub-key.
     Identical duplicate rows share a salt, which only costs balance (bounded
-    by the duplicate multiplicity), never correctness. Map-typed columns are
-    excluded (Spark forbids them in hash expressions since 3.0 — review r6;
-    a frame of ONLY map columns is rejected loudly — it cannot carry an
-    equi-join/group key anyway).
-    """
-    from pyspark.sql.types import MapType
+    by the duplicate multiplicity), never correctness. Columns CONTAINING a
+    map anywhere in their type (top-level, array element, struct field — the
+    check is recursive, review r9: Spark's xxhash64 rejects any map-bearing
+    type, so the old top-level-only filter crashed salting over an
+    ``array<map>`` or ``struct<…, map>`` column) are excluded; a frame of
+    ONLY map-bearing columns is rejected loudly — it cannot carry an
+    equi-join/group key anyway.
 
-    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    ``n_salts`` is validated ≥ 1 (review r9): under the non-ANSI session
+    ``pmod(x, 0)`` is NULL, so n_salts=0 salted every left row NULL while
+    the right side exploded ``sequence(0, -1)`` — an inner salted_join
+    silently returned ZERO rows instead of erroring.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [f.name for f in df.schema.fields if not has_map(f.dataType)]
     if not cols:
-        raise ValueError("cannot salt a frame whose columns are all map-typed")
+        raise ValueError(
+            "cannot salt a frame whose columns all contain map types"
+        )
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
 
 
