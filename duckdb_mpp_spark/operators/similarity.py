@@ -999,7 +999,11 @@ _register_centroid_assign()
 # ---------------------------------------------------------------------------
 
 def hard_negative_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 5
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """Top-k most-similar vectors with a DIFFERENT label per query — the
     hard-negative mining step of contrastive/retrieval training (the
@@ -1023,6 +1027,9 @@ def hard_negative_topk(
     hard negative would poison the contrastive signal whenever the
     missing label actually matches the query's. Filter or impute labels
     upstream to opt unlabeled data in."""
+    if not assume_unique_ids:
+        _assert_unique_ids(queries, "qid", "hard_negative_topk queries")
+        _assert_unique_ids(corpus, "cid", "hard_negative_topk corpus")
     pairs = (
         _maybe_broadcast(queries)
         .crossJoin(corpus)
