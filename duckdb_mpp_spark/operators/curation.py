@@ -35,8 +35,7 @@ from duckdb_mpp_spark.operators.text import (
     _duck_stop_hits,
     _duck_tokens,
     duck_quality_score_expr,
-    language_id,
-    quality_score_col,
+    lang_quality_struct,
     token_count,
 )
 from duckdb_mpp_spark.queries import Query, register
@@ -52,17 +51,45 @@ def curate(spark, sf_dir: str):
     docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # score attached in the SAME projection as language-ID (review r4: the
     # old quality_features join re-scanned and shuffled the whole corpus to
-    # attach a pure per-row expression)
-    scored = docs.select(
+    # attach a pure per-row expression), and both derive from ONE fused
+    # tokenization (review r9: the separate language_id/quality_score_col
+    # expressions each pinned their own token binding — two interpreted
+    # split/filter trees per row on the flagship pipeline's dominant
+    # per-row path). Staged projection so the struct evaluates once.
+    staged = docs.select(
+        "doc_id", "text", "source", lang_quality_struct("text").alias("_lq")
+    )
+    scored = staged.select(
         "doc_id", "text", "source",
-        language_id("text").alias("plang"),
-        quality_score_col("text").alias("quality_score"),
+        F.col("_lq.plang").alias("plang"),
+        F.col("_lq.quality_score").alias("quality_score"),
     )
     kept0 = scored.where((F.col("plang") == "en") & (F.col("quality_score") >= QUALITY_MIN))
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # source tiebreak (review r9): duplicate doc_ids with identical text
+    # but different source tie on doc_id alone, and row_number's
+    # partition-internal order is arbitrary — each engine (and each run)
+    # could keep a different row, diverging the per-source stats. After
+    # (doc_id, source) the only remaining multiplicity is fully identical
+    # rows, where any choice is value-identical. Skew note (same trade
+    # exact_dedup documents): a giant identical-text group serializes its
+    # rows into one window task; unlike exact_dedup the payload here is
+    # the full kept row (the survivors feed LSH next), so the mitigation
+    # is upstream — the quality filter already prunes the boilerplate
+    # class that produces such groups.
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("doc_id").asc(), F.col("source").asc_nulls_last()
+    )
     kept1 = (
         kept0.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn", "plang")
     )
+    # eager checkpoint (review r9, the r8 multi-consumer rule): kept1
+    # feeds THREE consumers — the minhash/band build, connected
+    # components' node init, and the final canonical join — so without
+    # materialization the scan → score → dedup-window pipeline re-runs
+    # per consumer (and lazy would race AQE's concurrent stage
+    # submission). One materialization of the kept corpus is the
+    # pipeline-boundary a real deployment would write to a table anyway.
+    kept1 = kept1.localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(minhash_bands(kept1))
     labels = connected_components(pairs, kept1)
     canon = kept1.join(
@@ -80,7 +107,9 @@ def curate(spark, sf_dir: str):
                 / F.count("*")
             ).alias("mean_quality_q"),
         )
-        .orderBy("source")
+        # NULLS LAST: the r6 shared-order convention (review r9 — a NULL
+        # source surviving curation would sort FIRST here, LAST in DuckDB)
+        .orderBy(F.col("source").asc_nulls_last())
     )
 
 
@@ -122,7 +151,11 @@ def _oracle() -> str:
     ),
     kept1 AS (
       SELECT doc_id, text, source, ws, q FROM (
-        SELECT k.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        SELECT k.*, ROW_NUMBER() OVER (
+          -- source tiebreak mirrors the Spark window (review r9); DuckDB's
+          -- default asc NULL placement (LAST) matches asc_nulls_last
+          PARTITION BY md5(text) ORDER BY doc_id, source
+        ) AS rn
         FROM kept0 k
       ) t WHERE rn = 1
     ),
@@ -204,7 +237,8 @@ def train_test_split(spark, sf_dir: str):
     return (
         tagged.groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
-        .orderBy("split", "source")
+        # NULLS LAST on the nullable source key (r6 convention, review r9)
+        .orderBy(F.col("split").asc_nulls_last(), F.col("source").asc_nulls_last())
     )
 
 

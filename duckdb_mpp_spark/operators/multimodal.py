@@ -175,7 +175,14 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     resampled to exactly ``width*height`` bytes (byte-repeat/truncate stands
     in for pixel interpolation; swap the inner lambda for PIL's
     ``Image.resize`` in a real deployment). Schema contract: payload stays
-    ``binary``, meta gains the new dimensions."""
+    ``binary``; ``meta`` is REPLACED by the new dimensions (input meta
+    describes the pre-resize payload and would be stale)."""
+    if width < 1 or height < 1:
+        # width*height == 0 silently truncated EVERY payload to zero bytes
+        # (review r9) and negative values slice wrong-length buffers
+        raise ValueError(
+            f"resize_media dimensions must be >= 1, got {width}x{height}"
+        )
     target = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,10 +241,20 @@ def decode_sgm_features(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "width", "height", "channels", "n_pixels", "mean_pixel")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                # NULL payload (text=NULL upstream): same guard as the
-                # sibling operators — decode the empty buffer instead of
-                # crashing the whole task on None (review r6)
-                img = decode_media(payload if payload is not None else b"")
+                # Undecodable payloads (NULL / empty / unknown magic) emit
+                # a NULL-feature row instead of killing the task (review
+                # r9: the old guard substituted b"" for None, but an empty
+                # buffer matches NO decoder magic, so decode_media raised
+                # NotImplementedError inside mapInPandas and one
+                # fetch-failure doc aborted the whole 100 TB pass — the
+                # same one-bad-row principle as the GEMM NULL guards).
+                try:
+                    img = decode_media(payload if payload is not None else b"")
+                except NotImplementedError:
+                    rows["doc_id"].append(doc_id)
+                    for k in ("width", "height", "channels", "n_pixels", "mean_pixel"):
+                        rows[k].append(None)
+                    continue
                 n = img["width"] * img["height"] * img["channels"]
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(img["width"])

@@ -58,6 +58,27 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def _lang_ratio(ws: Column, lang: str) -> Column:
+    hits = F.size(F.filter(ws, lambda x: x.isin(STOPWORDS[lang])))
+    return hits.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+def _lang_decide(rs: Column) -> Column:
+    """argmax CASE over a bound per-language ratio struct; alphabetically
+    earlier language wins ties, 'und' when no marker word hits."""
+    langs = sorted(STOPWORDS)
+    expr = F.lit("und")
+    # build CASE from last preference to first so earlier langs win ties
+    for lang in reversed(langs):
+        r = rs[lang]
+        cond = r > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (r >= rs[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def language_id(col: Column | str) -> Column:
     """argmax over per-language stopword ratios; deterministic preference
     order (alphabetical) on ties; 'und' when no marker word hits.
@@ -70,30 +91,48 @@ def language_id(col: Column | str) -> Column:
     tokenization to ONE evaluation, the first transform computes the four
     ratios into a struct (one array scan each), and the CASE runs over the
     struct's scalar fields. Same value, same tie order."""
-
-    def _ratio(ws: Column, lang: str) -> Column:
-        hits = F.size(F.filter(ws, lambda x: x.isin(STOPWORDS[lang])))
-        return hits.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
-
     langs = sorted(STOPWORDS)
     ratios_arr = F.transform(
         F.array(tokens(col)),
-        lambda ws: F.struct(*[_ratio(ws, lang).alias(lang) for lang in langs]),
+        lambda ws: F.struct(*[_lang_ratio(ws, lang).alias(lang) for lang in langs]),
     )
+    return F.element_at(F.transform(ratios_arr, _lang_decide), 1)
 
-    def _decide(rs: Column) -> Column:
-        expr = F.lit("und")
-        # build CASE from last preference to first so earlier langs win ties
-        for lang in reversed(langs):
-            r = rs[lang]
-            cond = r > 0
-            for other in langs:
-                if other != lang:
-                    cond = cond & (r >= rs[other])
-            expr = F.when(cond, F.lit(lang)).otherwise(expr)
-        return expr
 
-    return F.element_at(F.transform(ratios_arr, _decide), 1)
+def lang_quality_struct(text_col: str) -> Column:
+    """(plang, quality_score) from ONE tokenization — the fused binding
+    for pipelines that attach both (curation; review r9: composing
+    ``language_id`` + ``quality_score_col`` as separate expressions
+    re-tokenized every row twice, since each pins its OWN lambda-bound
+    token array). One transform computes the per-language ratios AND the
+    token stats into a single struct; the CASE and the score formula then
+    read scalar fields. Stage the result in its own projection (the
+    quality_features r8 note: CollapseProject keeps non-cheap multi-
+    referenced expressions un-inlined)."""
+    langs = sorted(STOPWORDS)
+    t = F.col(text_col)
+    bound = F.element_at(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda ws: F.struct(
+                F.struct(
+                    *[_lang_ratio(ws, lang).alias(lang) for lang in langs]
+                ).alias("r"),
+                F.size(ws).alias("n"),
+                F.aggregate(
+                    ws, F.lit(0), lambda acc, x: acc + F.length(x)
+                ).alias("sum_len"),
+                F.size(
+                    F.filter(ws, lambda x: x.isin(STOPWORDS["en"]))
+                ).alias("stop_en"),
+            ),
+        ),
+        1,
+    )
+    return F.struct(
+        _lang_decide(bound["r"]).alias("plang"),
+        _score_from_stats(bound, t).alias("quality_score"),
+    )
 
 
 def _punct_ratio(t: Column) -> Column:
@@ -199,6 +238,12 @@ def char_fingerprint(col: Column | str, k: int = 5) -> Column:
     (the running min), leaving only the 8-byte index sequence as per-row
     array cost. ``least`` skips NULLs, so the NULL seed returns the true
     min (and NULL text stays NULL, as before)."""
+    if k < 1:
+        # substr(i, 0) is '' at every position, so k <= 0 collapses EVERY
+        # document's fingerprint to md5('') — the whole corpus becomes one
+        # duplicate group and a keeper-based consumer drops everything but
+        # one doc (review r9). Loud beats silent mass data loss.
+        raise ValueError(f"char_fingerprint k must be >= 1, got {k}")
     c = F.col(col) if isinstance(col, str) else col
     n = F.greatest(F.length(c) - (k - 1), F.lit(1))
     return F.aggregate(
@@ -209,8 +254,12 @@ def char_fingerprint(col: Column | str, k: int = 5) -> Column:
 
 
 def bpe_token_estimate(col: Column | str) -> Column:
+    """NULL text counts as 0 tokens, matching the tokens()/token_count()
+    NULL→zero contract (review r9: regexp_count(NULL) is NULL, which
+    re-introduced exactly the NULL-propagation into downstream arithmetic
+    — packing offsets, cost estimates — that the r4 tokens() fix closed)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, F.lit(BPE_PATTERN))
+    return F.coalesce(F.regexp_count(c, F.lit(BPE_PATTERN)), F.lit(0))
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +363,7 @@ def _register_token_stats():
     oracle = f"""
         SELECT doc_id,
                CAST(len({_duck_tokens()}) AS INT) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+               CAST(COALESCE(len(regexp_extract_all(text, '{BPE_PATTERN}')), 0) AS BIGINT) AS bpe_tokens,
                CAST(length(text) AS INT) AS len_chars
         FROM documents ORDER BY doc_id
         """
@@ -407,7 +456,19 @@ def _register_langid():
 def _register_fingerprint():
     def spark_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
-        fp = docs.select("doc_id", char_fingerprint("text").alias("fingerprint"))
+        # NULL-text docs get per-row singleton fingerprints (review r9,
+        # the exact_dedup r4 convention): char_fingerprint(NULL) is NULL
+        # and an equi-join never matches NULL, so fetch-failure docs
+        # silently VANISHED from the report — neither kept nor flagged;
+        # a keeper-based keep-list lost them entirely. Mirrored in the
+        # oracle so the singleton rows hash-match.
+        fp = docs.select(
+            "doc_id",
+            F.coalesce(
+                char_fingerprint("text"),
+                F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
+            ).alias("fingerprint"),
+        )
         groups = fp.groupBy("fingerprint").agg(
             F.count("*").alias("group_size"), F.min("doc_id").alias("keeper")
         )
@@ -420,9 +481,11 @@ def _register_fingerprint():
     oracle = """
         WITH fp AS (
           SELECT doc_id,
-                 list_aggregate(
-                   list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-                                  i -> md5(substring(text, i, 5))), 'min') AS fingerprint
+                 COALESCE(
+                   list_aggregate(
+                     list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                    i -> md5(substring(text, i, 5))), 'min'),
+                   '__null__' || CAST(doc_id AS VARCHAR)) AS fingerprint
           FROM documents
         ),
         groups AS (
