@@ -287,8 +287,21 @@ def pii_redact(
     common subset so engines agree byte-for-byte; redacted text is returned
     as an md5 so the gate row stays narrow."""
     t = F.col(text_col)
-    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    # NULL text counts 0 findings (review r9, the tokens()/bpe NULL→zero
+    # convention): size(regexp_extract_all(NULL)) is -1/NULL depending on
+    # the legacy sizeOfNull setting while the oracle's len() is NULL —
+    # a fetch-failure doc must report zero PII, not a sentinel
+    def _count(pattern):
+        return F.greatest(
+            F.coalesce(
+                F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0))),
+                F.lit(0),
+            ),
+            F.lit(0),
+        )
+
+    n_emails = _count(EMAIL_RE)
+    n_phones = _count(PHONE_RE)
     redacted = F.regexp_replace(
         F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
@@ -325,8 +338,8 @@ WITH aug AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '[+]1-555-[0-9]{4}')) AS INT) AS n_phones,
+       CAST(COALESCE(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')), 0) AS INT) AS n_emails,
+       CAST(COALESCE(len(regexp_extract_all(text, '[+]1-555-[0-9]{4}')), 0) AS INT) AS n_phones,
        md5(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5

@@ -159,6 +159,18 @@ def test_decode_features_survive_undecodable_payload(spark):
     assert got[3].width is None and got[4].width is None
 
 
+def test_pii_redact_null_text_counts_zero(spark):
+    from duckdb_mpp_spark.operators.corpus import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com now"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert got[1].n_emails == 1
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].redacted_md5 is None  # md5(NULL) stays NULL, both engines
+
+
 def test_resize_media_rejects_degenerate_dimensions(spark):
     from duckdb_mpp_spark.operators.multimodal import resize_media
 
