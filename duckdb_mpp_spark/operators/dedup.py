@@ -170,6 +170,61 @@ def minhash_wide(
     return h.groupBy(id_col).agg(*mins)
 
 
+def minhash_wide_with_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """(id, mh0..mh{K-1}, g) — ONE corpus pass computing BOTH the
+    md5-family minhash signature and the doc's distinct gram SET (64-bit
+    ``xxhash64`` of the gram string — injective modulo 2^-64 collisions,
+    the same gram-identity argument as :func:`shingle_hashes`; the oracle
+    compares resulting Jaccard SCORES, never gram encodings).
+
+    Small-regime fusion for the jaccard gates (r9): the candidate-filtered
+    verify (:func:`jaccard_verify_from_docs`) exists so a 100 TB run never
+    gram-sets the whole corpus — but it pays a SECOND shingle pass plus
+    the semi-join/collect subtree to restrict that pass to candidates.
+    When the whole corpus is broadcast-sized anyway (the gate's existing
+    256 MiB payload switch), collecting every doc's gram set inside the
+    signature aggregation is strictly less work: the shingle/hash stream
+    is evaluated once, the groupBy rides the id partitioning the gate
+    already created, and per-row ``collect_set`` memory is the same order
+    as the doc's own text column. Callers above the switch keep the
+    candidate-filtered path — this function must NOT be fed an unbounded
+    corpus (its output is ~1.3× corpus bytes wide).
+
+    ``fast=True`` draws (h1, h2) from the production xxhash64 family
+    (:func:`minhash_wide_fast`) instead of md5 — same fusion, no gram
+    string hashing beyond the one xxhash64 the gram set itself needs."""
+    if fast:
+        # token-window hashes straight from shingle_hashes: h1/h2 derive
+        # from the same 64-bit gram hash the gram set stores — zero extra
+        # hashing per gram beyond the one xxhash64("sh") for h2.
+        s0 = shingle_hashes(df, id_col, text_col)
+        h = s0.select(
+            F.col(id_col),
+            F.shiftrightunsigned(F.col("sh"), 8).alias("h1"),
+            F.shiftrightunsigned(F.xxhash64("sh"), 8).alias("h2"),
+            F.col("sh").alias("gh"),
+        )
+    else:
+        sh = shingles(df, id_col, text_col)
+        hx = F.md5(F.col("sh"))
+        h = sh.select(
+            F.col(id_col),
+            F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(hx, 15, 14), 16, 10).cast("bigint").alias("h2"),
+            F.xxhash64("sh").alias("gh"),
+        )
+    mins = [
+        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
+    ]
+    return h.groupBy(id_col).agg(*mins, F.collect_set("gh").alias("g"))
+
+
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """LSH band signatures: (id, band, band_key). band_key is the
     concatenation of ``ROWS_PER_BAND`` consecutive minhashes (see
@@ -365,7 +420,27 @@ def jaccard_verify_from_docs(
     # candidate subset measures small, shuffle join otherwise).
     docs_bytes = plan_size_bytes(docs)
     small = docs_bytes is not None and docs_bytes < 256 << 20
-    g = F.broadcast(gsets) if small else gsets
+    return jaccard_score_pairs(gsets, pairs, id_col, broadcast_sets=small)
+
+
+def jaccard_score_pairs(
+    gsets: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    broadcast_sets: bool,
+) -> DataFrame:
+    """Score candidate ``pairs`` against a per-doc gram-SET table
+    ``(id, g: array<bigint>)``: jaccard = |A∩B| / (|A|+|B|−|A∩B|) as one
+    ``array_intersect`` expression per pair — no gram-level shuffle, no
+    window, no groupBy (see :func:`jaccard_verify_from_docs` for why this
+    beats routing grams to pairs). The gram-set table is consumed twice
+    (doc_a / doc_b sides) through ONE broadcast when ``broadcast_sets``
+    (callers bound the PAYLOAD — see the 256 MiB switches at both call
+    sites); otherwise AQE's runtime broadcast-vs-shuffle decision applies.
+    Zero-intersection candidate pairs surface with jaccard 0.0 — a
+    candidate pair IS a 0-similarity fact, not an absence."""
+    g = F.broadcast(gsets) if broadcast_sets else gsets
     ga = g.select(F.col(id_col).alias("doc_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col(id_col).alias("doc_b"), F.col("g").alias("g_b"))
     i = F.size(F.array_intersect("g_a", "g_b"))
@@ -1079,26 +1154,51 @@ def _register():
         ),
     )
 
-    def jaccard_fn(spark, sf_dir):
+    def _scored_pairs(spark, sf_dir, *, fast):
+        """LSH candidates scored by exact gram-set jaccard — size-switched
+        between the r9 FUSED small-regime plan and the candidate-filtered
+        scale plan (both value-identical; the oracle checks the scores):
+
+        small (corpus under the 256 MiB broadcast payload switch): ONE
+        corpus pass computes signatures AND gram sets in the same groupBy
+        (minhash_wide_with_grams), eagerly checkpointed so the banding
+        self-join and the gram-set broadcast both read materialized rows —
+        the verify branch's second shingle pass, its candidate semi-join,
+        and its collect_set groupBy all disappear from the plan.
+
+        large: the r8 checkpoint-free exchange-reuse flow — signatures and
+        candidate-only gram sets each ride the one canonical corpus
+        exchange; gram sets are computed for PAIR MEMBERS only, never the
+        whole corpus (collect_set over an unbounded corpus is exactly what
+        the fusion must not do at 100 TB). When _spread repartitioned
+        (docs is not docs0), the verify branch skips its candidate-text
+        repartition: the id partitioning it would create already exists."""
+        from duckdb_mpp_spark.table import plan_size_bytes
+
         docs0 = load_table(spark, sf_dir, "documents")
         docs = _spread(docs0, "doc_id")
-        # candidate-filtered verify (jaccard_verify_from_docs): the verify
-        # pass shingles only docs that appear in some LSH pair, and gram
-        # keys are 64-bit hashes — ~5× fewer shuffle bytes than raw gram
-        # strings, set semantics preserved to 2^-64 collisions (oracle
+        docs_bytes = plan_size_bytes(docs0)
+        if docs_bytes is not None and docs_bytes < 256 << 20:
+            wide = minhash_wide_with_grams(docs, fast=fast).localCheckpoint(
+                eager=True
+            )
+            pairs = lsh_candidate_pairs(_bands_from_wide(wide), materialize=False)
+            return docs, jaccard_score_pairs(
+                wide.select("doc_id", "g"), pairs, broadcast_sets=True
+            )
+        bands = minhash_bands_fast(docs) if fast else minhash_bands(docs)
+        pairs = lsh_candidate_pairs(bands, materialize=False)
+        return docs, jaccard_verify_from_docs(
+            docs, pairs, candidate_repartition=docs is docs0
+        )
+
+    def jaccard_fn(spark, sf_dir):
+        # gram keys are 64-bit hashes — ~5× fewer shuffle bytes than raw
+        # gram strings, set semantics preserved to 2^-64 collisions (oracle
         # parity is on the resulting Jaccard scores, which are identical).
-        # Checkpoint-free single-action flow (r8): exchange reuse replaces
-        # both localCheckpoints — see lsh_candidate_pairs/
-        # jaccard_verify_from_docs docstrings. When _spread repartitioned
-        # (docs is not docs0), the verify branch skips its candidate-text
-        # repartition: the id partitioning it would create already exists.
-        pairs = lsh_candidate_pairs(minhash_bands(docs), materialize=False)
+        _, scored = _scored_pairs(spark, sf_dir, fast=False)
         return ordered_small(
-            jaccard_verify_from_docs(
-                docs, pairs, candidate_repartition=docs is docs0
-            ).where(F.col("jaccard") >= 0.5),
-            "doc_a",
-            "doc_b",
+            scored.where(F.col("jaccard") >= 0.5), "doc_a", "doc_b"
         )
 
     register(
@@ -1148,14 +1248,8 @@ def _register():
         # recall IS hash-draw-dependent and deliberately uncertified here
         # — it is covered by the md5 twin gate (`dedup_ngram_jaccard`),
         # which shares every pipeline line except the two hash columns.
-        docs0 = load_table(spark, sf_dir, "documents")
-        docs = _spread(docs0, "doc_id")
-        pairs = lsh_candidate_pairs(
-            minhash_bands_fast(docs), materialize=False
-        )
-        found = jaccard_verify_from_docs(
-            docs, pairs, candidate_repartition=docs is docs0
-        ).where(F.col("jaccard") >= 0.5)
+        docs, scored = _scored_pairs(spark, sf_dir, fast=True)
+        found = scored.where(F.col("jaccard") >= 0.5)
         toks = docs.select("doc_id", tokens("text").alias("ws")).where(
             F.size("ws") > 0
         )
