@@ -903,3 +903,106 @@ def _register_sqrt_sample():
 
 
 _register_sqrt_sample()
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring (contribution of each doc to corpus diversity)
+# ---------------------------------------------------------------------------
+
+def novelty_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's DISTINCT word
+    k-grams whose global FIRST occurrence (smallest doc id) is this doc —
+    a dedup-adjacent curation signal: boilerplate-heavy or near-duplicate
+    docs score near 0, genuinely new material scores near 1, and the
+    score is monotone under corpus growth (adding docs can only lower
+    novelty of later ids, never earlier ones). Ids order "first": any
+    stable total order works; ingestion ids are the natural one.
+
+    Scale shape (100 TB): grams are 64-bit token-window hashes
+    (:func:`~duckdb_mpp_spark.operators.dedup.shingle_hashes` — injective
+    modulo 2^-64, no gram strings materialized; the oracle compares
+    resulting COUNTS, never encodings). The per-doc distinct rides the id
+    partitioning `_spread` establishes (no extra exchange); the only
+    corpus-sized shuffle is the one groupBy(gram) a first-occurrence
+    assignment inherently needs, and it map-side combines (a hot
+    boilerplate gram collapses to one (gram, min_id) row per map
+    partition before the exchange — skew-immune the same way
+    substring spans' aggregate is). Everything after is per-doc sized.
+
+    Output: (doc_id, n_grams, n_novel, novelty); gram-less docs (empty /
+    whitespace / NULL text) are RETAINED with n_grams = 0 and novelty
+    NULL — retention parity with the text-gate family (review r9)."""
+    from duckdb_mpp_spark.operators.dedup import _spread, shingle_hashes
+
+    d = _spread(docs, id_col)
+    # (id, gram) distinct rides the id partitioning (grouping ⊇ partitioning)
+    dsh = shingle_hashes(d, id_col, text_col).distinct()
+    sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        dsh.groupBy("sh")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        docs.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(
+                    F.coalesce("n_novel", F.lit(0)).cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )
+
+
+_NOVELTY_ORACLE = """
+    WITH words AS (SELECT doc_id, {toks} AS ws FROM documents),
+    shingles AS (
+      SELECT doc_id, array_to_string(ws[i:i+{km1}], ' ') AS sh
+      FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - {km1}, 1) + 1)) AS i) t
+      WHERE len(ws) > 0
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dsh GROUP BY 1),
+    novel AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+      FROM (SELECT sh, MIN(doc_id) AS first_doc FROM dsh GROUP BY 1)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN s.n_grams IS NOT NULL THEN
+             round(CAST(COALESCE(v.n_novel, 0) AS DOUBLE) / s.n_grams, 6)
+           END AS novelty
+    FROM documents d
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN novel v USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+def _register_novelty():
+    _ = _NOVELTY_ORACLE.format(toks=_duck_tokens(), km1=SHINGLE_WORDS - 1)
+
+    def fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        from duckdb_mpp_spark.queries import ordered_result
+
+        return ordered_result(novelty_scores(docs), docs, "doc_id")
+
+    register("text_novelty_scores", Query(spark=fn, oracle=_))
+
+
+_register_novelty()

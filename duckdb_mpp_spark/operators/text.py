@@ -504,3 +504,152 @@ _register_quality()
 _register_langid()
 _register_fingerprint()
 _register_gopher()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage (tokenizer-prep: minimal vocab for a target token mass)
+# ---------------------------------------------------------------------------
+
+# coverage targets as exact rationals (num, den) — boundary comparisons and
+# the ceil-division below stay in 64-bit integer arithmetic end to end, so
+# both engines agree bit-for-bit even when a target lands exactly on a
+# class boundary (a double `cum/total >= target` comparison would make the
+# answer depend on rounding direction at that boundary).
+VOCAB_TARGETS = ((1, 2), (9, 10), (99, 100))
+
+
+def vocab_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Minimal vocabulary sizes covering 50/90/99% of corpus token mass —
+    the sizing question every tokenizer/BPE build starts with.
+
+    Scale shape (100 TB): the ONLY corpus-sized work is one token count
+    groupBy (map-side combined). Everything after operates on the
+    COUNT-OF-COUNTS table — one row per distinct frequency value, tiny at
+    any corpus size (heavy-tailed counts repeat; even a 10^8-type vocab
+    collapses to ~10^4 frequency classes) — so the global ordered cumsum
+    the problem inherently needs runs as a one-task window over that tiny
+    frame, never over the vocab itself: tokens within one frequency class
+    are interchangeable for coverage SIZE, so the boundary class's
+    partial need is a closed-form ceil-division, not a per-token scan.
+
+    Output: (target, vocab_size, covered_share) — the smallest k such
+    that the k most frequent tokens carry ≥ target of total mass, and the
+    exact share those k carry. Empty corpus → zero rows."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(tokens(text_col)).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    cls = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_toks"))
+    w = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        cls.coalesce(1)  # count-of-counts: tiny by construction (see above)
+        .withColumn("mass", F.col("c") * F.col("n_toks"))
+        .withColumn("cum_mass", F.sum(F.col("c") * F.col("n_toks")).over(w))
+        .withColumn("cum_toks", F.sum("n_toks").over(w))
+    )
+    tot = cls.agg(F.sum(F.col("c") * F.col("n_toks")).alias("total"))
+    tgts = tot.select(
+        "total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("bigint").alias("num"),
+                        F.lit(d).cast("bigint").alias("den"),
+                    )
+                    for n, d in VOCAB_TARGETS
+                ]
+            )
+        ).alias("t"),
+    ).select("total", F.col("t.num").alias("num"), F.col("t.den").alias("den"))
+    # boundary class = first cum row satisfying the target (3-row broadcast
+    # theta-join against the tiny class frame; cum_mass strictly increases,
+    # so min_by is unambiguous)
+    grid = cum.join(
+        F.broadcast(tgts),
+        F.col("cum_mass") * F.col("den") >= F.col("num") * F.col("total"),
+    )
+    first = grid.groupBy("num", "den", "total").agg(
+        F.min_by(
+            F.struct("c", "n_toks", "mass", "cum_mass", "cum_toks"), F.col("cum_mass")
+        ).alias("b")
+    )
+    # integer ceil-division for the boundary class's partial need: the
+    # boundary is the FIRST satisfying class, so need > 0 and k >= 1
+    return (
+        first.select(
+            "num",
+            "den",
+            "total",
+            F.col("b.c").alias("c"),
+            F.col("b.n_toks").alias("n_toks"),
+            (F.col("b.cum_mass") - F.col("b.mass")).alias("before_mass"),
+            (F.col("b.cum_toks") - F.col("b.n_toks")).alias("before_toks"),
+        )
+        .withColumn(
+            "k",
+            F.expr(
+                "(num * total - den * before_mass + den * c - 1) div (den * c)"
+            ),
+        )
+        .select(
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("target"),
+            (F.col("before_toks") + F.col("k")).cast("bigint").alias("vocab_size"),
+            F.round(
+                (F.col("before_mass") + F.col("k") * F.col("c")).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("covered_share"),
+        )
+    )
+
+
+_VOCAB_ORACLE_TEMPLATE = """
+    WITH toks AS (SELECT unnest({toks}) AS tok FROM documents),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    cls AS (SELECT c, COUNT(*) AS n_toks FROM counts GROUP BY 1),
+    cum AS (
+      SELECT c, n_toks, c * n_toks AS mass,
+             SUM(c * n_toks) OVER (ORDER BY c DESC) AS cum_mass,
+             SUM(n_toks) OVER (ORDER BY c DESC) AS cum_toks
+      FROM cls
+    ),
+    tot AS (SELECT SUM(c * n_toks) AS total FROM cls),
+    tgt AS (SELECT * FROM (VALUES {targets}) t(num, den)),
+    bound AS (
+      SELECT t.num, t.den, o.total, c.c, c.n_toks,
+             c.cum_mass - c.mass AS before_mass,
+             c.cum_toks - c.n_toks AS before_toks,
+             ROW_NUMBER() OVER (PARTITION BY t.num, t.den ORDER BY c.cum_mass) AS rn
+      FROM tgt t, tot o, cum c
+      WHERE c.cum_mass * t.den >= t.num * o.total
+    ),
+    sel AS (
+      SELECT *, (num * total - den * before_mass + den * c - 1) // (den * c) AS k
+      FROM bound WHERE rn = 1
+    )
+    SELECT round(CAST(num AS DOUBLE) / den, 6) AS target,
+           CAST(before_toks + k AS BIGINT) AS vocab_size,
+           round(CAST(before_mass + k * c AS DOUBLE) / total, 6) AS covered_share
+    FROM sel
+    ORDER BY target
+"""
+
+
+def _register_vocab_coverage():
+    targets = ", ".join(f"({n}, {d})" for n, d in VOCAB_TARGETS)
+    oracle = _VOCAB_ORACLE_TEMPLATE.format(toks=_duck_tokens(), targets=targets)
+
+    def fn(spark, sf_dir):
+        from duckdb_mpp_spark.queries import ordered_small
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ordered_small(vocab_coverage(docs), "target")
+
+    register("text_vocab_coverage", Query(spark=fn, oracle=oracle))
+
+
+_register_vocab_coverage()

@@ -1,0 +1,104 @@
+"""Unit edges for the r9 additions: n-gram novelty scoring and vocabulary
+coverage — the classes the NULL-free unique-id fixtures cannot exercise
+(NULL/short text retention, all-duplicate corpora, exact coverage
+boundaries)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_mpp_spark.operators.corpus import novelty_scores
+from duckdb_mpp_spark.operators.text import vocab_coverage
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestNoveltyScores:
+    def test_null_and_short_docs_retained_with_null_novelty(self, spark):
+        # 3-word shingles: a 2-token doc emits one (short) gram; a NULL or
+        # empty doc emits none but must still appear in the output
+        out = {
+            r.doc_id: r
+            for r in novelty_scores(
+                _docs(
+                    spark,
+                    [(1, "alpha beta gamma delta"), (2, None), (3, "   ")],
+                )
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1].n_grams == 2 and out[1].novelty == 1.0
+        for d in (2, 3):
+            assert out[d].n_grams == 0 and out[d].n_novel == 0
+            assert out[d].novelty is None
+
+    def test_exact_duplicate_scores_zero(self, spark):
+        # doc 2 repeats doc 1 verbatim: every gram's first occurrence is
+        # doc 1, so doc 1 scores 1.0 and doc 2 scores 0.0
+        out = {
+            r.doc_id: r
+            for r in novelty_scores(
+                _docs(
+                    spark,
+                    [(1, "a b c d e"), (2, "a b c d e")],
+                )
+            ).collect()
+        }
+        assert out[1].novelty == 1.0
+        assert out[2].novelty == 0.0 and out[2].n_grams == 3
+
+    def test_within_doc_repeats_count_once(self, spark):
+        # "a b a b a b" yields grams {a b a, b a b} — distinct per doc
+        out = novelty_scores(_docs(spark, [(1, "a b a b a b")])).collect()
+        assert out[0].n_grams == 2 and out[0].n_novel == 2
+
+    def test_partial_overlap_fraction(self, spark):
+        # doc 2 shares a 3-gram prefix with doc 1 but adds new material
+        out = {
+            r.doc_id: r
+            for r in novelty_scores(
+                _docs(spark, [(1, "a b c"), (2, "a b c x y")])
+            ).collect()
+        }
+        # doc 2 grams: "a b c", "b c x", "c x y" — first is doc 1's
+        assert out[2].n_grams == 3 and out[2].n_novel == 2
+        assert out[2].novelty == pytest.approx(2 / 3, abs=1e-6)
+
+
+class TestVocabCoverage:
+    def test_empty_corpus_zero_rows(self, spark):
+        assert vocab_coverage(_docs(spark, [(1, None), (2, " ")])).count() == 0
+
+    def test_single_token_vocab(self, spark):
+        rows = sorted(
+            vocab_coverage(_docs(spark, [(1, "x x x")])).collect(),
+            key=lambda r: r.target,
+        )
+        assert [r.target for r in rows] == [0.5, 0.9, 0.99]
+        assert all(r.vocab_size == 1 and r.covered_share == 1.0 for r in rows)
+
+    def test_exact_boundary_is_integer_decided(self, spark):
+        # mass: a=2, b=2 (total 4): the 50% target lands EXACTLY on the
+        # first token's share — vocab_size must be 1 (>= at the boundary),
+        # not 2 (a float-rounded > would give 2)
+        rows = {
+            r.target: r
+            for r in vocab_coverage(_docs(spark, [(1, "a a b b")])).collect()
+        }
+        assert rows[0.5].vocab_size == 1 and rows[0.5].covered_share == 0.5
+        assert rows[0.99].vocab_size == 2 and rows[0.99].covered_share == 1.0
+
+    def test_heavy_tail_counts(self, spark):
+        # a×6, b×2, c×1, d×1 (total 10): 50% → just a (6/10); 90% → a,b,c
+        # (9/10 exactly — boundary again, inside the c=1 class that also
+        # holds d); 99% → all 4
+        rows = {
+            r.target: r
+            for r in vocab_coverage(
+                _docs(spark, [(1, "a a a a a a b b c d")])
+            ).collect()
+        }
+        assert rows[0.5].vocab_size == 1 and rows[0.5].covered_share == 0.6
+        assert rows[0.9].vocab_size == 3 and rows[0.9].covered_share == 0.9
+        assert rows[0.99].vocab_size == 4 and rows[0.99].covered_share == 1.0

@@ -116,7 +116,7 @@ def test_contamination_broadcasts_benchmark(spark):
 @pytest.mark.parametrize(
     "name",
     ["text_repetition_stats", "text_pii_redaction", "sampling_weighted_domains",
-     "pipeline_sequence_packing"],
+     "pipeline_sequence_packing", "text_novelty_scores", "text_vocab_coverage"],
 )
 def test_corpus_ops_are_jvm_side(spark, name):
     """Corpus-curation operators are expression/window-level — no Python
