@@ -153,3 +153,53 @@ def test_schema_cache_detects_path_rewrite_by_mtime(spark, tmp_path):
         "overwrite"
     ).parquet(f"{p}/orders.parquet")
     assert load_table(spark, p, "orders").columns == ["a", "b"]
+
+
+# --- fused small-regime jaccard (late-r9) -----------------------------------
+
+def test_fused_jaccard_reads_checkpoint_not_second_corpus_pass(spark):
+    # Under the 256 MiB switch the gate's FINAL action must consume the
+    # eagerly-checkpointed signature+gram-set table (Scan ExistingRDD), and
+    # the only Generate left in the final plan is the banding explode — a
+    # second shingle Generate means the verify branch went back to the
+    # corpus (the exact re-evaluation the fusion exists to remove).
+    from duckdb_mpp_spark.queries import run_spark_query
+
+    p = _executed(run_spark_query("dedup_ngram_jaccard", spark, SF_SMALL))
+    assert "ExistingRDD" in p, p
+    assert p.count("Generate") <= 1, p
+
+
+def test_fused_and_scale_paths_value_identical(spark):
+    # the fused (checkpointed gram-set) and candidate-filtered shapes must
+    # return identical scored pairs on the same corpus
+    from duckdb_mpp_spark.operators.dedup import (
+        _bands_from_wide,
+        _spread,
+        jaccard_score_pairs,
+        jaccard_verify_from_docs,
+        lsh_candidate_pairs,
+        minhash_bands,
+        minhash_wide_with_grams,
+    )
+    from duckdb_mpp_spark.sources import load_table
+
+    docs = _spread(load_table(spark, SF_SMALL, "documents"), "doc_id")
+    wide = minhash_wide_with_grams(docs).localCheckpoint(eager=True)
+    fused = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_score_pairs(
+            wide.select("doc_id", "g"),
+            lsh_candidate_pairs(_bands_from_wide(wide), materialize=False),
+            broadcast_sets=True,
+        ).collect()
+    }
+    scale = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_verify_from_docs(
+            docs,
+            lsh_candidate_pairs(minhash_bands(docs), materialize=False),
+            candidate_repartition=False,
+        ).collect()
+    }
+    assert fused == scale and len(fused) > 0
