@@ -653,3 +653,90 @@ def _register_vocab_coverage():
 
 
 _register_vocab_coverage()
+
+
+# ---------------------------------------------------------------------------
+# conjunctive keyword search (inverted-index probe without the index)
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ("table", "merge", "window")
+SEARCH_TOP_K = 20
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    text_col: str = "text",
+    top_k: int = SEARCH_TOP_K,
+) -> DataFrame:
+    """Top-k docs containing ALL of ``terms`` (conjunctive match), ranked
+    by total query-term occurrences with doc id as the deterministic
+    tiebreak — the retrieval probe a corpus browser / eval-set builder
+    runs constantly.
+
+    Scale shape (100 TB): the term list is a literal IN filter applied
+    directly under the token explode — non-matching tokens never leave
+    the map task, so the only shuffle carries O(matching tokens) rows
+    (query terms are rare relative to the corpus by construction), and
+    the per-doc aggregate map-side combines. The conjunction is a
+    HAVING over count_distinct(term), not a self-join per term — k terms
+    cost one pass, not k. A persisted inverted index would replace the
+    scan, not the shape: filter → group → having → top-k is the same
+    plan over posting lists."""
+    if not terms:
+        raise ValueError("keyword_search needs at least one term")
+    tl = sorted({t.lower() for t in terms})
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    ).where(F.col("tok").isin(list(tl)))
+    hits = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count_distinct("tok").alias("n_terms_hit"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_terms_hit") == len(tl))
+    )
+    return (
+        hits.select("doc_id", "n_occurrences")
+        # NULLS LAST on the nullable id tiebreak (r6 convention): a NULL-id
+        # doc at the top-k boundary must fall the same side in both dialects
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc_id").asc_nulls_last())
+        .limit(top_k)
+    )
+
+
+_SEARCH_ORACLE_TEMPLATE = """
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(DISTINCT tok) AS n_terms_hit,
+             COUNT(*) AS n_occurrences
+      FROM tok WHERE tok IN ({terms})
+      GROUP BY doc_id
+      HAVING COUNT(DISTINCT tok) = {n}
+    )
+    SELECT doc_id, n_occurrences
+    FROM hits
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT {k}
+"""
+
+
+def _register_keyword_search():
+    tl = sorted(set(SEARCH_TERMS))
+    oracle = _SEARCH_ORACLE_TEMPLATE.format(
+        toks=_duck_tokens(),
+        terms=", ".join(f"'{t}'" for t in tl),
+        n=len(tl),
+        k=SEARCH_TOP_K,
+    )
+
+    def fn(spark, sf_dir):
+        return keyword_search(load_table(spark, sf_dir, "documents"))
+
+    register("text_keyword_search", Query(spark=fn, oracle=oracle))
+
+
+_register_keyword_search()

@@ -102,3 +102,33 @@ class TestVocabCoverage:
         assert rows[0.5].vocab_size == 1 and rows[0.5].covered_share == 0.6
         assert rows[0.9].vocab_size == 3 and rows[0.9].covered_share == 0.9
         assert rows[0.99].vocab_size == 4 and rows[0.99].covered_share == 1.0
+
+
+class TestKeywordSearch:
+    def test_conjunction_and_ranking(self, spark):
+        from duckdb_mpp_spark.operators.text import keyword_search
+
+        docs = _docs(
+            spark,
+            [
+                (1, "table merge window table"),   # all 3, 4 occurrences
+                (2, "table merge window"),          # all 3, 3 occurrences
+                (3, "table merge table merge"),     # only 2 terms — excluded
+                (4, None),
+            ],
+        )
+        rows = keyword_search(docs, ("Table", "MERGE", "window")).collect()
+        assert [(r.doc_id, r.n_occurrences) for r in rows] == [(1, 4), (2, 3)]
+
+    def test_top_k_tiebreak_is_doc_id(self, spark):
+        from duckdb_mpp_spark.operators.text import keyword_search
+
+        docs = _docs(spark, [(i, "x y") for i in range(10, 0, -1)])
+        rows = keyword_search(docs, ("x", "y"), top_k=3).collect()
+        assert [r.doc_id for r in rows] == [1, 2, 3]
+
+    def test_empty_terms_rejected(self, spark):
+        from duckdb_mpp_spark.operators.text import keyword_search
+
+        with pytest.raises(ValueError):
+            keyword_search(_docs(spark, [(1, "a")]), ())
