@@ -739,3 +739,35 @@ register(
         """,
     ),
 )
+
+register(
+    # Behavioral transition mining (r9): top event-type bigrams across all
+    # user timelines — the "what do users do next" pattern table a
+    # recommendation/abuse pipeline derives first. Shared-dialect SQL: the
+    # LAG window partitions per user (bounded partitions — the
+    # sessionization scale argument), the transition count map-side
+    # combines, and the top-k is a tiny ordered frame with the transition
+    # string as deterministic tiebreak. NULL handling pinned in-dialect:
+    # NULL ts rows are excluded (an unordered event has no defined
+    # neighbor — and Spark/DuckDB would otherwise ORDER them to opposite
+    # ends of the timeline); a NULL event_type propagates through || to a
+    # NULL transition, dropped identically by both engines.
+    "events_top_transitions",
+    Query(
+        """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events WHERE ts IS NOT NULL
+        ),
+        pairs AS (SELECT prev || '>' || event_type AS transition FROM seq)
+        SELECT transition, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE transition IS NOT NULL
+        GROUP BY transition
+        ORDER BY n DESC, transition
+        LIMIT 25
+        """
+    ),
+)

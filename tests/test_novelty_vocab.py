@@ -132,3 +132,48 @@ class TestKeywordSearch:
 
         with pytest.raises(ValueError):
             keyword_search(_docs(spark, [(1, "a")]), ())
+
+
+class TestTopTransitions:
+    def test_null_ts_and_null_type_semantics(self, spark, shadow_views):
+        # NULL-ts events join no sequence (excluded BEFORE the window, so
+        # they don't sit between neighbors either); NULL event_type makes
+        # its two adjacent transitions NULL via || propagation — dropped
+        # identically in both dialects.
+        import datetime
+
+        import duckdb
+
+        from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
+
+        _ensure_loaded()
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ts(m):
+            return t0 + datetime.timedelta(minutes=m)
+
+        rows = [
+            # user 1 timeline: view -> click -> [NULL type] -> buy
+            (1, ts(1), 1, "view", 1.0, None),
+            (2, ts(2), 1, "click", 1.0, None),
+            (3, ts(3), 1, None, 1.0, None),
+            (4, ts(4), 1, "buy", 1.0, None),
+            # NULL ts: must not pair with anything
+            (5, None, 1, "view", 1.0, None),
+            # user 2: view -> click
+            (6, ts(1), 2, "view", 1.0, None),
+            (7, ts(2), 2, "click", 1.0, None),
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        q = REGISTRY["events_top_transitions"]
+        shadow_views("events", events)
+        got = sorted(tuple(r) for r in spark.sql(q.spark).collect())
+        con = duckdb.connect()
+        con.register("events", events.toPandas())
+        want = sorted(tuple(r) for r in con.execute(q.oracle_sql()).fetchall())
+        assert got == want
+        assert got == [("view>click", 2)]
