@@ -21,7 +21,7 @@ register(
                event_type,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
         -- NULLS LAST: hour_start/event_type are nullable group keys and
@@ -107,7 +107,7 @@ register(
         SELECT TRY_CAST(FLOOR(TRY_CAST(get_json_object(props, '$.k') AS DOUBLE)) AS BIGINT)
                  % 10 AS k_bucket,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
@@ -117,7 +117,7 @@ register(
                       THEN json_extract_string(props, '$.k') END
                AS DOUBLE)) AS BIGINT) % 10 AS k_bucket,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
@@ -232,7 +232,7 @@ def _range_join_spark(spark, sf_dir):
         joined.groupBy("win_start")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv"),
         )
         .select(
             F.col("win_start").cast("timestamp").alias("win_start"),
@@ -259,7 +259,7 @@ register(
         )
         SELECT p.win_start,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM events e JOIN promo p
           ON p.win_start <= e.ts AND e.ts < p.win_end
         GROUP BY p.win_start
@@ -324,8 +324,16 @@ def _cohort_retention_fn(spark, sf_dir):
               SELECT user_id,
                      collect_set(CAST(date_trunc('week', ts) AS DATE)) AS weeks
               -- ts IS NOT NULL in BOTH dialects: collect_set drops NULLs,
-              -- the oracle's DISTINCT would keep a NULL week (review r6)
-              FROM events WHERE ts IS NOT NULL GROUP BY user_id
+              -- the oracle's DISTINCT would keep a NULL week (review r6).
+              -- user_id IS NOT NULL in BOTH dialects (hostile-fixture
+              -- sweep r9): this shape GROUPs the NULL user into a real
+              -- cohort row, while the oracle's JOIN ... USING (user_id)
+              -- silently drops it (NULL never equals NULL) — divergent
+              -- counts on any corpus with unattributable events. An
+              -- unidentified user has no trackable retention; exclude it
+              -- explicitly on both sides.
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY user_id
             )
             SELECT array_min(weeks) AS cohort_week,
                    CAST(floor(datediff(act_week, array_min(weeks)) / 7) AS INT) AS weeks_since,
@@ -345,12 +353,17 @@ register(
         spark=_cohort_retention_fn,
         oracle="""
             WITH firsts AS (
+              -- user_id IS NOT NULL mirrors the Spark side (the JOIN below
+              -- would drop the NULL user anyway; the filter makes the
+              -- exclusion explicit instead of an accident of NULL-join
+              -- semantics — hostile-fixture sweep r9)
               SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
-              FROM events WHERE ts IS NOT NULL GROUP BY user_id
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY user_id
             ),
             activity AS (
               SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
-              FROM events WHERE ts IS NOT NULL
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
             )
             SELECT f.cohort_week,
                    CAST(floor(date_diff('day', f.cohort_week, a.act_week) / 7) AS INT) AS weeks_since,
@@ -374,7 +387,7 @@ register(
             SELECT event_type,
                    CAST(least(floor(value / 25.0), 19) AS INT) AS bin,
                    COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bin_value
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS bin_value
             FROM events
             GROUP BY 1, 2
             ORDER BY 1 NULLS LAST, 2 NULLS LAST
@@ -460,7 +473,7 @@ def _resample_ffill_fn(spark, sf_dir):
               SELECT event_type,
                      to_timestamp(floor(unix_timestamp(ts) / 21600) * 21600) AS slot,
                      COUNT(*) AS n,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS cell_value
               FROM events
               GROUP BY 1, 2
             )
@@ -500,7 +513,7 @@ register(
                        + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                          * INTERVAL 1 SECOND AS slot,  -- TZ-free (review r4)
                      COUNT(*) AS n,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS cell_value
               FROM events
               GROUP BY 1, 2
             )
@@ -529,7 +542,7 @@ _USER_FEATURES_CORE = """
               SELECT user_id,
                      COUNT(*) AS n_events,
                      COUNT(DISTINCT event_type) AS n_types,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
                      CASE WHEN COUNT(ts) > 1
                           THEN round((unix_micros(CAST(MAX(ts) AS TIMESTAMP))
                                       - unix_micros(CAST(MIN(ts) AS TIMESTAMP)))
@@ -575,7 +588,7 @@ register(
               SELECT user_id,
                      COUNT(*) AS n_events,
                      COUNT(DISTINCT event_type) AS n_types,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
                      CASE WHEN COUNT(ts) > 1
                           THEN round((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
                                      / 1000000.0 / CAST(COUNT(ts) - 1 AS DOUBLE), 6)
@@ -657,7 +670,7 @@ register(
               SELECT event_type,
                      to_timestamp(floor(unix_timestamp(ts) / 21600) * 21600) AS slot,
                      COUNT(*) AS n,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS cell_value
               FROM events
               GROUP BY 1, 2
             )
@@ -686,7 +699,7 @@ register(
                        + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                          * INTERVAL 1 SECOND AS slot,  -- TZ-free (review r4)
                      COUNT(*) AS n,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS cell_value
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS cell_value
               FROM events
               GROUP BY 1, 2
             )

@@ -12,7 +12,7 @@ register(
         SELECT date_trunc('hour', ts) AS hour_start,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
@@ -72,7 +72,7 @@ register(
         spark=streaming_static_join_agg,
         oracle="""
         SELECT c_mktsegment, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -146,7 +146,7 @@ register(
         oracle="""
         SELECT event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY event_type
         ORDER BY event_type

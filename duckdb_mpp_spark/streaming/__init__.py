@@ -129,7 +129,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv"),
         )
         .select(
             F.col("window.start").alias("hour_start"),
@@ -192,7 +192,7 @@ def batch_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv"),
         )
         .select(
             F.col("window.start").alias("hour_start"),
@@ -250,7 +250,7 @@ def streaming_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv"),
     )
     return run_stream_to_memory(agg).select(
         "c_mktsegment", "n_events", F.col("_tv").cast("double").alias("total_value")
@@ -491,7 +491,7 @@ def streaming_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         FROM stream_events
         GROUP BY event_type
         ORDER BY event_type

@@ -177,3 +177,73 @@ class TestTopTransitions:
         want = sorted(tuple(r) for r in con.execute(q.oracle_sql()).fetchall())
         assert got == want
         assert got == [("view>click", 2)]
+
+
+class TestHostileSweepFixes:
+    """r9 hostile-fixture sweep findings: NULL-user cohort divergence and
+    the DECIMAL(18,6) overflow class (one extreme telemetry value aborted
+    six events gates in BOTH engines — widened to DECIMAL(38,6))."""
+
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    def test_cohort_excludes_null_user_in_both_dialects(self, spark, shadow_views):
+        import datetime
+
+        import duckdb
+
+        from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
+
+        _ensure_loaded()
+        t0 = datetime.datetime(2024, 1, 1)
+        events = self._events(
+            spark,
+            [
+                (1, t0, 1, "view", 1.0, None),
+                (2, t0, 2, "view", 1.0, None),
+                # unattributable event: the old Spark shape grouped the
+                # NULL user into the cohort (n_users 3) while the oracle's
+                # USING join dropped it (n_users 2)
+                (3, t0, None, "view", 1.0, None),
+            ],
+        )
+        q = REGISTRY["events_cohort_retention"]
+        shadow_views("events", events)
+        got = [tuple(r) for r in q.spark(spark, "/root/testdata/sf0.001").collect()]
+        con = duckdb.connect()
+        con.register("events", events.toPandas())
+        want = [tuple(r) for r in con.execute(q.oracle_sql()).fetchall()]
+        assert got == want
+        assert got[0][2] == 2  # NULL user not a cohort member
+
+    def test_extreme_value_does_not_abort_events_aggs(self, spark, shadow_views):
+        import datetime
+
+        import duckdb
+
+        from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
+
+        _ensure_loaded()
+        t0 = datetime.datetime(2024, 1, 1)
+        # 1e12 overflowed DECIMAL(18,6) under ANSI — the whole gate errored
+        # in both engines on one outlier row; DECIMAL(38,6) keeps the sum
+        # exact (decimal addition, integer part < 1e32) and the gate alive
+        events = self._events(
+            spark,
+            [
+                (1, t0, 1, "view", 1.0e12, None),
+                (2, t0, 1, "view", 2.5, None),
+            ],
+        )
+        q = REGISTRY["events_hourly_agg"]
+        shadow_views("events", events)
+        got = [tuple(r) for r in spark.sql(q.spark).collect()]
+        con = duckdb.connect()
+        con.register("events", events.toPandas())
+        want = [tuple(r) for r in con.execute(q.oracle_sql()).fetchall()]
+        assert got == want
+        assert got[0][-1] == 1.0e12 + 2.5
