@@ -266,3 +266,85 @@ register(
         """,
     ),
 )
+
+
+def split_leakage(spark, sf_dir: str):
+    """Train/test split LEAKAGE AUDIT: count LSH near-dup candidate pairs
+    per (split, split) combination — off-diagonal rows are evaluation
+    contamination (a test doc with a near-duplicate in train inflates every
+    benchmark run on the split). The QA step any serious pipeline runs
+    after splitting and before training; composes the deterministic
+    hash-split (:func:`train_test_split`) with the banded candidate
+    generation the dedup family already verifies.
+
+    Scale shape: pairs are banded LSH candidates (sparse by construction,
+    never all-pairs); the per-doc split table is two cheap id-keyed joins
+    (AQE broadcasts the small side at bench scale, shuffles on id at
+    100 TB — both sides partition on the id the pipeline already uses);
+    the result is at most |splits|² rows."""
+    from duckdb_mpp_spark.queries import ordered_small
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = lsh_candidate_pairs(minhash_bands(docs), materialize=False)
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    splits = docs.select(
+        "doc_id",
+        F.when(h16 < int(0.8 * 65536), "train")
+        .when(h16 < int(0.9 * 65536), "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return ordered_small(out, "split_lo", "split_hi")
+
+
+def _register_split_leakage():
+    from duckdb_mpp_spark.operators.dedup import _DUCK_BANDS
+
+    oracle = (
+        _DUCK_BANDS
+        + f""",
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN h < {int(0.8 * 65536)} THEN 'train'
+                      WHEN h < {int(0.9 * 65536)} THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS h
+            FROM documents
+          ) t
+        )
+        SELECT least(x.split, y.split) AS split_lo,
+               greatest(x.split, y.split) AS split_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN sp x ON x.doc_id = p.doc_a
+        JOIN sp y ON y.doc_id = p.doc_b
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+    register("pipeline_split_leakage", Query(spark=split_leakage, oracle=oracle))
+
+
+_register_split_leakage()

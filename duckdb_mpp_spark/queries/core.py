@@ -451,7 +451,11 @@ register(
           lower(p_brand) AS lo_brand,
           substr(p_type, 1, 3) AS type_prefix,
           length(p_name) AS name_len,
-          concat(p_brand, ':', p_type) AS brand_type,
+          -- || not concat(): Spark's concat NULL-propagates while DuckDB's
+          -- concat SKIPS NULL arguments (':STANDARD TIN' vs NULL for a
+          -- NULL p_brand — hostile-fixture sweep r9); || propagates NULL
+          -- identically in both dialects, the standard SQL semantic
+          p_brand || ':' || p_type AS brand_type,
           replace(p_brand, 'Brand#', 'B') AS brand_short,
           trim('  pad  ') AS trimmed,
           abs(p_size - 25) AS abs_diff,

@@ -247,3 +247,55 @@ class TestHostileSweepFixes:
         want = [tuple(r) for r in con.execute(q.oracle_sql()).fetchall()]
         assert got == want
         assert got[0][-1] == 1.0e12 + 2.5
+
+    def test_gauntlet_concat_null_propagates_in_both_dialects(self, spark, shadow_views):
+        # Spark concat() NULL-propagates, DuckDB concat() SKIPS NULL args —
+        # the gate now spells it || (NULL-propagating in both). A NULL
+        # p_brand must yield a NULL brand_type in BOTH engines.
+        import duckdb
+
+        from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded
+
+        _ensure_loaded()
+        part = spark.createDataFrame(
+            [(1, "widget", None, "STANDARD TIN", 5, 9.99)],
+            "p_partkey bigint, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double",
+        )
+        q = REGISTRY["scalar_function_gauntlet"]
+        shadow_views("part", part)
+        got = spark.sql(q.spark).collect()[0]
+        con = duckdb.connect()
+        con.register("part", part.toPandas())
+        want = con.execute(q.oracle_sql()).fetchall()[0]
+        cols = [d[0] for d in con.description]
+        assert got["brand_type"] is None
+        assert want[cols.index("brand_type")] is None
+
+
+class TestSplitLeakage:
+    def test_identical_docs_across_splits_flagged(self, spark, tmp_path):
+        # doc 1 hashes to 'train', doc 3 to 'test' (md5 16-bit split); both
+        # carry identical text, so LSH must band them together and the
+        # audit must surface exactly one train<->test candidate pair.
+        import pandas as pd
+
+        from duckdb_mpp_spark.operators.curation import split_leakage
+
+        sf = str(tmp_path / "sf")
+        import os
+
+        os.makedirs(sf)
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 3], dtype="int64"),
+                "text": [text, text],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": pd.array([len(text)] * 2, dtype="int64"),
+            }
+        ).to_parquet(f"{sf}/documents.parquet")
+        rows = {(r.split_lo, r.split_hi): r.n_pairs
+                for r in split_leakage(spark, sf).collect()}
+        assert rows == {("test", "train"): 1}
