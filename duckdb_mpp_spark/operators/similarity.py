@@ -20,18 +20,18 @@ Scores are rounded to 4 decimals in the output (both engines compute the
 unrounded value to ~1e-15; ranking uses the unrounded score with a unique id
 tiebreak).
 
-INPUT CONTRACT (review r8, empirically confirmed dialect boundary): every
-embedding is a fixed-``DIM`` array of non-NULL floats. Out-of-contract
-vectors produce engine-SPECIFIC garbage rather than an agreed value —
-Spark's ``aggregate`` fold propagates a NULL element (the vector never
-ranks), while the DuckDB oracles' ``SUM`` over ``generate_series(1, DIM)``
-skips NULL/out-of-range terms and returns a finite partial-prefix cosine
-(a 32-dim vector scores against the first 32 dims only; >DIM-dim vectors
-score truncated). NULL embeddings and NULL ids ARE handled (filtered at
-every entry point); ragged or NULL-element vectors should be dropped or
-padded upstream — enforcing a dimension check per row would put a
-``size()`` branch on the hot path of every kernel for a malformation the
-encoder pipeline owns.
+INPUT CONTRACT (review r8; tightened by the r9 hostile-fixture sweep):
+every embedding is a fixed-``DIM`` array of non-NULL floats. NULL ids,
+NULL embeddings, AND NULL-ELEMENT embeddings are excluded at every gate
+entry (``load_embeddings`` + the ``_emb_oracle`` shadow CTE — the
+element case is the one the whole-row guards missed: Spark's
+``aggregate`` fold NULL-propagates the whole score while DuckDB's
+``SUM`` skips the component and silently ranks a 63-of-64-dim cosine).
+RAGGED dimensions remain out of contract: Spark's ``zip_with`` and the
+oracles' ``generate_series(1, DIM)`` would both score a truncated
+prefix — drop or pad upstream; a per-row ``size()`` branch on every
+kernel's hot path is not worth a malformation the encoder pipeline
+owns.
 """
 
 from pyspark.sql import Column, DataFrame, Window
@@ -369,6 +369,46 @@ def quantized_topk(
     )
 
 
+# Valid-embedding convention (hostile-fixture sweep r9): a row whose id is
+# NULL, whose embedding is NULL, or whose embedding contains ANY NULL
+# ELEMENT is excluded from every vector operator in BOTH dialects. The
+# element case is the one the whole-row guards missed: a partially-corrupt
+# vector (e.g. a NaN that arrow serializes as a null list element) made
+# DuckDB's SUM skip the component — silently scoring a 63-of-64-dim dot
+# product into the rankings — while Spark's aggregate NULL-propagated the
+# whole score and dropped the row. Neither silent behavior is acceptable;
+# exclusion is the one convention both engines can state exactly.
+
+
+def load_embeddings(spark, sf_dir: str) -> DataFrame:
+    """The embeddings fixture with the valid-row convention applied —
+    every gate reads through this, so the exclusion is uniform."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+
+
+_EMB_OK_CTE = """WITH embeddings AS (
+  SELECT * FROM main.embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+)"""
+
+
+def _emb_oracle(sql: str) -> str:
+    """Prefix an embeddings-gate oracle with the valid-row shadow CTE: the
+    CTE is NAMED ``embeddings`` (main-qualified inner reference breaks the
+    cycle), so every later reference in the oracle — including aliased
+    self-joins — reads the filtered rows with zero body edits."""
+    s = sql.strip()
+    if s[:4].upper() == "WITH":
+        return _EMB_OK_CTE + "," + s[4:]
+    return _EMB_OK_CTE + "\n" + s
+
+
 # DuckDB oracle building blocks: dot products via generate_series with the
 # same float-multiply-then-widen arithmetic.
 _DUCK_NORMS = f"""
@@ -381,7 +421,7 @@ _DUCK_NORMS = f"""
 
 def _register():
     def topk_fn(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         queries = emb.where("vec_id < 5").select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
@@ -392,7 +432,7 @@ def _register():
         "ann_topk_bruteforce",
         Query(
             spark=topk_fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH {_DUCK_NORMS},
             dots AS (
               SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -414,12 +454,12 @@ def _register():
             )
             SELECT qid, cid, rank, score FROM ranked WHERE rank <= 10
             ORDER BY qid, rank
-            """,
+            """),
         ),
     )
 
     def ivf_fn(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         queries = emb.where("vec_id % 50 = 0").select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
@@ -444,7 +484,7 @@ def _register():
         "ann_ivf_by_label",
         Query(
             spark=ivf_fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH {_DUCK_NORMS},
             q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0),
             dots AS (
@@ -467,7 +507,7 @@ def _register():
             )
             SELECT qid, cid, rank, score FROM ranked WHERE rank <= 5
             ORDER BY qid, rank
-            """,
+            """),
         ),
     )
 
@@ -478,7 +518,7 @@ def _register():
         bucket id, so at 100 TB each query probes ~corpus/16, and the join
         partitions by bucket with zero skew for zero-mean embeddings.
         Sign bits of floats are exact → deterministic, oracle-identical."""
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         bucket = sum(
             (F.when(F.element_at("embedding", j + 1) >= 0, 1 << j).otherwise(0))
             for j in range(4)
@@ -504,7 +544,7 @@ def _register():
         "ann_lsh_bucketed",
         Query(
             spark=lsh_bucketed_fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH {_DUCK_NORMS},
             b AS (
               SELECT vec_id, embedding,
@@ -535,12 +575,12 @@ def _register():
             )
             SELECT qid, cid, rank, score FROM ranked WHERE rank <= 5
             ORDER BY qid, rank
-            """,
+            """),
         ),
     )
 
     def neardup_fn(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         # threshold INSIDE the kernel (>=) so the pair buffer is
         # O(survivors); the strict > filter below is unchanged semantics
         scored = blocked_pair_scores(emb, min_score=0.35)
@@ -554,7 +594,7 @@ def _register():
         "embedding_neardup_pairs",
         Query(
             spark=neardup_fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH {_DUCK_NORMS},
             dots AS (
               SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -574,12 +614,12 @@ def _register():
             WHERE CASE WHEN na.nrm * nb.nrm > 0
                        THEN dp / (na.nrm * nb.nrm) END > 0.35
             ORDER BY va, vb
-            """,
+            """),
         ),
     )
 
     def quantized_fn(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         qz = quantize_embeddings(emb).withColumn(
             "is_query", F.col("vec_id") % 97 == F.lit(0)
         )
@@ -589,7 +629,7 @@ def _register():
         "ann_quantized_topk",
         Query(
             spark=quantized_fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH sc AS (
               SELECT vec_id, embedding,
                      greatest(list_max(list_transform(embedding,
@@ -625,7 +665,7 @@ def _register():
             )
             SELECT qid, cid, rank, score FROM ranked WHERE rank <= 10
             ORDER BY qid, rank
-            """,
+            """),
         ),
     )
 
@@ -755,7 +795,7 @@ def _register_kmeans():
         the tighter per-seed algebraic contracts. The handful of collect()s
         here are 1-row/k-row convergence scalars (documented engine
         convention), never data-sized."""
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         # the SAME NULL filter kmeans_fit applies internally (review r9):
         # the final assignment and the all_assigned denominator must see
         # the same row set, or one NULL-id fetch-failure row flips the
@@ -799,14 +839,14 @@ def _register_kmeans():
         "ann_ivf_kmeans",
         Query(
             spark=ivf_kmeans_fn,
-            oracle="""
+            oracle=_emb_oracle("""
                 SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
                        TRUE AS all_assigned,
                        TRUE AS k_ok,
                        TRUE AS inertia_nonneg,
                        TRUE AS inertia_monotone
                 FROM embeddings
-            """,
+            """),
         ),
     )
 
@@ -855,7 +895,7 @@ def _register_centroids():
         # explicit NULLS LAST: Spark asc defaults NULLS FIRST, DuckDB 1.0
         # NULLS LAST — a NULL label would flip row order vs the oracle
         # (the corpus.py r6 convention, applied here in r8)
-        return class_centroids(load_table(spark, sf_dir, "embeddings")).orderBy(
+        return class_centroids(load_embeddings(spark, sf_dir)).orderBy(
             F.col("label").asc_nulls_last(), "dim"
         )
 
@@ -863,7 +903,7 @@ def _register_centroids():
         "embedding_class_centroids",
         Query(
             spark=centroids_fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH e AS (
               SELECT label, CAST(t.i - 1 AS INT) AS dim,
                      CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {CENTROID_QSCALE})
@@ -880,7 +920,7 @@ def _register_centroids():
                      AS centroid
             FROM e GROUP BY 1, 2
             ORDER BY label, dim
-            """,
+            """),
         ),
     )
 
@@ -946,13 +986,13 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
 
 def _register_centroid_assign():
     def assign_fn(spark, sf_dir):
-        return nearest_centroid_assign(load_table(spark, sf_dir, "embeddings"))
+        return nearest_centroid_assign(load_embeddings(spark, sf_dir))
 
     register(
         "ann_centroid_assign",
         Query(
             spark=assign_fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH e AS (
               SELECT vec_id, label, CAST(t.i - 1 AS INT) AS dim,
                      CAST(embedding[t.i] AS DOUBLE) AS x,
@@ -986,7 +1026,7 @@ def _register_centroid_assign():
             FROM assigned WHERE rn = 1
             GROUP BY 1, 2
             ORDER BY label, assigned
-            """,
+            """),
         ),
     )
 
@@ -1048,7 +1088,7 @@ def hard_negative_topk(
 
 def _register_hard_negatives():
     def fn(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         q = emb.where("vec_id < 5").select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
@@ -1065,7 +1105,7 @@ def _register_hard_negatives():
         "ann_hard_negatives",
         Query(
             spark=fn,
-            oracle=f"""
+            oracle=_emb_oracle(f"""
             WITH {_DUCK_NORMS},
             dots AS (
               SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -1087,7 +1127,7 @@ def _register_hard_negatives():
             )
             SELECT qid, cid, rank, score FROM ranked WHERE rank <= 5
             ORDER BY qid, rank
-            """,
+            """),
         ),
     )
 

@@ -147,8 +147,16 @@ register(
 # higher-order array functions over embeddings (transform/filter/aggregate/
 # zip_with — all JVM-side lambda expressions, no UDFs)
 # ---------------------------------------------------------------------------
+from duckdb_mpp_spark.operators.similarity import _emb_oracle
+
+
 def _hof_embeddings(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid-embedding convention (r9): NULL-element vectors diverge the
+    # dialects here too (Spark aggregate NULL-propagates q_l1, DuckDB
+    # list_sum skips the element) — read through the shared filter
+    from duckdb_mpp_spark.operators.similarity import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
     e = F.col("embedding")
     # quantize each |x| to an integer (floor(|x|*256)) so sums are exact ints
     q = lambda x: F.floor(F.abs(x).cast("double") * 256).cast("bigint")  # noqa: E731
@@ -180,7 +188,7 @@ register(
     "higher_order_array_fns",
     Query(
         spark=_hof_embeddings,
-        oracle="""
+        oracle=_emb_oracle("""
             WITH p AS (
               SELECT label,
                      len(list_filter(embedding, x -> x > 0)) AS n_pos,
@@ -197,7 +205,7 @@ register(
                    CAST(SUM(q_l1) AS BIGINT) AS sum_q_l1,
                    CAST(SUM(q_revdot) AS BIGINT) AS sum_q_revdot
             FROM p GROUP BY label ORDER BY label
-        """,
+        """),
     ),
 )
 

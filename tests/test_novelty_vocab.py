@@ -299,3 +299,47 @@ class TestSplitLeakage:
         rows = {(r.split_lo, r.split_hi): r.n_pairs
                 for r in split_leakage(spark, sf).collect()}
         assert rows == {("test", "train"): 1}
+
+    def test_null_element_embedding_excluded_in_both_dialects(self, spark, tmp_path):
+        # a NULL ELEMENT inside an embedding diverged the engines before
+        # the r9 valid-embedding convention: DuckDB's SUM skipped the
+        # component (silently ranking a 63-of-64-dim cosine) while Spark's
+        # aggregate NULL-propagated the score. Both sides now exclude the
+        # row entirely.
+        import os
+
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from duckdb_mpp_spark.operators.similarity import (
+            DIM,
+            _emb_oracle,
+            load_embeddings,
+        )
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf)
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.randn(DIM).astype("float64").tolist(), i % 3)
+                for i in range(6)]
+        bad = rows[2][1][:]
+        bad[10] = None
+        rows[2] = (2, bad, 2)
+        rows[3] = (3, None, 0)
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+            f"{sf}/embeddings.parquet"
+        )
+        kept = sorted(r.vec_id for r in load_embeddings(spark, sf).collect())
+        assert kept == [0, 1, 4, 5]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        duck_kept = sorted(
+            r[0]
+            for r in con.execute(
+                _emb_oracle("SELECT vec_id FROM embeddings")
+            ).fetchall()
+        )
+        assert duck_kept == kept
