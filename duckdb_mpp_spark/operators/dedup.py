@@ -147,6 +147,46 @@ def shingles(
     return idx.select(id_col, gram.alias("sh"))
 
 
+def _draws_md5(gram_str):
+    """(h1, h2) double-hashing draw from an md5 over the gram STRING —
+    the oracle-portable family (DuckDB reproduces md5 bit-for-bit). 56-bit
+    values so ``h1 + i*h2`` cannot overflow int64 under ANSI arithmetic.
+
+    ONE definition consumed by :func:`minhash_wide` AND the fused
+    :func:`minhash_wide_with_grams` (ADVICE r9): the small/large-regime
+    value-identity of the jaccard gates depends on the two regimes drawing
+    bit-identical (h1, h2) — a shared helper makes a silent divergence
+    impossible rather than merely tested-against."""
+    hx = F.md5(gram_str)
+    return (
+        F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint"),
+        F.conv(F.substring(hx, 15, 14), 16, 10).cast("bigint"),
+    )
+
+
+def _draws_fast(sh64):
+    """(h1, h2) draw from the production xxhash64 family over the 64-bit
+    token-window hash (:func:`shingle_hashes` output — no gram string, no
+    md5). Truncated to 56 bits to match the md5 family's overflow-safe
+    range. Shared by :func:`minhash_wide_fast` and the fused variant —
+    same single-definition argument as :func:`_draws_md5`."""
+    return (
+        F.shiftrightunsigned(sh64, 8),
+        F.shiftrightunsigned(F.xxhash64(sh64), 8),
+    )
+
+
+def _minhash_aggs(h: DataFrame, id_col: str, *extra):
+    """The K parallel ``min(h1 + i*h2)`` aggregates in ONE groupBy — the
+    hash evaluation happens map-side and the shuffle carries only per-doc
+    partial minima. Shared by all three signature variants so the
+    signature semantics cannot drift between them."""
+    mins = [
+        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
+    ]
+    return h.groupBy(id_col).agg(*mins, *extra)
+
+
 def minhash_wide(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -158,16 +198,9 @@ def minhash_wide(
     K× the shingle stream. At 100 TB this is the difference between
     shuffling ~K·corpus and shuffling ~K·#docs."""
     sh = shingles(df, id_col, text_col)
-    hx = F.md5(F.col("sh"))
-    h = sh.select(
-        F.col(id_col),
-        F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(hx, 15, 14), 16, 10).cast("bigint").alias("h2"),
-    )
-    mins = [
-        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
-    ]
-    return h.groupBy(id_col).agg(*mins)
+    h1, h2 = _draws_md5(F.col("sh"))
+    h = sh.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
+    return _minhash_aggs(h, id_col)
 
 
 def minhash_wide_with_grams(
@@ -204,25 +237,23 @@ def minhash_wide_with_grams(
         # from the same 64-bit gram hash the gram set stores — zero extra
         # hashing per gram beyond the one xxhash64("sh") for h2.
         s0 = shingle_hashes(df, id_col, text_col)
+        h1, h2 = _draws_fast(F.col("sh"))
         h = s0.select(
             F.col(id_col),
-            F.shiftrightunsigned(F.col("sh"), 8).alias("h1"),
-            F.shiftrightunsigned(F.xxhash64("sh"), 8).alias("h2"),
+            h1.alias("h1"),
+            h2.alias("h2"),
             F.col("sh").alias("gh"),
         )
     else:
         sh = shingles(df, id_col, text_col)
-        hx = F.md5(F.col("sh"))
+        h1, h2 = _draws_md5(F.col("sh"))
         h = sh.select(
             F.col(id_col),
-            F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring(hx, 15, 14), 16, 10).cast("bigint").alias("h2"),
+            h1.alias("h1"),
+            h2.alias("h2"),
             F.xxhash64("sh").alias("gh"),
         )
-    mins = [
-        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
-    ]
-    return h.groupBy(id_col).agg(*mins, F.collect_set("gh").alias("g"))
+    return _minhash_aggs(h, id_col, F.collect_set("gh").alias("g"))
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -265,15 +296,9 @@ def minhash_wide_fast(
     (``shiftrightunsigned(…, 8)``), matching the md5 variant's range so
     ``h1 + i·h2`` cannot overflow int64 under ANSI arithmetic."""
     s = shingle_hashes(df, id_col, text_col)
-    h = s.select(
-        F.col(id_col),
-        F.shiftrightunsigned(F.col("sh"), 8).alias("h1"),
-        F.shiftrightunsigned(F.xxhash64("sh"), 8).alias("h2"),
-    )
-    mins = [
-        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
-    ]
-    return h.groupBy(id_col).agg(*mins)
+    h1, h2 = _draws_fast(F.col("sh"))
+    h = s.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
+    return _minhash_aggs(h, id_col)
 
 
 def minhash_bands_fast(
@@ -498,6 +523,7 @@ def incremental_dedup(
     *,
     materialize_batch: bool = True,
     prefilter: bool = True,
+    broadcast_ref: bool = False,
 ) -> DataFrame:
     """Dedupe a NEW batch against an already-indexed corpus — the daily-crawl
     step of a training-data pipeline. Both inputs are band-signature tables
@@ -534,7 +560,20 @@ def incremental_dedup(
     band-key buckets — no full index scan remains anywhere in the daily
     path. The index is NEVER re-hashed: new docs' bands append into the
     persisted layout (``write_band_index(mode='append')``), keeping each
-    daily run O(batch + matches)."""
+    daily run O(batch + matches).
+
+    ``broadcast_ref=True`` is the small-regime fusion (r10, the jaccard
+    recipe applied here): hint the unioned reference stream — index bands
+    plus batch-earlier bands, i.e. SIGNATURES, ~10⁻³ of corpus bytes —
+    onto the broadcast side of the left join, so the batch is never
+    shuffled for the join at all and the only exchange left in the daily
+    path is the per-doc verdict aggregation (map-side combined; moves one
+    row per batch doc). Value-identical to the shuffle plan by
+    construction — a join hint changes strategy, never semantics. Callers
+    bound the PAYLOAD (the gate uses the shared 256 MiB source-bytes
+    switch; signatures are ~10⁻³ of that). At 100 TB the index never fits
+    a broadcast and the default shuffle plan with the bucket-pruned read
+    + semi-join prefilter is the shape that scales."""
     if materialize_batch:
         # feeds both the join's left side and the reference union; skip via
         # materialize_batch=False when the caller already checkpointed (a
@@ -569,6 +608,8 @@ def incremental_dedup(
             F.lit(False).alias("is_idx"),
         )
     )
+    if broadcast_ref:
+        ref = F.broadcast(ref)
     # equi-keys (band, band_key) + residual (index rows always match;
     # batch rows only when strictly earlier) — stays a hashed equi-join
     j = nb.join(
@@ -1083,6 +1124,59 @@ _DUCK_BANDS = f"""
   )"""
 
 
+def incremental_index_oracle_sqls(index_table: str = "idx_bands") -> tuple[str, str]:
+    """(build_sql, probe_sql) for the apples-to-apples incremental-dedup
+    benchmark column (VERDICT r9 #1): the registry oracle recomputes the
+    whole index inside the timed query while the Spark gate reads a
+    PREBUILT index — so its bench rows showed the index payoff, not an
+    engine ratio. ``build_sql`` persists DuckDB's band index for the
+    non-batch corpus once (untimed, mirroring Spark's
+    :func:`_persisted_band_index`, min-doc-per-key like the
+    ``min_doc_only`` layout); ``probe_sql`` is the daily run only —
+    minhash the batch, probe the persisted table, aggregate verdicts —
+    exactly the work the Spark gate times. Used by scripts/bench_sf1.py;
+    the registry oracle stays self-contained (the driver runs one
+    statement)."""
+    def _bands_where(pred: str) -> str:
+        return _DUCK_BANDS.replace(
+            "FROM documents", f"FROM documents WHERE {pred}", 1
+        )
+
+    build = (
+        f"CREATE OR REPLACE TABLE {index_table} AS "
+        + _bands_where("doc_id % 7 <> 0")
+        + " SELECT band, band_key, MIN(doc_id) AS doc_id FROM bands GROUP BY 1, 2"
+    )
+    probe = (
+        _bands_where("doc_id % 7 = 0")
+        + f""",
+        nb AS (SELECT * FROM bands),
+        vs_index AS (
+          SELECT n.doc_id, MIN(i.doc_id) AS dup_index
+          FROM nb n JOIN {index_table} i
+            ON n.band = i.band AND n.band_key = i.band_key
+          GROUP BY 1
+        ),
+        vs_batch AS (
+          SELECT a.doc_id, MIN(b.doc_id) AS dup_batch
+          FROM nb a JOIN nb b
+            ON a.band = b.band AND a.band_key = b.band_key AND b.doc_id < a.doc_id
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CASE WHEN c.dup_index IS NOT NULL THEN 'dup_index'
+                    WHEN t.dup_batch IS NOT NULL THEN 'dup_batch'
+                    ELSE 'new' END AS verdict,
+               COALESCE(c.dup_index, t.dup_batch) AS dup_of
+        FROM (SELECT DISTINCT doc_id FROM nb) d
+        LEFT JOIN vs_index c USING (doc_id)
+        LEFT JOIN vs_batch t USING (doc_id)
+        ORDER BY d.doc_id
+        """
+    )
+    return build, probe
+
+
 def _register():
     def exact_fn(spark, sf_dir):
         # size-switched single-task plan (r9): under the single-task sort
@@ -1300,19 +1394,41 @@ def _register():
         # one aggregation. The first invocation in a session additionally
         # builds the index (a full corpus pass + bucketed write); repeat
         # invocations — and production daily runs — do not.
-        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        from duckdb_mpp_spark.table import plan_size_bytes
+
+        docs = load_table(spark, sf_dir, "documents")
+        # filter BEFORE spreading (r10): _spread repartitions on doc_id, and
+        # applied to the raw table it shuffled all 7/7 of the corpus bytes
+        # to then discard 6/7 at the batch filter — the filter is on the
+        # partitioning column's value, so pushing it below the exchange is
+        # value-neutral and makes the one pre-shuffle O(batch), the only
+        # re-hashing a daily run fundamentally needs.
         batch_bands = minhash_bands(
-            docs.where(F.col("doc_id") % 7 == F.lit(0))
+            _spread(docs.where(F.col("doc_id") % 7 == F.lit(0)), "doc_id")
         ).localCheckpoint(eager=True)
+        # small-regime fusion (r10): under the shared 256 MiB source
+        # switch, the whole index's SIGNATURES are broadcast-sized, so
+        # (a) the bucket-prune collect job buys nothing a full columnar
+        # read doesn't already have, and (b) the left join broadcasts the
+        # reference stream — the daily path collapses to: one batch
+        # minhash pass (checkpoint), one broadcast build, one verdict
+        # aggregation. Past the switch the r7 shape stands: bucket-pruned
+        # read + shuffle join, the only plan when the index doesn't fit.
+        docs_bytes = plan_size_bytes(docs)
+        small = docs_bytes is not None and docs_bytes < 256 << 20
         idx = read_band_index(
             spark,
             _persisted_band_index(spark, sf_dir),
-            batch_bands=batch_bands,
+            batch_bands=None if small else batch_bands,
             n_buckets=_GATE_INDEX_BUCKETS,
         )
         return ordered_small(
             incremental_dedup(
-                idx, batch_bands, materialize_batch=False, prefilter=False
+                idx,
+                batch_bands,
+                materialize_batch=False,
+                prefilter=False,
+                broadcast_ref=small,
             ),
             "doc_id",
         )

@@ -539,7 +539,18 @@ def vocab_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     tok = docs.select(F.explode(tokens(text_col)).alias("tok"))
     counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    cls = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_toks"))
+    # Materialize the count-of-counts frame (tiny by construction — one row
+    # per distinct frequency value) before fanning out: THREE downstream
+    # branches consume it (cum window, total aggregate, target grid), and
+    # without the barrier each branch re-executes the corpus-sized token
+    # groupBy above (ADVICE r9 — the executed plan tokenized the corpus 3×;
+    # only one exchange was reused). One eager checkpoint of ~10⁴ rows buys
+    # two saved corpus passes at any scale.
+    cls = (
+        counts.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+        .localCheckpoint(eager=True)
+    )
     w = (
         Window.orderBy(F.col("c").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -191,7 +191,13 @@ def _freshest_green_round() -> dict[str, int]:
 # gates whose recorded rows predate the reformulation (clear once the
 # next CORRECTNESS file shows them green; the derived tiers then take
 # over automatically).
-_FORCE_FIRST: frozenset[str] = frozenset()
+_FORCE_FIRST: frozenset[str] = frozenset(
+    {
+        # r10: NULL-user/NULL-event_id exclusion added (ADVICE r9) — the
+        # recorded r9 green predates the semantics change.
+        "events_top_transitions",
+    }
+)
 
 
 def _registry_names_prioritized() -> list[str]:

@@ -764,7 +764,13 @@ register(
     # NULL ts rows are excluded (an unordered event has no defined
     # neighbor — and Spark/DuckDB would otherwise ORDER them to opposite
     # ends of the timeline); a NULL event_type propagates through || to a
-    # NULL transition, dropped identically by both engines.
+    # NULL transition, dropped identically by both engines. NULL-user rows
+    # are excluded too (ADVICE r9): PARTITION BY lumps every unattributable
+    # event into ONE pseudo-timeline, fabricating transitions between
+    # unrelated events — the same "an unidentified user has no trackable
+    # behavior" convention the cohort gate pinned in r9. event_id IS NOT
+    # NULL guards the tiebreak: a NULL event_id sorts to opposite ends of
+    # equal-ts runs in Spark vs DuckDB and would diverge the dialects.
     "events_top_transitions",
     Query(
         """
@@ -773,7 +779,10 @@ register(
                  LAG(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                  ) AS prev
-          FROM events WHERE ts IS NOT NULL
+          FROM events
+          WHERE ts IS NOT NULL
+            AND user_id IS NOT NULL
+            AND event_id IS NOT NULL
         ),
         pairs AS (SELECT prev || '>' || event_type AS transition FROM seq)
         SELECT transition, CAST(COUNT(*) AS BIGINT) AS n

@@ -29,11 +29,16 @@ Replica construction (reusing scale_probe's validated recipes):
   (`cross_replica_neardup_pairs`). Linearity claims come from the
   DOCUMENT gates, whose replicas are disjoint by construction.
 
-Caveat recorded in the output: `dedup_incremental`'s oracle recomputes
-the index from scratch while the Spark gate times the DAILY RUN against
-a prebuilt index (the same asymmetry the regular bench protocol has) —
-at 10× that asymmetry grows, so its row demonstrates the INDEX payoff,
-not an engine ratio; read the other five gates for engine-vs-engine.
+`dedup_incremental` gets TWO DuckDB columns (r10, VERDICT r9 #1):
+- `duckdb[...]` — the registry oracle, which recomputes the index inside
+  the timed query; its ratio shows the INDEX PAYOFF, not an engine ratio
+  (kept for continuity with r8/r9 artifacts).
+- `duckdb_index_probe[...]` — apples-to-apples: DuckDB's band index for
+  the non-batch corpus is persisted ONCE (untimed, mirroring the Spark
+  gate's _persisted_band_index), and the timed query is the daily probe
+  only (batch minhash + persisted-table join + verdicts — exactly the
+  work the Spark column times). `ratio_index_vs_index` is the
+  engine-vs-engine number.
 """
 
 from __future__ import annotations
