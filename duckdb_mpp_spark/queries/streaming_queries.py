@@ -9,11 +9,20 @@ register(
     Query(
         spark=streaming_hourly_agg,
         oracle="""
+        -- ts IS NOT NULL: the streaming runtime drops NULL event times at
+        -- window assignment; pinned explicitly in both dialects (r10
+        -- hostile-streaming sweep). VARCHAR round-trip on the final double:
+        -- DuckDB's direct DECIMAL(38,6)->DOUBLE goes through hugeint and is
+        -- ~1 ulp off above 2^53/1e6 (a 1e12 value exposed it), while its
+        -- string->double parse is correctly rounded, matching Spark's
+        -- BigDecimal conversion exactly.
         SELECT date_trunc('hour', ts) AS hour_start,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
         ORDER BY 1, 2
         """,
@@ -31,12 +40,17 @@ register(
     Query(
         spark=streaming_session_windows,
         oracle="""
+        -- ts/user_id IS NOT NULL: shared with session_windows() — a NULL ts
+        -- has no timeline position (the lag-window would glue it onto the
+        -- user's last session while the streaming runtime drops it) and a
+        -- NULL user has no trackable behavior (r10 hostile-streaming sweep)
         WITH flagged AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_session
           FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
           SELECT user_id, ts,
@@ -71,8 +85,12 @@ register(
     Query(
         spark=streaming_static_join_agg,
         oracle="""
+        -- VARCHAR round-trip: see streaming_hourly_agg (DuckDB's direct
+        -- DECIMAL(38,6)->DOUBLE is lossy above 2^53/1e6; string parse is
+        -- correctly rounded, matching Spark)
         SELECT c_mktsegment, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -144,9 +162,13 @@ register(
     Query(
         spark=streaming_ingest_distributed,
         oracle="""
+        -- VARCHAR round-trip: see streaming_hourly_agg (DuckDB's direct
+        -- DECIMAL(38,6)->DOUBLE is lossy above 2^53/1e6; string parse is
+        -- correctly rounded, matching Spark)
         SELECT event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
         FROM events
         GROUP BY event_type
         ORDER BY event_type

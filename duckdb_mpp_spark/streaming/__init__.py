@@ -123,9 +123,16 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     where Spark retains all window state by definition and the watermark
     is inert (review r6). A continuous production deployment must use
     update/append (the foreachBatch file-sink shape below) for the
-    bounded-state guarantee."""
+    bounded-state guarantee.
+
+    NULL event times (hostile-streaming sweep, r10): the streaming runtime
+    silently drops rows whose event-time is NULL at window assignment — the
+    filter below makes that contract EXPLICIT and shared with the batch
+    twin and the SQL oracle (which would otherwise group date_trunc(NULL)
+    into a phantom NULL-hour row)."""
     return (
-        events.withWatermark("ts", watermark)
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -141,9 +148,19 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Native session windows (30-min inactivity gap) per user."""
+    """Native session windows (30-min inactivity gap) per user.
+
+    Exclusions pinned by the r10 hostile-streaming sweep, shared with the
+    oracle: NULL-ts rows (no position on any timeline — the streaming
+    runtime drops them at window assignment anyway, while the SQL oracle's
+    lag-window would silently glue them onto the user's LAST session), and
+    NULL-user rows (an unidentified user has no trackable behavior — the
+    same convention the cohort and top-transitions gates pinned; a NULL
+    pseudo-user would otherwise fabricate sessions from unrelated
+    unattributable events)."""
     return (
-        events.withWatermark("ts", "2 hours")
+        events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -186,10 +203,12 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def batch_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of ``streaming_hourly_agg`` (same plan shape, bounded)."""
+    """Batch twin of ``streaming_hourly_agg`` (same plan shape, bounded).
+    Shares windowed_counts' explicit NULL-ts exclusion (r10)."""
     events = load_table(spark, sf_dir, "events")
     return (
-        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(38,6)")).alias("_tv"),

@@ -62,6 +62,7 @@ BIG_DIR = "/tmp/mpp_sf1_big"
 BIG30_DIR = "/tmp/mpp_sf3_big30"  # 30x docs-only replica (r9 crossover point)
 EV_BASE_DIR = "/tmp/mpp_sf1_ev_base"  # events/customer/orders 1x rewrite
 EV_BIG_DIR = "/tmp/mpp_sf1_ev_big"  # events/customer/orders 10x replica
+EV_BIG30_DIR = "/tmp/mpp_sf3_ev_big30"  # 30x replica (r10 trajectory point)
 
 GATES = [
     "dedup_ngram_jaccard",
@@ -229,6 +230,39 @@ def time_duck(
     return out
 
 
+def time_duck_incremental_probe(sf_dir: str) -> float:
+    """Apples-to-apples dedup_incremental column (VERDICT r9 #1): DuckDB
+    probes THE SAME persisted parquet band index the Spark gate reads
+    (the write_band_index layout the gate's warm pass created for this
+    sf_dir), and the timed query is the daily run only — batch minhash +
+    index join + verdicts. Neither engine recomputes the index and
+    neither gets an in-memory-table advantage. Call AFTER time_spark for
+    the same sf_dir (the Spark warm pass builds the layout)."""
+    from duckdb_mpp_spark.operators.dedup import (
+        _BAND_INDEX_DIRS,
+        incremental_index_oracle_sqls,
+    )
+
+    idx_dir = _BAND_INDEX_DIRS[sf_dir]
+    _, probe = incremental_index_oracle_sqls(
+        index_relation=f"SELECT * FROM read_parquet('{idx_dir}/*/*.parquet')"
+    )
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    con.execute(probe).fetchall()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute(probe).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    con.close()
+    return round(best, 3)
+
+
 def section_docs(spark, oracles) -> dict:
     """The r8 section unchanged: six heavy corpus gates at 1x and 10x."""
     build_docs(
@@ -268,12 +302,17 @@ def section_docs(spark, oracles) -> dict:
         for label, d in (("sf0.1", BASE_DIR), (f"sf1_{REPLICAS}x", BIG_DIR)):
             s = time_spark(spark, d)
             k = time_duck(d, oracles)
+            probe = time_duck_incremental_probe(d)
             result[label] = {
                 "spark": s,
                 "duckdb": k,
+                "duckdb_index_probe_dedup_incremental": probe,
                 "ratio": {
                     n: round(s[n] / max(k[n], 1e-4), 2) for n in GATES
                 },
+                "ratio_index_vs_index_dedup_incremental": round(
+                    s["dedup_incremental"] / max(probe, 1e-4), 2
+                ),
             }
     finally:
         for p in (BASE_DIR, BIG_DIR):
@@ -288,26 +327,41 @@ def section_x30(spark, oracles) -> dict:
     try:
         s = time_spark(spark, BIG30_DIR, GATES_30X)
         k = time_duck(BIG30_DIR, oracles, GATES_30X, tables=("documents",))
+        probe = time_duck_incremental_probe(BIG30_DIR)
         return {
             "replicas": 30,
             "spark": s,
             "duckdb": k,
+            "duckdb_index_probe_dedup_incremental": probe,
             "ratio": {
                 n: round(s[n] / max(k[n], 1e-4), 2) for n in GATES_30X
             },
+            "ratio_index_vs_index_dedup_incremental": round(
+                s["dedup_incremental"] / max(probe, 1e-4), 2
+            ),
         }
     finally:
         shutil.rmtree(BIG30_DIR, ignore_errors=True)
 
 
 def section_fixed(spark, oracles) -> dict:
-    """Fixed-overhead micro-gates with a measured DuckDB column at 1x and
-    10x (VERDICT r8 #5): q13 over customer/orders replicas, cohort +
-    sessionization over user-shifted events replicas."""
-    build_fixed(spark, [(EV_BASE_DIR, 1), (EV_BIG_DIR, REPLICAS)])
-    result: dict = {"replicas": REPLICAS}
+    """Fixed-overhead micro-gates with a measured DuckDB column at 1x, 10x
+    and 30x (VERDICT r8 #5, r9 #2 for the 30x point): q13 over
+    customer/orders replicas, cohort + sessionization over user-shifted
+    events replicas. At 30x the 10-16 ms oracles reach ~real work sizes,
+    so the trajectory answers whether the gap is a scheduling constant
+    (falls toward 1) or a plan defect (holds)."""
+    build_fixed(
+        spark,
+        [(EV_BASE_DIR, 1), (EV_BIG_DIR, REPLICAS), (EV_BIG30_DIR, 30)],
+    )
+    result: dict = {"replicas": [1, REPLICAS, 30]}
     try:
-        for label, d in (("sf0.1", EV_BASE_DIR), (f"sf1_{REPLICAS}x", EV_BIG_DIR)):
+        for label, d in (
+            ("sf0.1", EV_BASE_DIR),
+            (f"sf1_{REPLICAS}x", EV_BIG_DIR),
+            ("sf3_30x", EV_BIG30_DIR),
+        ):
             s = time_spark(spark, d, FIXED_GATES)
             k = time_duck(d, oracles, FIXED_GATES, tables=FIXED_TABLES)
             result[label] = {
@@ -318,7 +372,7 @@ def section_fixed(spark, oracles) -> dict:
                 },
             }
     finally:
-        for p in (EV_BASE_DIR, EV_BIG_DIR):
+        for p in (EV_BASE_DIR, EV_BIG_DIR, EV_BIG30_DIR):
             shutil.rmtree(p, ignore_errors=True)
     return result
 
@@ -338,7 +392,7 @@ def main() -> None:
     if "x30" in sections:
         result["x30_jaccard_incremental"] = section_x30(spark, oracles)
     if "fixed" in sections:
-        result["fixed_overhead_10x"] = section_fixed(spark, oracles)
+        result["fixed_overhead_1x_10x_30x"] = section_fixed(spark, oracles)
     print(json.dumps(result))
 
 
