@@ -96,10 +96,12 @@ def test_hourly_agg_null_ts_and_1e12(spark, hostile_dir):
     assert dcols == scols
     assert s == d
     # the NULL-ts rows are GONE (no phantom NULL-hour row in either dialect)
-    assert all(t[1] is not None for t in s)  # hour_start sorted col idx 1? defensive below
-    # 1e12 group converts exactly: some row carries the 1e12-scale sum
-    flat = [x for t in s for x in t if isinstance(x, float)]
-    assert any(abs(x - 1000000000001.5) < 1e-6 or x > 1e11 for x in flat)
+    hi = scols.index("hour_start")
+    assert all(t[hi] is not None for t in s)
+    # the 1e12 row (ts 00:50, 'view') sums with the 3.0 view into hour 00
+    # EXACTLY in both dialects — the lossy-conversion regime
+    vi = scols.index("total_value")
+    assert any(t[vi] == 1000000000003.0 for t in s)
 
 
 def test_session_windows_null_user_and_ts(spark, hostile_dir):
