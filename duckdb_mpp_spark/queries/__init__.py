@@ -49,7 +49,7 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
-def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
+def ordered_small(df: DataFrame, *cols: str, exchange: bool = False) -> DataFrame:
     """Total order for a SMALL result frame without the range-sampling pass.
 
     ``orderBy`` plans a range-partitioned sort, which first runs a separate
@@ -79,10 +79,24 @@ def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     callers (cohort, ffill, global-shuffle, jaccard pair lists) inherit it
     here so a NULL sort key (e.g. a NULL cohort_week from all-NULL ts)
     cannot diverge the row order between dialects.
+
+    ``exchange=True`` (r10): ``repartition(1)`` instead of ``coalesce(1)``
+    — a REAL shuffle barrier, so the collapse described in the CAVEAT
+    above cannot reach upstream stages. This is the required form when
+    the frame's last stage does corpus-sized work that coalesce would
+    serialize — the motivating case is a window whose downstream groupBy
+    REUSES the window's hash partitioning (exchange reuse, a feature the
+    plan-shape tests pin), leaving no shuffle boundary between the corpus
+    window and the result: events_sessionization's 30× wall was 3.2 s
+    with coalesce (the whole 3M-row window sort ran as ONE task) vs
+    1.2 s with the barrier (window parallel, one task sorts only the
+    45k-row result). Costs one tiny result-rows exchange; still no
+    range-sampling job.
     """
     from pyspark.sql import functions as F
 
-    return df.coalesce(1).sortWithinPartitions(
+    one = df.repartition(1) if exchange else df.coalesce(1)
+    return one.sortWithinPartitions(
         *[F.col(c).asc_nulls_last() for c in cols]
     )
 
@@ -96,19 +110,24 @@ def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
 SINGLE_SORT_BYTES = 256 << 20
 
 
-def ordered_result(df: DataFrame, source: DataFrame, *cols: str) -> DataFrame:
+def ordered_result(
+    df: DataFrame, source: DataFrame, *cols: str, exchange: bool = False
+) -> DataFrame:
     """Total order for a result frame whose size tracks ``source``:
     ordered_small (one job, no range sampling) while the source plan sits
     under SINGLE_SORT_BYTES, parallel orderBy past it. Use for gate
     results that are O(#rows of source) — thresholded/aggregated results
-    that are ALWAYS small should call ordered_small directly."""
+    that are ALWAYS small should call ordered_small directly.
+    ``exchange=True``: see ordered_small — required when the frame's last
+    stage does corpus-sized work with no shuffle boundary before the
+    result (window + partitioning-reusing aggregate)."""
     from pyspark.sql import functions as F
 
     from duckdb_mpp_spark.table import plan_size_bytes
 
     size = plan_size_bytes(source)
     if size is not None and size <= SINGLE_SORT_BYTES:
-        return ordered_small(df, *cols)
+        return ordered_small(df, *cols, exchange=exchange)
     return df.orderBy(*[F.col(c).asc_nulls_last() for c in cols])
 
 

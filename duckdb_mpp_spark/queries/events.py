@@ -55,6 +55,14 @@ def _sessionization_fn(spark, sf_dir):
     # single-task budget it skips orderBy's range-sampling job (the gate
     # wall was ~98% scheduling constant), past it the parallel range sort
     # returns. Same inner SQL both engines.
+    #
+    # exchange=True (r10, BENCH_SF1 30× finding): the per-user groupBy
+    # REUSES the window's hash partitioning — no shuffle boundary between
+    # the corpus-sized window sort and the result — so a bare coalesce(1)
+    # serialized the ENTIRE window stage into one task (3.2 s at 30× vs
+    # 1.2 s with the barrier; value-identical). The repartition(1) barrier
+    # keeps the window parallel at every scale and single-tasks only the
+    # per-user result rows.
     from duckdb_mpp_spark.queries import ordered_result
     from duckdb_mpp_spark.sources import load_table
 
@@ -62,6 +70,7 @@ def _sessionization_fn(spark, sf_dir):
         spark.sql(_SESSIONIZATION_CORE),
         load_table(spark, sf_dir, "events"),
         "user_id",
+        exchange=True,
     )
 
 
@@ -568,7 +577,12 @@ _USER_FEATURES_CORE = """
 
 def _user_features_fn(spark, sf_dir):
     # callable (r9): one row per user — size-switched final order, same
-    # rationale as _sessionization_fn above
+    # rationale as _sessionization_fn above. exchange=True (r10): the
+    # "latest event per user" window branch shares the per-user hash
+    # partitioning with the join/agg that consumes it, so a bare
+    # coalesce(1) serialized that corpus-sized window into one task
+    # (measured 1.99 → 1.60 s at 30×, value-identical) — same finding as
+    # _sessionization_fn.
     from duckdb_mpp_spark.queries import ordered_result
     from duckdb_mpp_spark.sources import load_table
 
@@ -576,6 +590,7 @@ def _user_features_fn(spark, sf_dir):
         spark.sql(_USER_FEATURES_CORE),
         load_table(spark, sf_dir, "events"),
         "user_id",
+        exchange=True,
     )
 
 
