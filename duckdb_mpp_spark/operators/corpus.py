@@ -203,6 +203,14 @@ def contamination_overlap(
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_contaminated"))
     )
+    # NOT checkpointed (r10 A/B): hits has two consumers (the hit_ids
+    # broadcast build and the final join), but both read the SAME final
+    # aggregate exchange, which Spark's ReusedExchange shares — the corpus
+    # hits-scan executes once. An eager localCheckpoint here measured
+    # ~+0.4 s at sf0.1: it broke the exchange reuse AND erased the agg's
+    # hash partitioning, forcing an extra exchange under the final
+    # co-partitioned join (contrast vocab_coverage, whose three branches
+    # could NOT share one exchange and where the checkpoint wins).
     # the hit-doc id hint is SIZE-SWITCHED (review r9): "contaminated docs
     # are a sliver" is an assumption about the input, not an invariant — a
     # corpus that republishes the eval set widely makes hits O(#docs), and
