@@ -184,7 +184,16 @@ def _asof_spark(spark, sf_dir):
             F.col("last_order").alias("o_orderkey"),
         )
     )
-    return matched.orderBy("event_id")
+    # size-switched result order (r10): one row per event, so under the
+    # single-task budget the barrier sort skips orderBy's range-sampling
+    # pass (0.73 → 0.59 s at sf0.1, value-identical); exchange=True is
+    # REQUIRED — the filter/projection above rides the window's uid
+    # partitioning, so a coalesce(1) would serialize the corpus-sized
+    # window stage (see ordered_small). Past the budget the parallel
+    # range sort returns.
+    from duckdb_mpp_spark.queries import ordered_result
+
+    return ordered_result(matched, events, "event_id", exchange=True)
 
 
 register(
