@@ -227,10 +227,9 @@ def contamination_overlap(
     # where a shuffle semi-join degrades gracefully. Under the switch the
     # semi-join build is provably bounded by the (small) corpus itself;
     # past it AQE decides from the measured hit count.
-    from duckdb_mpp_spark.table import plan_size_bytes
+    from duckdb_mpp_spark.table import is_small_source
 
-    docs_bytes = plan_size_bytes(docs)
-    small = docs_bytes is not None and docs_bytes < 256 << 20
+    small = is_small_source(docs)
     hit_ids = hits.select(id_col)
     docs_c = docs.join(
         F.broadcast(hit_ids) if small else hit_ids, id_col, "left_semi"

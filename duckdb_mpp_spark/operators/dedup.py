@@ -433,7 +433,7 @@ def jaccard_verify_from_docs(
         .groupBy(id_col)
         .agg(F.collect_set("sh").alias("g"))
     )
-    from duckdb_mpp_spark.table import plan_size_bytes
+    from duckdb_mpp_spark.table import is_small_source
 
     # The broadcast payload is the candidate docs' FULL gram sets — ~1.3×
     # their text bytes, NOT one row per doc — so the hint's switch must
@@ -443,9 +443,9 @@ def jaccard_verify_from_docs(
     # 256 MiB of source docs caps the forced broadcast at ~350 MB worst
     # case; past it AQE's runtime decision takes over (broadcast when the
     # candidate subset measures small, shuffle join otherwise).
-    docs_bytes = plan_size_bytes(docs)
-    small = docs_bytes is not None and docs_bytes < 256 << 20
-    return jaccard_score_pairs(gsets, pairs, id_col, broadcast_sets=small)
+    return jaccard_score_pairs(
+        gsets, pairs, id_col, broadcast_sets=is_small_source(docs)
+    )
 
 
 def jaccard_score_pairs(
@@ -794,18 +794,42 @@ def write_band_index(
                 "generation across the wrong buckets — rewrite the index "
                 "with mode='overwrite' first"
             )
+        # Appends NEVER rewrite the recorded schema (review r10): the hint
+        # read_band_index applies must describe EVERY generation's files,
+        # and an appender whose frame drifted (doc_id INT vs the layout's
+        # BIGINT, a different producer's nullability) would otherwise
+        # force its schema onto older parquet — or, left unvalidated, mix
+        # footer-incompatible generations the hint then misreads. Validate
+        # loudly instead, same convention as the modulus check above.
+        recorded = _band_index_schema(path)
+        if recorded is not None:
+            # name -> type comparison: column ORDER and nullability are
+            # parquet-read-irrelevant (name-based resolution; the hint's
+            # fields are nullable), but a TYPE drift would misread
+            incoming = {
+                f.name: f.dataType.simpleString() for f in bands.schema.fields
+            }
+            rec = {f.name: f.dataType.simpleString() for f in recorded.fields}
+            if incoming != rec:
+                raise ValueError(
+                    f"band index at {path} records schema {rec}; append frame "
+                    f"has {incoming} — a mixed-schema layout would make the "
+                    "recorded read-schema hint misread one generation. Align "
+                    "the frame or rewrite with mode='overwrite'"
+                )
         # meta BEFORE data (ADVICE r7): it is validated-equal anyway, and
         # writing it first closes the crash window where a fresh layout's
         # first append leaves data with no recorded modulus
-        _band_index_check_meta(path, n_buckets, write=True)
+        _band_index_check_meta(
+            path,
+            n_buckets,
+            write=True,
+            schema_json=recorded.json() if recorded is not None else None,
+        )
     if min_doc_only:
         bands = bands.groupBy("band", "band_key").agg(
             F.min(id_col).alias(id_col)
         )
-    schema_json = bands.schema.json()
-    if mode == "append":
-        # re-record with the schema hint (append wrote plain meta above)
-        _band_index_check_meta(path, n_buckets, write=True, schema_json=schema_json)
     (
         bands.withColumn("band_bucket", band_bucket_expr(n_buckets))
         .repartition(n_buckets, "band_bucket")
@@ -818,7 +842,9 @@ def write_band_index(
     # meta, which reads/appends now treat loudly instead of trusting the
     # caller's modulus (ADVICE r7)
     if mode != "append":
-        _band_index_check_meta(path, n_buckets, write=True, schema_json=schema_json)
+        _band_index_check_meta(
+            path, n_buckets, write=True, schema_json=bands.schema.json()
+        )
 
 
 def read_band_index(
@@ -1246,7 +1272,7 @@ def _register():
             SINGLE_SORT_BYTES,
             ordered_small,
         )
-        from duckdb_mpp_spark.table import plan_size_bytes
+        from duckdb_mpp_spark.table import is_small_source
 
         docs = load_table(spark, sf_dir, "documents")
         size = plan_size_bytes(docs)
@@ -1321,12 +1347,11 @@ def _register():
         the fusion must not do at 100 TB). When _spread repartitioned
         (docs is not docs0), the verify branch skips its candidate-text
         repartition: the id partitioning it would create already exists."""
-        from duckdb_mpp_spark.table import plan_size_bytes
+        from duckdb_mpp_spark.table import is_small_source
 
         docs0 = load_table(spark, sf_dir, "documents")
         docs = _spread(docs0, "doc_id")
-        docs_bytes = plan_size_bytes(docs0)
-        if docs_bytes is not None and docs_bytes < 256 << 20:
+        if is_small_source(docs0):
             wide = minhash_wide_with_grams(docs, fast=fast).localCheckpoint(
                 eager=True
             )
@@ -1448,7 +1473,7 @@ def _register():
         # one aggregation. The first invocation in a session additionally
         # builds the index (a full corpus pass + bucketed write); repeat
         # invocations — and production daily runs — do not.
-        from duckdb_mpp_spark.table import plan_size_bytes
+        from duckdb_mpp_spark.table import is_small_source
 
         docs = load_table(spark, sf_dir, "documents")
         # filter BEFORE spreading (r10): _spread repartitions on doc_id, and
@@ -1468,8 +1493,7 @@ def _register():
         # minhash pass (checkpoint), one broadcast build, one verdict
         # aggregation. Past the switch the r7 shape stands: bucket-pruned
         # read + shuffle join, the only plan when the index doesn't fit.
-        docs_bytes = plan_size_bytes(docs)
-        small = docs_bytes is not None and docs_bytes < 256 << 20
+        small = is_small_source(docs)
         idx = read_band_index(
             spark,
             _persisted_band_index(spark, sf_dir),

@@ -77,10 +77,9 @@ def _maybe_broadcast(df: DataFrame) -> DataFrame:
     small, shuffle join otherwise) takes over. Catalyst's filter-
     selectivity estimate errs large on modulo predicates, which errs this
     switch in the safe (no-hint) direction."""
-    from duckdb_mpp_spark.table import plan_size_bytes
+    from duckdb_mpp_spark.table import is_small_source
 
-    b = plan_size_bytes(df)
-    return F.broadcast(df) if (b is not None and b < 256 << 20) else df
+    return F.broadcast(df) if is_small_source(df) else df
 
 
 def _assert_unique_ids(df: DataFrame, col: str, what: str) -> None:

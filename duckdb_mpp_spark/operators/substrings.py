@@ -169,9 +169,9 @@ def tfidf_keywords(
     value-identical. Past the budget the tok-keyed join returns: a 100 TB
     vocabulary (~10⁸ terms with long tails) must not be forced into a
     broadcast, and the hash join on tok degrades gracefully."""
-    from duckdb_mpp_spark.table import plan_size_bytes
+    from duckdb_mpp_spark.table import is_small_source
 
-    small = (lambda b: b is not None and b < 256 << 20)(plan_size_bytes(df))
+    small = is_small_source(df)
     base = df.select(F.col(id_col), tokens(text_col).alias("t"))
     if small:
         base = base.repartition(F.col(id_col))

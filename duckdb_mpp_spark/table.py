@@ -103,6 +103,25 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return None if size >= _STATS_UNKNOWN else size
 
 
+# The shared small-regime source budget (review r10: this bound was
+# hand-inlined at five operator sites that document themselves as sharing
+# one switch — tuning it in one place would silently de-synchronize the
+# regimes). Below it a SOURCE is small enough that broadcast-fused /
+# single-task plans beat the parallel shapes; past it every consumer's
+# scale-safe branch is the default. Related but distinct:
+# queries.SINGLE_SORT_BYTES governs the single-task RESULT sort (same
+# value, different decision — kept separate deliberately).
+SMALL_SOURCE_BYTES = 256 << 20
+
+
+def is_small_source(df: DataFrame) -> bool:
+    """True when ``df``'s planner-estimated size sits under the shared
+    small-regime budget; False when past it OR unknown (unknown must take
+    the scale-safe branch)."""
+    b = plan_size_bytes(df)
+    return b is not None and b < SMALL_SOURCE_BYTES
+
+
 def check_unique_sides(
     table_name: str,
     col: str,

@@ -113,7 +113,7 @@ def sweep(fixture: str) -> dict:
         p = f"{fixture}/{t}.parquet"
         glob = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
-    results = {"match": [], "mismatch": [], "err": []}
+    results = {"match": [], "mismatch": [], "err": [], "rows": {}}
     for name, q in sorted(REGISTRY.items()):
         if not name.startswith("streaming_"):
             continue
@@ -121,6 +121,12 @@ def sweep(fixture: str) -> dict:
             sdf = run_spark_query(name, spark, fixture)
             scols = sorted(sdf.columns)
             s = sorted([tuple(norm(r[c]) for c in scols) for r in sdf.collect()], key=key)
+            # keep the SPARK result content for the cross-fixture
+            # equivalence check regardless of oracle outcome (review r10:
+            # comparing only matched gates' row COUNTS was vacuous — two
+            # oracle-matched results are necessarily identical because
+            # the oracle is layout-independent)
+            results["rows"][name] = (tuple(scols), tuple(s))
             res = con.execute(q.oracle_sql())
             cols = [d[0] for d in res.description]
             idx = [cols.index(c) for c in sorted(cols)]
@@ -134,13 +140,15 @@ def sweep(fixture: str) -> dict:
                 results["match"].append((name, len(s)))
         except Exception as e:
             results["err"].append((name, f"{type(e).__name__}: {str(e)[:300]}"))
-        # the shared registered-view cache would otherwise skip
-        # re-registration when the next gate runs on the other fixture
-        try:
-            spark.conf.unset("duckdb_mpp_spark.registered_sf_dir")
-        except Exception:
-            pass
     con.close()
+    # invalidate the registered-view cache ONCE per fixture — the next
+    # sweep runs against the other dir; within one fixture the cache is
+    # exactly what we want (review r10: the per-gate unset forced every
+    # gate to re-register all ten views)
+    try:
+        spark.conf.unset("duckdb_mpp_spark.registered_sf_dir")
+    except Exception:
+        pass
     return results
 
 
@@ -161,14 +169,20 @@ for label, fixture in (("single-file", SINGLE), ("multi-file", MULTI)):
         all_green = False
         print("ERR:", name, e)
 
-# fixture-equivalence: single-file vs multi-file results must agree
-single_rows = dict(per_fixture["single-file"]["match"])
-multi_rows = dict(per_fixture["multi-file"]["match"])
+# fixture-equivalence: single-file vs multi-file SPARK result CONTENT
+# must agree (full sorted rows, not counts — review r10), independent of
+# whether either fixture matched its oracle
+single_rows = per_fixture["single-file"]["rows"]
+multi_rows = per_fixture["multi-file"]["rows"]
 for name in sorted(set(single_rows) & set(multi_rows)):
     if single_rows[name] != multi_rows[name]:
         all_green = False
+        a, b = single_rows[name], multi_rows[name]
         print("BATCH-BOUNDARY DIVERGENCE:", name,
-              single_rows[name], "vs", multi_rows[name])
+              f"cols/rows {len(a[1])} vs {len(b[1])}")
+for name in sorted(set(single_rows) ^ set(multi_rows)):
+    all_green = False
+    print("BATCH-BOUNDARY DIVERGENCE (one fixture errored):", name)
 
 print("ALL GREEN" if all_green else "FINDINGS ABOVE")
 spark.stop()

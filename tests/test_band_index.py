@@ -116,3 +116,35 @@ def test_min_doc_only_layout_lossless_for_verdicts(spark, bands, index_dir):
         tuple(r) for r in incremental_dedup(idx_mem, batch).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_append_schema_drift_rejected_and_hint_preserved(spark, bands, index_dir):
+    """r10 (review): the layout meta records the DATA schema so reads skip
+    footer inference. Appends must NEVER rewrite that hint with their own
+    frame's schema (it must describe every generation's files) — a
+    type-drifted appender is rejected loudly, and a clean append leaves
+    the recorded hint intact."""
+    import json
+    import os
+
+    from duckdb_mpp_spark.operators.dedup import _BAND_INDEX_META
+
+    g1 = bands.where(F.col("doc_id") % 3 == 1)
+    write_band_index(g1, index_dir, n_buckets=8)
+    meta_path = os.path.join(index_dir, _BAND_INDEX_META)
+    with open(meta_path) as f:
+        recorded = json.load(f)["schema"]
+    assert recorded  # overwrite recorded the hint
+
+    # clean append: same columns/types -> accepted, hint unchanged
+    g2 = bands.where(F.col("doc_id") % 3 != 1)
+    write_band_index(g2, index_dir, n_buckets=8, mode="append")
+    with open(meta_path) as f:
+        assert json.load(f)["schema"] == recorded
+
+    # drifted append: doc_id INT vs the layout's BIGINT -> loud rejection
+    drifted = g2.withColumn("doc_id", F.col("doc_id").cast("int"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed-schema"):
+        write_band_index(drifted, index_dir, n_buckets=8, mode="append")
