@@ -1272,7 +1272,7 @@ def _register():
             SINGLE_SORT_BYTES,
             ordered_small,
         )
-        from duckdb_mpp_spark.table import is_small_source
+        from duckdb_mpp_spark.table import plan_size_bytes
 
         docs = load_table(spark, sf_dir, "documents")
         size = plan_size_bytes(docs)
