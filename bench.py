@@ -24,6 +24,125 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+
+def _read_first(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read()
+    except Exception:
+        return None
+
+
+def _psi_some_total_us(kind: str) -> int | None:
+    """Total stall time (us) from /proc/pressure/<kind>, 'some' line."""
+    raw = _read_first(f"/proc/pressure/{kind}")
+    if not raw:
+        return None
+    for line in raw.splitlines():
+        if line.startswith("some"):
+            for tok in line.split():
+                if tok.startswith("total="):
+                    return int(tok.split("=", 1)[1])
+    return None
+
+
+def _cgroup_cpu_stat() -> dict[str, int]:
+    """cgroup-v2 cpu.stat throttle counters for this process's cgroup."""
+    cg = _read_first("/proc/self/cgroup") or ""
+    rel = cg.strip().rsplit(":", 1)[-1] if cg else ""
+    raw = _read_first(f"/sys/fs/cgroup{rel}/cpu.stat") or _read_first(
+        "/sys/fs/cgroup/cpu.stat"
+    )
+    out: dict[str, int] = {}
+    for line in (raw or "").splitlines():
+        k, _, v = line.partition(" ")
+        if k in ("nr_throttled", "throttled_usec", "usage_usec"):
+            out[k] = int(v)
+    return out
+
+
+class _Diag:
+    """Stall-diagnosis probe (VERDICT r10 #1): snapshots the resources a
+    whole-leg Spark stall could implicate — JVM GC time (JMX beans over
+    py4j), JVM process CPU (/proc/<pid>/stat — in local mode ALL executor
+    work is this one JVM), host load / available memory, PSI stall
+    totals, and cgroup CPU-throttle counters. Deltas between snapshots
+    say WHICH resource moved during a slow window: gc_ms up → heap
+    pathology (session-internal); jvm cpu-share down with loadavg up →
+    external CPU contention; psi_io/mem up → page-cache eviction;
+    throttled_usec up → cgroup throttling."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        try:
+            self._jvm_pid = int(
+                spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+            )
+        except Exception:
+            self._jvm_pid = None
+        self._tick = os.sysconf("SC_CLK_TCK")
+
+    def _jvm_gc_ms(self) -> int | None:
+        try:
+            beans = (
+                self._spark.sparkContext._jvm.java.lang.management
+                .ManagementFactory.getGarbageCollectorMXBeans()
+            )
+            return sum(b.getCollectionTime() for b in beans)
+        except Exception:
+            return None
+
+    def _jvm_cpu_s(self) -> float | None:
+        if self._jvm_pid is None:
+            return None
+        raw = _read_first(f"/proc/{self._jvm_pid}/stat")
+        if not raw:
+            return None
+        # fields 14/15 (1-based) after the parenthesized comm
+        rest = raw.rsplit(")", 1)[-1].split()
+        return round((int(rest[11]) + int(rest[12])) / self._tick, 2)
+
+    def snap(self) -> dict:
+        mem_kb = None
+        meminfo = _read_first("/proc/meminfo") or ""
+        for line in meminfo.splitlines():
+            if line.startswith("MemAvailable"):
+                mem_kb = int(line.split()[1])
+                break
+        load = _read_first("/proc/loadavg")
+        return {
+            "t": round(time.perf_counter(), 3),
+            "gc_ms": self._jvm_gc_ms(),
+            "jvm_cpu_s": self._jvm_cpu_s(),
+            "loadavg1": float(load.split()[0]) if load else None,
+            "mem_avail_mb": mem_kb // 1024 if mem_kb is not None else None,
+            "psi_cpu_us": _psi_some_total_us("cpu"),
+            "psi_mem_us": _psi_some_total_us("memory"),
+            "psi_io_us": _psi_some_total_us("io"),
+            "cgroup": _cgroup_cpu_stat(),
+        }
+
+    @staticmethod
+    def delta(a: dict, b: dict) -> dict:
+        """b - a for the monotone counters; endpoints for the gauges."""
+        out = {"wall_s": round(b["t"] - a["t"], 2)}
+        for k in ("gc_ms", "jvm_cpu_s", "psi_cpu_us", "psi_mem_us", "psi_io_us"):
+            if a.get(k) is not None and b.get(k) is not None:
+                out[k] = round(b[k] - a[k], 2)
+        for k in ("nr_throttled", "throttled_usec"):
+            if k in a.get("cgroup", {}) and k in b.get("cgroup", {}):
+                out[k] = b["cgroup"][k] - a["cgroup"][k]
+        out["loadavg1"] = [a.get("loadavg1"), b.get("loadavg1")]
+        out["mem_avail_mb"] = [a.get("mem_avail_mb"), b.get("mem_avail_mb")]
+        if out.get("jvm_cpu_s") is not None and out["wall_s"] > 0:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            out["jvm_cpu_share"] = round(
+                out["jvm_cpu_s"] / (out["wall_s"] * cpus), 3
+            )
+        if out.get("gc_ms") is not None and out["wall_s"] > 0:
+            out["gc_share"] = round(out["gc_ms"] / (out["wall_s"] * 1000), 4)
+        return out
+
 HEADLINE = [
     # TPC-H-shape analytics
     "q01_pricing_summary",
@@ -196,16 +315,40 @@ def main() -> None:
     if not extra:
         bench_mpp_split(None)  # warmup
 
-    timings: dict[str, float] = {}
-    for name in names:
-        # min-of-2 timed reps: run-to-run variance on a shared box is ±30%;
-        # the minimum is the steady-state cost a scheduler would see
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(run_spark_query(name, spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    # TWO time-separated timed sweeps (VERDICT r10 #7): the box's known
+    # measurement pathology is a minutes-long uniform slowdown of one
+    # whole leg. A single sweep absorbs it silently (BENCH_r10's +15%
+    # phantom); with two sweeps the per-query min recovers the clean
+    # cost whenever at least one sweep ran clean, and a >25% divergence
+    # between the sweep totals (the same rule bench_pairs applies across
+    # legs) flags the run so a reader never mistakes the pathology for a
+    # regression. Each sweep keeps the min-of-2 reps (run-to-run
+    # variance on a shared box is ±30%; the minimum is the steady-state
+    # cost a scheduler would see).
+    diag = _Diag(spark)
+    sweeps: list[dict[str, float]] = []
+    sweep_diags: list[dict] = []
+    for _sweep in range(2):
+        sw: dict[str, float] = {}
+        s0 = diag.snap()
+        for name in names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(run_spark_query(name, spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            sw[name] = round(best, 4)
+        sweep_diags.append(_Diag.delta(s0, diag.snap()))
+        sweeps.append(sw)
+    timings = {n: min(sw[n] for sw in sweeps) for n in names}
+    sweep_totals = [round(sum(sw.values()), 4) for sw in sweeps]
+    # absolute floor alongside the 25% rule: sub-second subset runs
+    # (BENCH_QUERIES smoke tests) diverge by noise-scale fractions that
+    # mean nothing — a real whole-leg stall costs whole seconds
+    stall_suspected = (
+        max(sweep_totals) > 1.25 * min(sweep_totals)
+        and max(sweep_totals) - min(sweep_totals) > 2.0
+    )
     if not extra:
         bench_mpp_split(timings)
 
@@ -218,6 +361,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sweep_totals": sweep_totals,
+                "stall_suspected": stall_suspected,
+                "stall_rule": (
+                    "two time-separated sweeps; suspected when totals "
+                    "diverge >25% (value is per-query min across sweeps, "
+                    "i.e. the best-known clean cost)"
+                ),
+                "sweep_diag": sweep_diags,
             }
         )
     )

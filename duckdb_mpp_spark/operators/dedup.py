@@ -781,6 +781,15 @@ def write_band_index(
     generations yields several rows whose min the verdict aggregation
     takes anyway. Only valid for smallest-match consumers (dedup
     verdicts); keep the full layout for signature-similarity uses."""
+    if min_doc_only:
+        # Project FIRST so every downstream check sees the frame that is
+        # actually written: the append schema guard below must compare
+        # the post-projection columns against the recorded layout, not
+        # the caller's richer input frame — extra input columns the
+        # groupBy drops are not drift (ADVICE r10 #1).
+        bands = bands.groupBy("band", "band_key").agg(
+            F.min(id_col).alias(id_col)
+        )
     if mode == "append":
         # validate BEFORE appending — a mismatched modulus would scatter
         # the new generation across the wrong buckets (overwrite replaces
@@ -802,33 +811,56 @@ def write_band_index(
         # footer-incompatible generations the hint then misreads. Validate
         # loudly instead, same convention as the modulus check above.
         recorded = _band_index_schema(path)
-        if recorded is not None:
-            # name -> type comparison: column ORDER and nullability are
-            # parquet-read-irrelevant (name-based resolution; the hint's
-            # fields are nullable), but a TYPE drift would misread
-            incoming = {
-                f.name: f.dataType.simpleString() for f in bands.schema.fields
-            }
-            rec = {f.name: f.dataType.simpleString() for f in recorded.fields}
-            if incoming != rec:
-                raise ValueError(
-                    f"band index at {path} records schema {rec}; append frame "
-                    f"has {incoming} — a mixed-schema layout would make the "
-                    "recorded read-schema hint misread one generation. Align "
-                    "the frame or rewrite with mode='overwrite'"
+        if recorded is None and not _band_index_has_data(path):
+            # fresh first-ever append: nothing to validate against —
+            # record the incoming frame's schema as the layout schema
+            # (an improvement over the pre-r11 behavior, which left
+            # append-created layouts schema-less forever)
+            recorded = bands.schema
+        if recorded is None:
+            # Legacy/pre-hint layout (meta without a parseable schema):
+            # don't skip validation — infer the layout's schema from the
+            # existing parquet footers. mergeSchema reads EVERY
+            # generation's footer (metadata-only, no data pages) and
+            # raises on footer-incompatible generations, so a passing
+            # inference certifies the whole existing layout, and the
+            # schema is then recorded so future appends skip the
+            # inference job (ADVICE r10 #2).
+            try:
+                recorded = (
+                    bands.sparkSession.read.option("mergeSchema", "true")
+                    .parquet(path)
+                    .drop("band_bucket")
+                    .schema
                 )
+            except Exception as exc:
+                raise ValueError(
+                    f"band index at {path} records no schema and its "
+                    "existing generations have footer-incompatible "
+                    "schemas — appending would deepen the mix; rewrite "
+                    "with mode='overwrite'"
+                ) from exc
+        # name -> type comparison: column ORDER and nullability are
+        # parquet-read-irrelevant (name-based resolution; the hint's
+        # fields are nullable), but a TYPE drift would misread
+        incoming = {
+            f.name: f.dataType.simpleString() for f in bands.schema.fields
+        }
+        rec = {f.name: f.dataType.simpleString() for f in recorded.fields}
+        if incoming != rec:
+            raise ValueError(
+                f"band index at {path} records schema {rec}; append frame "
+                f"has {incoming} — a mixed-schema layout would make the "
+                "recorded read-schema hint misread one generation. Align "
+                "the frame or rewrite with mode='overwrite'"
+            )
         # meta BEFORE data (ADVICE r7): it is validated-equal anyway, and
         # writing it first closes the crash window where a fresh layout's
-        # first append leaves data with no recorded modulus
+        # first append leaves data with no recorded modulus. A schema
+        # inferred above (legacy layout) is recorded here, healing the
+        # layout once all existing generations validated.
         _band_index_check_meta(
-            path,
-            n_buckets,
-            write=True,
-            schema_json=recorded.json() if recorded is not None else None,
-        )
-    if min_doc_only:
-        bands = bands.groupBy("band", "band_key").agg(
-            F.min(id_col).alias(id_col)
+            path, n_buckets, write=True, schema_json=recorded.json()
         )
     (
         bands.withColumn("band_bucket", band_bucket_expr(n_buckets))

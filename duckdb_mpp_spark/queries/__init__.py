@@ -210,13 +210,11 @@ def _freshest_green_round() -> dict[str, int]:
 # gates whose recorded rows predate the reformulation (clear once the
 # next CORRECTNESS file shows them green; the derived tiers then take
 # over automatically).
-_FORCE_FIRST: frozenset[str] = frozenset(
-    {
-        # r10: NULL-user/NULL-event_id exclusion added (ADVICE r9) — the
-        # recorded r9 green predates the semantics change.
-        "events_top_transitions",
-    }
-)
+_FORCE_FIRST: frozenset[str] = frozenset()
+# (r11: events_top_transitions cleared — CORRECTNESS_r10 shows it green
+# post-reformulation, and leaving it would burn a rotation slot every
+# round; streaming_incremental_dedup, driver-stale since r7, now takes
+# the freed slot via the derived tiers. VERDICT r10 #2.)
 
 
 def _registry_names_prioritized() -> list[str]:

@@ -68,13 +68,126 @@ def _rng(vals):
     return [min(vals), max(vals)] if vals else None
 
 
+def _leg_diag(run: dict) -> dict:
+    """Condense a bench.py leg's two sweep-diag blocks into one evidence
+    row: monotone counters summed, gauges as endpoints."""
+    sweeps = run.get("sweep_diag") or []
+    if not sweeps:
+        return {}
+    out = {}
+    for k in ("wall_s", "gc_ms", "jvm_cpu_s", "psi_cpu_us", "psi_mem_us",
+              "psi_io_us", "nr_throttled", "throttled_usec"):
+        vals = [s[k] for s in sweeps if s.get(k) is not None]
+        if vals:
+            out[k] = round(sum(vals), 2)
+    if out.get("jvm_cpu_s") is not None and out.get("wall_s"):
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        out["jvm_cpu_share"] = round(out["jvm_cpu_s"] / (out["wall_s"] * cpus), 3)
+    if out.get("gc_ms") is not None and out.get("wall_s"):
+        out["gc_share"] = round(out["gc_ms"] / (out["wall_s"] * 1000), 4)
+    la = [s.get("loadavg1") for s in sweeps if s.get("loadavg1")]
+    if la:
+        out["loadavg1"] = [la[0][0], la[-1][-1]]
+    mm = [s.get("mem_avail_mb") for s in sweeps if s.get("mem_avail_mb")]
+    if mm:
+        out["mem_avail_mb"] = [mm[0][0], mm[-1][-1]]
+    out["sweep_totals"] = run.get("sweep_totals")
+    out["stall_suspected_within_leg"] = run.get("stall_suspected")
+    return out
+
+
+def _mean(vals):
+    vals = [v for v in vals if v is not None]
+    return sum(vals) / len(vals) if vals else None
+
+
+def _classify_stalls(stalled: list[int], diags: list[dict]) -> dict:
+    """Name the mechanism of each stalled Spark leg by comparing its
+    resource deltas against the clean legs' means (VERDICT r10 #1). A
+    verdict is a LIST — stalls can be multi-cause — and 'unexplained'
+    only when nothing moved."""
+    clean = [diags[i] for i in range(len(diags)) if i not in stalled and diags[i]]
+    if not clean:
+        return {"note": "no clean leg to compare against"}
+    base = {
+        k: _mean([d.get(k) for d in clean])
+        for k in ("gc_share", "jvm_cpu_share", "psi_io_us", "psi_mem_us",
+                  "psi_cpu_us", "throttled_usec")
+    }
+    out = {"clean_leg_means": {k: (round(v, 4) if v is not None else None)
+                               for k, v in base.items()}}
+    for i in stalled:
+        d = diags[i]
+        if not d:
+            out[f"leg_{i}"] = {"verdict": ["no diag captured"]}
+            continue
+        causes = []
+        gs, bgs = d.get("gc_share"), base.get("gc_share")
+        if gs is not None and gs > 0.05 and (not bgs or gs > 2 * bgs):
+            causes.append(f"gc (gc_share {gs} vs clean {round(bgs or 0, 4)})")
+        cs, bcs = d.get("jvm_cpu_share"), base.get("jvm_cpu_share")
+        if cs is not None and bcs and cs < 0.8 * bcs:
+            causes.append(
+                f"descheduled (jvm_cpu_share {cs} vs clean {round(bcs, 3)}: "
+                "the JVM got fewer CPU-seconds per wall-second — external "
+                "contention or throttling, not in-JVM work)"
+            )
+        elif cs is not None and bcs and cs >= 0.8 * bcs:
+            causes.append(
+                f"proportional-cpu (jvm_cpu_share {cs} ~= clean "
+                f"{round(bcs, 3)}: the JVM burned MORE cpu for the same "
+                "queries — cpu-frequency scaling or in-JVM overhead, not "
+                "descheduling)"
+            )
+        th = d.get("throttled_usec")
+        if th and th > 1e5:
+            causes.append(f"cgroup-throttled ({th} us)")
+        pio, bio = d.get("psi_io_us"), base.get("psi_io_us")
+        if pio is not None and pio > 1e6 and (not bio or pio > 5 * bio):
+            causes.append(f"io-pressure (psi_io {pio} us vs clean {bio})")
+        pm, bpm = d.get("psi_mem_us"), base.get("psi_mem_us")
+        if pm is not None and pm > 1e6 and (not bpm or pm > 5 * bpm):
+            causes.append(f"memory-pressure (psi_mem {pm} us vs clean {bpm})")
+        out[f"leg_{i}"] = {
+            "diag": d,
+            "verdict": causes or ["unexplained (no instrumented resource moved)"],
+        }
+    return out
+
+
 def main() -> None:
     n_pairs = max(int(sys.argv[1]) if len(sys.argv) > 1 else 3, 1)
+    max_extra = 3  # auto-rerun budget (VERDICT r10 #1)
     spark_runs, duck_runs = [], []
-    for i in range(n_pairs):
+
+    def run_pair(i, total):
         spark_runs.append(_run_json([sys.executable, "bench.py"]))
         duck_runs.append(_run_json([sys.executable, "scripts/duck_bench.py"]))
-        print(f"pair {i + 1}/{n_pairs} done", file=sys.stderr)
+        print(f"pair {i + 1}/{total} done", file=sys.stderr)
+
+    for i in range(n_pairs):
+        run_pair(i, n_pairs)
+
+    # Auto-rerun-on-stall (VERDICT r10 #1): a protocol run must end with
+    # >=2 clean Spark legs, else the headline estimators are computed
+    # from a pool the known pathology contaminated. Re-derive the stall
+    # set after each extra pair (the 1.25x rule references the session's
+    # best leg, which an extra pair can improve).
+    def stalled_legs():
+        comp = sorted(set.intersection(
+            *(set(r["queries"]) for r in spark_runs + duck_runs)))
+        st = [sum(r["queries"][q] for q in comp) for r in spark_runs]
+        dt = [sum(r["queries"][q] for q in comp) for r in duck_runs]
+        return [i for i in range(len(spark_runs))
+                if st[i] > 1.25 * min(st) or dt[i] > 1.25 * min(dt)]
+
+    extra = 0
+    while (len(spark_runs) - len(stalled_legs()) < 2 and extra < max_extra):
+        extra += 1
+        print(f"<2 clean pairs — auto-rerun {extra}/{max_extra}",
+              file=sys.stderr)
+        run_pair(len(spark_runs), n_pairs + extra)
+    n_pairs = len(spark_runs)
 
     # intersect across ALL runs, not just run 0 (ADVICE r5): a gate that
     # errored or was skipped mid-protocol must narrow the comparable set,
@@ -123,6 +236,13 @@ def main() -> None:
         "ratio_range": _rng(pair_ratios),
         "stalled_pairs": stalled,
         "stall_rule": "leg's comparable-suite total > 1.25x the session's best same-engine leg",
+        "auto_rerun_pairs": max(n_pairs - (int(sys.argv[1]) if len(sys.argv) > 1 else 3), 0),
+        "spark_leg_diag": [_leg_diag(r) for r in spark_runs],
+        "stall_evidence": _classify_stalls(
+            [i for i in stalled
+             if s_tot[i] > 1.25 * min(s_tot)],  # Spark-side stalls only
+            [_leg_diag(r) for r in spark_runs],
+        ),
         "spark_leg_totals": [round(t, 2) for t in s_tot],
         "duck_leg_totals": [round(t, 2) for t in d_tot],
         "clean_pair_ratios": clean_ratios,

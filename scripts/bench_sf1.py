@@ -243,6 +243,18 @@ def time_duck_incremental_probe(sf_dir: str) -> float:
         incremental_index_oracle_sqls,
     )
 
+    if sf_dir not in _BAND_INDEX_DIRS:
+        # the ordering contract from the docstring, enforced (ADVICE r10):
+        # the Spark dedup_incremental gate's warm pass registers the
+        # persisted layout for this sf_dir; a standalone/partial section
+        # run that skipped it must not die on a bare KeyError
+        raise RuntimeError(
+            f"no persisted band index registered for {sf_dir}: run the "
+            "Spark dedup_incremental gate for this sf_dir first "
+            "(time_spark with GATES including dedup_incremental) — its "
+            "warm pass builds and registers the write_band_index layout "
+            "this probe times DuckDB against"
+        )
     idx_dir = _BAND_INDEX_DIRS[sf_dir]
     _, probe = incremental_index_oracle_sqls(
         index_relation=f"SELECT * FROM read_parquet('{idx_dir}/*/*.parquet')"

@@ -42,9 +42,15 @@ def main() -> None:
     spark = get_spark(app_name="mpp-floor-ab")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm both arms (codegen + file listing + registration)
-    for g in GATES:
-        run_spark_query(g, spark, SF).foreach(lambda r: None)
+    # warm EACH ARM (codegen + file listing + registration): AQE-off
+    # plans have different shapes, so a default-only warm-up would bill
+    # the off arm's first timed run for whole-stage-codegen compilation
+    # (ADVICE r10)
+    for flag in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.enabled", flag)
+        for g in GATES:
+            run_spark_query(g, spark, SF).foreach(lambda r: None)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     best = {g: {"aqe_on": float("inf"), "aqe_off": float("inf")} for g in GATES}
     for _ in range(n):
