@@ -102,6 +102,30 @@ class _Diag:
         rest = raw.rsplit(")", 1)[-1].split()
         return round((int(rest[11]) + int(rest[12])) / self._tick, 2)
 
+    def _stat_cpu(self) -> dict:
+        """Aggregate /proc/stat cpu line: guest-visible busy time plus
+        STEAL — on this Firecracker guest, steal is the one counter that
+        distinguishes 'the hypervisor descheduled our vCPUs' (host
+        contention; steal climbs) from in-guest causes."""
+        raw = _read_first("/proc/stat") or ""
+        for line in raw.splitlines():
+            if line.startswith("cpu "):
+                f = [int(x) for x in line.split()[1:]]
+                # user nice system idle iowait irq softirq steal
+                return {
+                    "busy_s": round(sum(f[:3] + f[5:7]) / self._tick, 2),
+                    "iowait_s": round(f[4] / self._tick, 2),
+                    "steal_s": round(f[7] / self._tick, 2) if len(f) > 7 else None,
+                }
+        return {}
+
+    @staticmethod
+    def _cpu_mhz() -> float | None:
+        raw = _read_first("/proc/cpuinfo") or ""
+        mhz = [float(l.split(":")[1]) for l in raw.splitlines()
+               if l.lower().startswith("cpu mhz")]
+        return round(sum(mhz) / len(mhz), 0) if mhz else None
+
     def snap(self) -> dict:
         mem_kb = None
         meminfo = _read_first("/proc/meminfo") or ""
@@ -120,6 +144,8 @@ class _Diag:
             "psi_mem_us": _psi_some_total_us("memory"),
             "psi_io_us": _psi_some_total_us("io"),
             "cgroup": _cgroup_cpu_stat(),
+            "stat": self._stat_cpu(),
+            "cpu_mhz": self._cpu_mhz(),
         }
 
     @staticmethod
@@ -132,6 +158,14 @@ class _Diag:
         for k in ("nr_throttled", "throttled_usec"):
             if k in a.get("cgroup", {}) and k in b.get("cgroup", {}):
                 out[k] = b["cgroup"][k] - a["cgroup"][k]
+        for k in ("busy_s", "iowait_s", "steal_s"):
+            va, vb = a.get("stat", {}).get(k), b.get("stat", {}).get(k)
+            if va is not None and vb is not None:
+                out[k] = round(vb - va, 2)
+        if out.get("steal_s") is not None and out["wall_s"] > 0:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            out["steal_share"] = round(out["steal_s"] / (out["wall_s"] * cpus), 4)
+        out["cpu_mhz"] = [a.get("cpu_mhz"), b.get("cpu_mhz")]
         out["loadavg1"] = [a.get("loadavg1"), b.get("loadavg1")]
         out["mem_avail_mb"] = [a.get("mem_avail_mb"), b.get("mem_avail_mb")]
         if out.get("jvm_cpu_s") is not None and out["wall_s"] > 0:

@@ -159,7 +159,11 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def contamination_overlap(
-    docs: DataFrame, benchmark: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _force_shape: str | None = None,
 ) -> DataFrame:
     """Docs sharing word-shingles with a benchmark/eval corpus — the
     decontamination check every training pipeline runs before a data
@@ -200,6 +204,45 @@ def contamination_overlap(
     bench_grams = shingles(benchmark, id_col, text_col).select(
         F.xxhash64("sh").alias("sh")
     )
+    from duckdb_mpp_spark.table import is_small_source
+
+    small = is_small_source(docs)
+    # ALTERNATE SHAPE (r11, VERDICT r10 #3) — the A/B arm that
+    # `scripts/settle_contamination.py` times, NOT a default at any
+    # scale: the id-repartition trick (repartition the raw text on the
+    # doc id once; the totals agg, hits agg and verdict join all reuse
+    # that one exchange — no semi-join barrier, no second parquet scan).
+    # Measured EQUAL to the two-scan shape at sf0.1 (0.859 vs 0.842
+    # settled, same session) because both are wave-bound, and it computes
+    # corpus-wide distinct totals even when no doc is contaminated —
+    # strictly more task work on clean corpora. A third shape (per-doc
+    # gram arrays via transform() lambdas, zero shuffles) measured 9.6 s:
+    # interpreted higher-order-function eval per gram; rejected. Settled
+    # conclusion (SCALING.md r11): every shape floors at ~4 sequential
+    # waves × the session job floor + ~0.35 s task time, which is DuckDB
+    # parity — the two-scan shape stays the one default at every scale.
+    if _force_shape == "onepass":
+        d = docs.select(F.col(id_col), F.col(text_col)).repartition(id_col)
+        dsh = shingles(d, id_col, text_col).select(
+            F.col(id_col), F.xxhash64("sh").alias("sh")
+        )
+        tot = dsh.groupBy(id_col).agg(
+            F.count_distinct("sh").alias("n_shingles")
+        )
+        hits = (
+            dsh.join(F.broadcast(bench_grams), "sh")
+            .groupBy(id_col)
+            .agg(F.count_distinct("sh").alias("n_contaminated"))
+        )
+        per = tot.join(hits, id_col)
+        return per.select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+            ).alias("contamination_frac"),
+        )
     dsh = shingles(docs, id_col, text_col).select(
         F.col(id_col), F.xxhash64("sh").alias("sh")
     )
@@ -227,9 +270,6 @@ def contamination_overlap(
     # where a shuffle semi-join degrades gracefully. Under the switch the
     # semi-join build is provably bounded by the (small) corpus itself;
     # past it AQE decides from the measured hit count.
-    from duckdb_mpp_spark.table import is_small_source
-
-    small = is_small_source(docs)
     hit_ids = hits.select(id_col)
     docs_c = docs.join(
         F.broadcast(hit_ids) if small else hit_ids, id_col, "left_semi"

@@ -66,6 +66,20 @@ def triangles(edges: DataFrame) -> DataFrame:
     orientation exists to protect. Duplicate input edges would merge here
     (set semantics) — candidate-pair builders already emit distinct
     pairs."""
+    # Hostile-input guard (sweep r11): a self-loop (a,a) survives the
+    # canonical (lo,hi) grouping as the degenerate oriented edge u==v and
+    # the two-join then FABRICATES "triangles" (a,a,b) with every real
+    # neighbor; worse, Spark's least/greatest IGNORE NULLs, so an edge
+    # with a NULL endpoint canonicalizes to exactly that degenerate form
+    # — measured 5 vs 1 and 7 vs 1 triangles against the oracle on the
+    # crafted fixtures. Simple-graph semantics (matching the DuckDB
+    # oracle and every candidate-pair producer): drop NULL endpoints and
+    # self-loops map-side before anything else.
+    edges = edges.where(
+        F.col("doc_a").isNotNull()
+        & F.col("doc_b").isNotNull()
+        & (F.col("doc_a") != F.col("doc_b"))
+    )
     half = edges.select(
         F.col("doc_a").alias("node"), F.col("doc_b").alias("other")
     ).unionAll(

@@ -250,7 +250,14 @@ def decode_sgm_features(df: DataFrame) -> DataFrame:
                 # same one-bad-row principle as the GEMM NULL guards).
                 try:
                     img = decode_media(payload if payload is not None else b"")
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # ValueError too (hostile sweep r11): a CORRUPT payload
+                    # whose magic matches a registered decoder (truncated
+                    # pixel buffer, short header, channels overflow) raised
+                    # out of decode_sgm and aborted the whole task — the
+                    # exact one-bad-row failure the NotImplementedError
+                    # guard was added for, reachable by any bit-rotted blob
+                    # in a real crawl.
                     rows["doc_id"].append(doc_id)
                     for k in ("width", "height", "channels", "n_pixels", "mean_pixel"):
                         rows[k].append(None)

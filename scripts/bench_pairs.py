@@ -76,13 +76,16 @@ def _leg_diag(run: dict) -> dict:
         return {}
     out = {}
     for k in ("wall_s", "gc_ms", "jvm_cpu_s", "psi_cpu_us", "psi_mem_us",
-              "psi_io_us", "nr_throttled", "throttled_usec"):
+              "psi_io_us", "nr_throttled", "throttled_usec",
+              "busy_s", "iowait_s", "steal_s"):
         vals = [s[k] for s in sweeps if s.get(k) is not None]
         if vals:
             out[k] = round(sum(vals), 2)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if out.get("jvm_cpu_s") is not None and out.get("wall_s"):
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         out["jvm_cpu_share"] = round(out["jvm_cpu_s"] / (out["wall_s"] * cpus), 3)
+    if out.get("steal_s") is not None and out.get("wall_s"):
+        out["steal_share"] = round(out["steal_s"] / (out["wall_s"] * cpus), 4)
     if out.get("gc_ms") is not None and out.get("wall_s"):
         out["gc_share"] = round(out["gc_ms"] / (out["wall_s"] * 1000), 4)
     la = [s.get("loadavg1") for s in sweeps if s.get("loadavg1")]
@@ -112,7 +115,7 @@ def _classify_stalls(stalled: list[int], diags: list[dict]) -> dict:
     base = {
         k: _mean([d.get(k) for d in clean])
         for k in ("gc_share", "jvm_cpu_share", "psi_io_us", "psi_mem_us",
-                  "psi_cpu_us", "throttled_usec")
+                  "psi_cpu_us", "throttled_usec", "steal_share")
     }
     out = {"clean_leg_means": {k: (round(v, 4) if v is not None else None)
                                for k, v in base.items()}}
@@ -122,6 +125,15 @@ def _classify_stalls(stalled: list[int], diags: list[dict]) -> dict:
             out[f"leg_{i}"] = {"verdict": ["no diag captured"]}
             continue
         causes = []
+        # steal first: on this Firecracker guest it is the conclusive
+        # signal — the hypervisor descheduled our vCPUs for another
+        # tenant, which no in-guest counter (loadavg, PSI, GC) reflects
+        ss, bss = d.get("steal_share"), base.get("steal_share")
+        if ss is not None and ss > 0.02 and (not bss or ss > 2 * bss):
+            causes.append(
+                f"hypervisor-steal (steal_share {ss} vs clean "
+                f"{round(bss or 0, 4)}: host-level contention outside the VM)"
+            )
         gs, bgs = d.get("gc_share"), base.get("gc_share")
         if gs is not None and gs > 0.05 and (not bgs or gs > 2 * bgs):
             causes.append(f"gc (gc_share {gs} vs clean {round(bgs or 0, 4)})")

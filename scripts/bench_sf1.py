@@ -84,8 +84,23 @@ FIXED_GATES = [
     "q13_customer_distribution",
     "events_cohort_retention",
     "events_sessionization",
+    # r11 (VERDICT r10 #4): the remaining floor-bound gates get the same
+    # 1x/10x/30x trajectory. user_features replicas scale user
+    # cardinality with per-user structure preserved; resample_ffill's
+    # OUTPUT grid (event_type × fixed time range) is scale-constant by
+    # construction — its trajectory measures the scan+agg work over the
+    # cells, which is the part that scales.
+    "events_resample_ffill",
+    "events_user_features",
 ]
 FIXED_TABLES = ["events", "customer", "orders"]
+
+# r11: pipeline_global_shuffle reads documents, not events — it gets its
+# own docs-only replica dirs inside section_fixed
+FIXED_DOC_GATES = ["pipeline_global_shuffle"]
+FX_DOC_BASE = "/tmp/mpp_fx_doc_base"
+FX_DOC_BIG = "/tmp/mpp_fx_doc_big"
+FX_DOC_BIG30 = "/tmp/mpp_fx_doc_big30"
 
 
 def _signed_embeddings(emb, rep: int):
@@ -385,6 +400,29 @@ def section_fixed(spark, oracles) -> dict:
             }
     finally:
         for p in (EV_BASE_DIR, EV_BIG_DIR, EV_BIG30_DIR):
+            shutil.rmtree(p, ignore_errors=True)
+    # docs-backed floor-bound gate (r11): same protocol over word-tag-
+    # disjoint documents replicas
+    build_docs(
+        spark,
+        [(FX_DOC_BASE, 1, False), (FX_DOC_BIG, REPLICAS, False),
+         (FX_DOC_BIG30, 30, False)],
+    )
+    try:
+        for label, d in (
+            ("sf0.1", FX_DOC_BASE),
+            (f"sf1_{REPLICAS}x", FX_DOC_BIG),
+            ("sf3_30x", FX_DOC_BIG30),
+        ):
+            s = time_spark(spark, d, FIXED_DOC_GATES)
+            k = time_duck(d, oracles, FIXED_DOC_GATES, tables=("documents",))
+            result.setdefault(label, {})
+            for n in FIXED_DOC_GATES:
+                result[label]["spark"][n] = s[n]
+                result[label]["duckdb"][n] = k[n]
+                result[label]["ratio"][n] = round(s[n] / max(k[n], 1e-4), 2)
+    finally:
+        for p in (FX_DOC_BASE, FX_DOC_BIG, FX_DOC_BIG30):
             shutil.rmtree(p, ignore_errors=True)
     return result
 
