@@ -163,15 +163,18 @@ class _Diag:
             if va is not None and vb is not None:
                 out[k] = round(vb - va, 2)
         if out.get("steal_s") is not None and out["wall_s"] > 0:
-            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-            out["steal_share"] = round(out["steal_s"] / (out["wall_s"] * cpus), 4)
+            out["steal_share"] = round(out["steal_s"] / (out["wall_s"] * ncpu), 4)
         out["cpu_mhz"] = [a.get("cpu_mhz"), b.get("cpu_mhz")]
         out["loadavg1"] = [a.get("loadavg1"), b.get("loadavg1")]
         out["mem_avail_mb"] = [a.get("mem_avail_mb"), b.get("mem_avail_mb")]
+        # normalize by ONLINE CPUs, not the Spark thread knob: /proc/stat
+        # steal and JVM cpu-time accumulate over every vCPU regardless of
+        # SPARK_GRAFT_CPUS, so a user running Spark at 8 threads on the
+        # 32-vCPU guest would otherwise see shares 4x too high (review r11)
+        ncpu = os.cpu_count() or 1
         if out.get("jvm_cpu_s") is not None and out["wall_s"] > 0:
-            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             out["jvm_cpu_share"] = round(
-                out["jvm_cpu_s"] / (out["wall_s"] * cpus), 3
+                out["jvm_cpu_s"] / (out["wall_s"] * ncpu), 3
             )
         if out.get("gc_ms") is not None and out["wall_s"] > 0:
             out["gc_share"] = round(out["gc_ms"] / (out["wall_s"] * 1000), 4)

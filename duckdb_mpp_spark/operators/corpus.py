@@ -204,9 +204,6 @@ def contamination_overlap(
     bench_grams = shingles(benchmark, id_col, text_col).select(
         F.xxhash64("sh").alias("sh")
     )
-    from duckdb_mpp_spark.table import is_small_source
-
-    small = is_small_source(docs)
     # ALTERNATE SHAPE (r11, VERDICT r10 #3) — the A/B arm that
     # `scripts/settle_contamination.py` times, NOT a default at any
     # scale: the id-repartition trick (repartition the raw text on the
@@ -269,7 +266,12 @@ def contamination_overlap(
     # a forced corpus-sized broadcast would hit Spark's broadcast limit
     # where a shuffle semi-join degrades gracefully. Under the switch the
     # semi-join build is provably bounded by the (small) corpus itself;
-    # past it AQE decides from the measured hit count.
+    # past it AQE decides from the measured hit count. (The plan-stats
+    # probe lives HERE, below the onepass early return, so the A/B arm
+    # never pays a driver-side stats analysis it does not use.)
+    from duckdb_mpp_spark.table import is_small_source
+
+    small = is_small_source(docs)
     hit_ids = hits.select(id_col)
     docs_c = docs.join(
         F.broadcast(hit_ids) if small else hit_ids, id_col, "left_semi"

@@ -81,11 +81,12 @@ def _leg_diag(run: dict) -> dict:
         vals = [s[k] for s in sweeps if s.get(k) is not None]
         if vals:
             out[k] = round(sum(vals), 2)
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # online CPUs, not the Spark thread knob — see bench.py _Diag.delta
+    ncpu = os.cpu_count() or 1
     if out.get("jvm_cpu_s") is not None and out.get("wall_s"):
-        out["jvm_cpu_share"] = round(out["jvm_cpu_s"] / (out["wall_s"] * cpus), 3)
+        out["jvm_cpu_share"] = round(out["jvm_cpu_s"] / (out["wall_s"] * ncpu), 3)
     if out.get("steal_s") is not None and out.get("wall_s"):
-        out["steal_share"] = round(out["steal_s"] / (out["wall_s"] * cpus), 4)
+        out["steal_share"] = round(out["steal_s"] / (out["wall_s"] * ncpu), 4)
     if out.get("gc_ms") is not None and out.get("wall_s"):
         out["gc_share"] = round(out["gc_ms"] / (out["wall_s"] * 1000), 4)
     la = [s.get("loadavg1") for s in sweeps if s.get("loadavg1")]
@@ -151,9 +152,15 @@ def _classify_stalls(stalled: list[int], diags: list[dict]) -> dict:
                 "queries — cpu-frequency scaling or in-JVM overhead, not "
                 "descheduling)"
             )
-        th = d.get("throttled_usec")
-        if th and th > 1e5:
-            causes.append(f"cgroup-throttled ({th} us)")
+        th, bth = d.get("throttled_usec"), base.get("throttled_usec")
+        # share-of-wall based like every other cause (review r11): 100 ms
+        # of throttling over a 60 s leg is noise, not a mechanism
+        if (th and d.get("wall_s") and th > 0.02 * d["wall_s"] * 1e6
+                and (not bth or th > 2 * bth)):
+            causes.append(
+                f"cgroup-throttled ({th} us, "
+                f"{round(th / (d['wall_s'] * 1e4), 1)}% of wall)"
+            )
         pio, bio = d.get("psi_io_us"), base.get("psi_io_us")
         if pio is not None and pio > 1e6 and (not bio or pio > 5 * bio):
             causes.append(f"io-pressure (psi_io {pio} us vs clean {bio})")
@@ -168,7 +175,9 @@ def _classify_stalls(stalled: list[int], diags: list[dict]) -> dict:
 
 
 def main() -> None:
-    n_pairs = max(int(sys.argv[1]) if len(sys.argv) > 1 else 3, 1)
+    n_pairs = requested_pairs = max(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 3, 1
+    )
     max_extra = 3  # auto-rerun budget (VERDICT r10 #1)
     spark_runs, duck_runs = [], []
 
@@ -248,7 +257,7 @@ def main() -> None:
         "ratio_range": _rng(pair_ratios),
         "stalled_pairs": stalled,
         "stall_rule": "leg's comparable-suite total > 1.25x the session's best same-engine leg",
-        "auto_rerun_pairs": max(n_pairs - (int(sys.argv[1]) if len(sys.argv) > 1 else 3), 0),
+        "auto_rerun_pairs": n_pairs - requested_pairs,
         "spark_leg_diag": [_leg_diag(r) for r in spark_runs],
         "stall_evidence": _classify_stalls(
             [i for i in stalled

@@ -416,7 +416,13 @@ def section_fixed(spark, oracles) -> dict:
         ):
             s = time_spark(spark, d, FIXED_DOC_GATES)
             k = time_duck(d, oracles, FIXED_DOC_GATES, tables=("documents",))
-            result.setdefault(label, {})
+            if label not in result:
+                # fail loudly (review r11): a silently-inserted empty dict
+                # would KeyError one line down AFTER minutes of builds
+                raise RuntimeError(
+                    f"docs-loop label {label!r} has no events-loop result "
+                    "to merge into — the two label tuples diverged"
+                )
             for n in FIXED_DOC_GATES:
                 result[label]["spark"][n] = s[n]
                 result[label]["duckdb"][n] = k[n]

@@ -6,9 +6,12 @@ hits every arm equally, warm min-of-N.
 Arms:
 - twoscan  — the r9 hit-bounded two-corpus-scan shape (large-regime
   default; zero corpus-sized shuffles).
-- onepass  — the r11 map-side-totals shape (small regime): per-doc
-  n_shingles via array_distinct in-row, carried through the hits
-  groupBy — one corpus pass, no semi-join barrier, no verdict join.
+- onepass  — the r11 id-repartition shape: the raw text is exchanged
+  once on the doc id; the totals aggregate, hits aggregate and verdict
+  join all reuse that single exchange — no semi-join barrier, no second
+  parquet scan. (A genuinely join-free in-row array_distinct shape was
+  a THIRD variant, measured separately at 9.6 s — interpreted lambda
+  eval — and rejected before this protocol ran; it is not an arm here.)
 - duck     — the registry oracle SQL, 32 threads.
 
 Usage: python scripts/settle_contamination.py [N_rounds]  (default 5)
