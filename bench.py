@@ -151,6 +151,12 @@ class _Diag:
     @staticmethod
     def delta(a: dict, b: dict) -> dict:
         """b - a for the monotone counters; endpoints for the gauges."""
+        # normalize shares by ONLINE CPUs, not the Spark thread knob:
+        # /proc/stat steal and JVM cpu-time accumulate over every vCPU
+        # regardless of SPARK_GRAFT_CPUS, so a user running Spark at 8
+        # threads on the 32-vCPU guest would otherwise see shares 4x too
+        # high (review r11)
+        ncpu = os.cpu_count() or 1
         out = {"wall_s": round(b["t"] - a["t"], 2)}
         for k in ("gc_ms", "jvm_cpu_s", "psi_cpu_us", "psi_mem_us", "psi_io_us"):
             if a.get(k) is not None and b.get(k) is not None:
@@ -167,11 +173,6 @@ class _Diag:
         out["cpu_mhz"] = [a.get("cpu_mhz"), b.get("cpu_mhz")]
         out["loadavg1"] = [a.get("loadavg1"), b.get("loadavg1")]
         out["mem_avail_mb"] = [a.get("mem_avail_mb"), b.get("mem_avail_mb")]
-        # normalize by ONLINE CPUs, not the Spark thread knob: /proc/stat
-        # steal and JVM cpu-time accumulate over every vCPU regardless of
-        # SPARK_GRAFT_CPUS, so a user running Spark at 8 threads on the
-        # 32-vCPU guest would otherwise see shares 4x too high (review r11)
-        ncpu = os.cpu_count() or 1
         if out.get("jvm_cpu_s") is not None and out["wall_s"] > 0:
             out["jvm_cpu_share"] = round(
                 out["jvm_cpu_s"] / (out["wall_s"] * ncpu), 3
