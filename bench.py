@@ -390,26 +390,48 @@ def main() -> None:
     if not extra:
         bench_mpp_split(timings)
 
-    total = round(sum(timings.values()), 4)
+    # DRIVER CONTRACT (VERDICT r11 #1): the driver captures only the LAST
+    # ~2,000 chars of stdout and json-parses the final line. Inlining
+    # sweep_diag (two ~700-char dicts) in r11 pushed the line past that
+    # window and the driver recorded `parsed: null`. The diag therefore
+    # goes to a side file + its own labeled line BEFORE the final line;
+    # the final line carries only the compact headline fields.
+    # `tests/test_bench_contract.py` pins the final line under 1,800
+    # chars with 40 synthetic query timings.
+    diag_payload = json.dumps({"sweep_diag": sweep_diags})
+    try:
+        with open(os.path.join(REPO, "BENCH_DIAG.json"), "w") as f:
+            f.write(diag_payload + "\n")
+    except Exception:
+        pass
+    print("BENCH_DIAG: " + diag_payload)
     print(
         json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "sweep_totals": sweep_totals,
-                "stall_suspected": stall_suspected,
-                "stall_rule": (
-                    "two time-separated sweeps; suspected when totals "
-                    "diverge >25% (value is per-query min across sweeps, "
-                    "i.e. the best-known clean cost)"
-                ),
-                "sweep_diag": sweep_diags,
-            }
+            build_final_line(timings, sf, sweep_totals, stall_suspected),
+            separators=(",", ":"),
         )
     )
+
+
+def build_final_line(
+    timings: dict[str, float],
+    sf: str,
+    sweep_totals: list[float],
+    stall_suspected: bool,
+) -> dict:
+    """The dict for the driver-facing final stdout line. Keep it compact:
+    the driver tail-captures 2,000 chars — no diag payloads, no prose
+    fields beyond the one-line stall rule."""
+    return {
+        "metric": "headline_suite_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sweep_totals": sweep_totals,
+        "stall_suspected": stall_suspected,
+        "stall_rule": "2 sweeps; per-query min; suspect if totals diverge >25%",
+    }
 
 
 if __name__ == "__main__":

@@ -198,6 +198,16 @@ def contamination_overlap(
     both corpus-shuffle shapes (the r8 two-level aggregate and the
     one-exchange multi-distinct alternative), so the scale-right shape is
     also the fastest at bench scale."""
+    # A/B arm names are a closed set (ADVICE r11 #3): a typo'd arm in a
+    # measurement script ('one_pass') would otherwise silently time the
+    # default shape and the A/B would compare the default to itself.
+    # 'twoscan' IS the default shape — accepted so settle_contamination
+    # can name both arms explicitly.
+    if _force_shape not in (None, "onepass", "twoscan"):
+        raise ValueError(
+            f"_force_shape={_force_shape!r}: expected None, 'onepass' or "
+            "'twoscan' (the default two-scan hit-bounded shape)"
+        )
     # 64-bit gram keys: smaller broadcast table, bigint join keys, and
     # the count_distinct shuffle moves 8 bytes per surviving gram
     # instead of the raw ~40-byte string (collision odds 2^-64-scale)

@@ -740,6 +740,37 @@ def _band_index_schema(path: str):
         return None
 
 
+def _validate_legacy_footers(path: str, expected_cols: set[str]) -> None:
+    """Every data file's footer column set must EQUAL ``expected_cols``
+    (ADVICE r11 #2). mergeSchema already rejects type conflicts; this
+    closes the silent case — column-set drift across legacy generations —
+    which mergeSchema heals to a superset that misdescribes the narrower
+    generation (phantom-NULL backfill on read, spurious rejection of
+    future appends matching the narrow schema). pyarrow footer reads:
+    metadata-only, no data pages, driver-side over a legacy layout's
+    bounded file count (1 file/bucket/generation), and one-time — the
+    validated schema is recorded so the layout never re-enters this path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            cols = set(pq.ParquetFile(full).schema_arrow.names)
+            if cols != expected_cols:
+                raise ValueError(
+                    f"band index at {path}: generation file {full} has "
+                    f"columns {sorted(cols)} but the layout merges to "
+                    f"{sorted(expected_cols)} — column-set drift across "
+                    "legacy generations would be healed to the superset "
+                    "(phantom NULLs for the narrow generation); rewrite "
+                    "with mode='overwrite'"
+                )
+
+
 def band_bucket_expr(n_buckets: int = BAND_INDEX_BUCKETS):
     """Bucket id of a band signature row: ``pmod(xxhash64(band, band_key),
     n)`` — the same hash-routing rule DistributedTable uses for rows
@@ -822,10 +853,16 @@ def write_band_index(
             # don't skip validation — infer the layout's schema from the
             # existing parquet footers. mergeSchema reads EVERY
             # generation's footer (metadata-only, no data pages) and
-            # raises on footer-incompatible generations, so a passing
-            # inference certifies the whole existing layout, and the
-            # schema is then recorded so future appends skip the
-            # inference job (ADVICE r10 #2).
+            # raises on TYPE-incompatible generations (StructType.merge
+            # throws for any differing non-decimal types). The one drift
+            # it heals SILENTLY is column-SET drift — a column present in
+            # one generation and absent in another merges to the superset,
+            # which read_band_index's hint would then backfill with NULLs
+            # for the generation that never wrote it (ADVICE r11 #2). So
+            # after inference, every file footer's column set must EQUAL
+            # the inferred set (pyarrow footer reads: metadata-only,
+            # driver-side, one-time — the schema is recorded after this
+            # heal so future appends skip both steps).
             try:
                 recorded = (
                     bands.sparkSession.read.option("mergeSchema", "true")
@@ -840,6 +877,7 @@ def write_band_index(
                     "schemas — appending would deepen the mix; rewrite "
                     "with mode='overwrite'"
                 ) from exc
+            _validate_legacy_footers(path, {f.name for f in recorded.fields})
         # name -> type comparison: column ORDER and nullability are
         # parquet-read-irrelevant (name-based resolution; the hint's
         # fields are nullable), but a TYPE drift would misread

@@ -7,8 +7,10 @@ protocol so any party re-running it computes the same *kind* of number
 and sees the spread instead of one sample from it:
 
   for i in 1..N:                      # N back-to-back matched pairs
-      bench.py           (Spark; warm pass + min-of-2 per query)
-      scripts/duck_bench.py (DuckDB; same methodology, same oracle SQL)
+      bench.py           (Spark; warm pass + 2 sweeps x min-of-2 per
+                          query, value = per-query min across sweeps)
+      scripts/duck_bench.py (DuckDB; SAME two-sweep methodology, same
+                          oracle SQL — ADVICE r11 #1 symmetry)
 
 Estimators reported, most- to least-conservative:
   * ``pair_ratios`` + ``ratio_range`` — each pair's comparable-total
@@ -251,7 +253,11 @@ def main() -> None:
     clean_ratios = [r for i, r in enumerate(pair_ratios) if i not in stalled]
 
     print(json.dumps({
-        "protocol": f"{n_pairs} back-to-back matched pairs, warm min-of-2 both engines",
+        "protocol": (
+            f"{n_pairs} back-to-back matched pairs; both engines warm, "
+            "2 time-separated sweeps x min-of-2 reps, per-query min "
+            "across sweeps"
+        ),
         "n_comparable": len(comparable),
         "pair_ratios": pair_ratios,
         "ratio_range": _rng(pair_ratios),

@@ -74,8 +74,11 @@ GATES = [
 ]
 
 # the two gates whose 10x ratio had not crossed 1.5 by r8 — measured again
-# at 30x (VERDICT r8 #1b: "one 30x point for just those two gates")
-GATES_30X = ["dedup_ngram_jaccard", "dedup_incremental"]
+# at 30x (VERDICT r8 #1b: "one 30x point for just those two gates").
+# r12 (VERDICT r11 #3): dedup_substring_spans joins the 30x section — it
+# was the only corpus gate reading >2.5x at sf0.1 whose scale story
+# rested on a single r9 10x point (1.49x, falling).
+GATES_30X = ["dedup_ngram_jaccard", "dedup_incremental", "dedup_substring_spans"]
 
 # fixed-overhead micro-gates (VERDICT r8 #5): the 100 TB story for these
 # rested on the scheduling-residual argument alone; this section gives them

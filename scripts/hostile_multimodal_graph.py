@@ -25,13 +25,17 @@ verdicts; exit code 1 when any case fails.
 """
 
 import json
+import os
 import sys
 import traceback
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+# derive the repo from this file's location, same as every other script
+# in scripts/ (ADVICE r11 #4: a hardcoded absolute path imports a fixed
+# checkout regardless of which repo the sweep is run from)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = {}
 
