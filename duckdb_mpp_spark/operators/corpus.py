@@ -516,8 +516,21 @@ def weighted_domain_sample(
     """Deterministic per-domain downsampling — the mixture-reweighting step
     of corpus assembly. Keep a row iff its md5-derived uniform is below the
     domain's weight: reproducible across runs/engines/retries (no ``rand()``),
-    single scan, no shuffle."""
+    single scan, no shuffle.
+
+    Weights must be real numbers: a NaN weight raises at call time
+    (hostile sweep r12 — Spark orders NaN ABOVE every numeric value, so
+    ``u < NaN`` is TRUE for every row and a NaN weight, e.g. an upstream
+    0/0, silently kept the ENTIRE domain instead of nothing). Zero and
+    negative weights keep nothing, weights >= 1 keep everything — those
+    follow from ``u ∈ [0, 1)`` and need no special arms."""
     weights = DOMAIN_WEIGHTS if weights is None else weights
+    for dom, wt in weights.items():
+        if wt != wt:  # NaN — the one float that INVERTS the keep filter
+            raise ValueError(
+                f"weight for domain {dom!r} is NaN; NaN compares greater "
+                "than every uniform draw and would keep the whole domain"
+            )
     w = F.lit(DEFAULT_WEIGHT)
     for k, v in sorted(weights.items()):
         w = F.when(F.col(domain_col) == k, F.lit(v)).otherwise(w)
