@@ -42,7 +42,6 @@ per-case verdicts; exit code 1 when any case fails.
 
 import json
 import os
-import shutil
 import sys
 import tempfile
 import traceback
@@ -186,15 +185,57 @@ def _(spark):
     assert manifest.current_version(tbl.path) == v
     # state stays loadable and value-identical
     assert _rows(tbl.scan()) == _rows(_frame(spark, 0, 8))
-    # the loser raised at base-check time (head already moved), so it
-    # wrote no manifests; a loser that loses the LINK race (two writers
-    # past the base check) leaves orphaned m- files — craft that by
-    # committing from the fresh base with a pre-claimed target version
     cdir = os.path.join(tbl.path, manifest.COMMITS_DIR)
     n_manifests = len([f for f in os.listdir(cdir) if f.startswith("m-")])
     tbl.vacuum(keep_commits=1, orphan_grace_seconds=0)
     kept = len([f for f in os.listdir(cdir) if f.startswith("m-")])
     assert kept <= n_manifests, "vacuum grew the manifest set"
+    assert _rows(tbl.scan()) == _rows(_frame(spark, 0, 8))
+
+
+@case("manifest_commit_link_race_loser_conflicts")
+def _(spark):
+    """The DEEPER race: both writers pass the base check (the head has
+    not moved yet when the loser reads it) and race the conditional put
+    itself — os.link must hand exactly one of them the version file,
+    the loser must surface CommitConflict ('lost race publishing'), and
+    the loser's freshly-written bucket manifests must be vacuumable
+    garbage, never a corrupted head."""
+    from duckdb_mpp_spark import manifest
+    from duckdb_mpp_spark.manifest import CommitConflict
+
+    mpp = _mpp(spark)
+    tbl = mpp.create_distributed_table("t", "k int, v string", "k", 2)
+    tbl.insert(_frame(spark, 0, 8))
+    base, files, _ = tbl.snapshot_full()
+    # freeze the head the loser sees: patch current_version so the
+    # loser's base check passes AFTER the winner has already published —
+    # the deterministic equivalent of two writers racing the link
+    real_cv = manifest.current_version
+    winner_v = manifest.commit(tbl.path, files, base)
+    manifest.current_version = lambda p: base
+    # and aim the loser at the winner's just-claimed version number
+    real_lv = manifest._list_versions
+    manifest._list_versions = lambda p: [x for x in real_lv(p) if x < winner_v]
+    try:
+        try:
+            manifest.commit(tbl.path, dict(files), base)
+            raise AssertionError("link-race loser did not CommitConflict")
+        except CommitConflict as e:
+            assert "lost race" in str(e), f"wrong conflict arm: {e}"
+    finally:
+        manifest.current_version = real_cv
+        manifest._list_versions = real_lv
+    # winner's snapshot intact; loser left no torn version file
+    assert manifest.current_version(tbl.path) == winner_v
+    assert _rows(tbl.scan()) == _rows(_frame(spark, 0, 8))
+    cdir = os.path.join(tbl.path, manifest.COMMITS_DIR)
+    assert not [f for f in os.listdir(cdir) if f.startswith(".tmp-")], (
+        "loser left a staged temp manifest list behind"
+    )
+    # loser's orphaned bucket manifests (if any new were written) are
+    # reclaimed by vacuum without disturbing the live snapshot
+    tbl.vacuum(keep_commits=1, orphan_grace_seconds=0)
     assert _rows(tbl.scan()) == _rows(_frame(spark, 0, 8))
 
 
