@@ -398,10 +398,17 @@ def main() -> None:
     # the final line carries only the compact headline fields.
     # `tests/test_bench_contract.py` pins the final line under 1,800
     # chars with 40 synthetic query timings.
+    # The labeled stdout line is the canonical channel (bench_pairs parses
+    # it per leg); BENCH_DIAG.json is a convenience copy of the MOST
+    # RECENT invocation's diag for post-hoc analysis of a standalone run —
+    # overwritten every run, written atomically (temp + rename) so a
+    # concurrent session never reads a torn file.
     diag_payload = json.dumps({"sweep_diag": sweep_diags})
     try:
-        with open(os.path.join(REPO, "BENCH_DIAG.json"), "w") as f:
+        tmp = os.path.join(REPO, f".bench_diag.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
             f.write(diag_payload + "\n")
+        os.replace(tmp, os.path.join(REPO, "BENCH_DIAG.json"))
     except Exception:
         pass
     print("BENCH_DIAG: " + diag_payload)

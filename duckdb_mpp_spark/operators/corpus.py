@@ -526,10 +526,15 @@ def weighted_domain_sample(
     follow from ``u ∈ [0, 1)`` and need no special arms."""
     weights = DOMAIN_WEIGHTS if weights is None else weights
     for dom, wt in weights.items():
-        if wt != wt:  # NaN — the one float that INVERTS the keep filter
+        # reject NaN (Spark orders it ABOVE every numeric → keeps the
+        # whole domain) and non-numerics like None (lit(None) makes the
+        # keep filter NULL → silently drops the whole domain) — both are
+        # upstream-bug values, both fail loudly (review r12)
+        if not isinstance(wt, (int, float)) or wt != wt:
             raise ValueError(
-                f"weight for domain {dom!r} is NaN; NaN compares greater "
-                "than every uniform draw and would keep the whole domain"
+                f"weight for domain {dom!r} is {wt!r}; weights must be "
+                "real numbers (NaN would keep the whole domain, None "
+                "would silently drop it)"
             )
     w = F.lit(DEFAULT_WEIGHT)
     for k, v in sorted(weights.items()):

@@ -46,11 +46,27 @@ def _run_json(cmd: list[str]) -> dict:
         # minutes of completed pairs is undiagnosable
         sys.stderr.write(e.stderr or "")
         raise
+    run = None
     for line in reversed(out.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON line from {cmd}")
+            run = json.loads(line)
+            break
+    if run is None:
+        raise RuntimeError(f"no JSON line from {cmd}")
+    # bench.py emits the per-sweep diag on its own labeled line since r12
+    # (the driver's 2,000-char tail capture forced it out of the final
+    # JSON line — VERDICT r11 #1); merge it back so _leg_diag and the
+    # stall classifier keep their full evidence. duck_bench has no diag
+    # line — absent is fine.
+    for line in reversed(out.strip().splitlines()):
+        if line.startswith("BENCH_DIAG: "):
+            try:
+                run.update(json.loads(line[len("BENCH_DIAG: "):]))
+            except json.JSONDecodeError:
+                pass
+            break
+    return run
 
 
 def _sum_ratio(keys, spark_q: dict, duck_q: dict) -> float | None:
@@ -114,6 +130,11 @@ def _classify_stalls(stalled: list[int], diags: list[dict]) -> dict:
     only when nothing moved."""
     clean = [diags[i] for i in range(len(diags)) if i not in stalled and diags[i]]
     if not clean:
+        # distinguish "diag channel broken" from "every leg stalled"
+        # (review r12: an all-clean run with empty diags previously read
+        # as if no leg were clean)
+        if not any(diags):
+            return {"note": "no diag captured in any leg"}
         return {"note": "no clean leg to compare against"}
     base = {
         k: _mean([d.get(k) for d in clean])

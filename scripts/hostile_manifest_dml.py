@@ -40,36 +40,17 @@ MUST be run with the repo importable. Prints one JSON line with
 per-case verdicts; exit code 1 when any case fails.
 """
 
-import json
 import os
 import sys
 import tempfile
-import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RESULTS = {}
-CASES = []
+from _hostile_common import Harness  # noqa: E402
 
-
-def case(name):
-    def deco(fn):
-        def run(spark):
-            try:
-                fn(spark)
-                RESULTS[name] = "PASS"
-            except AssertionError as e:
-                RESULTS[name] = f"FAIL: {e}"
-            except Exception as e:
-                RESULTS[name] = f"ERROR: {type(e).__name__}: {e}"
-                traceback.print_exc(file=sys.stderr)
-            print(f"{name}: {RESULTS[name][:120]}", file=sys.stderr)
-
-        run.case_name = name
-        CASES.append(run)
-        return run
-
-    return deco
+_h = Harness("manifest/DML hostile scenarios")
+case = _h.case
 
 
 def _mpp(spark):
@@ -254,7 +235,7 @@ def _(spark):
     # every row whose k hashes to bucket of k=7 — delete by exact bucket
     # occupancy so the bucket ends the commit EMPTY
     bucket_rows = [r.k for r in tbl.scan(keep_bucket=True)
-                   .where(f"__bucket = pmod(hash(7), 4)").collect()]
+                   .where("__bucket = pmod(hash(7), 4)").collect()]
     assert bucket_rows, "fixture bug: target bucket empty before delete"
     n = dml.delete(tbl, f"k in ({','.join(map(str, bucket_rows))})")
     assert n == len(bucket_rows)
@@ -456,22 +437,5 @@ def _(spark):
     assert got == _rows(_frame(spark, 0, 12).union(_frame(spark, 50, 53, tag="b")))
 
 
-def main():
-    from duckdb_mpp_spark.session import get_spark
-
-    spark = get_spark(app_name="hostile-manifest-dml")
-    spark.sparkContext.setLogLevel("ERROR")
-    for fn in CASES:
-        fn(spark)
-    n_fail = sum(1 for v in RESULTS.values() if v != "PASS")
-    print(json.dumps({
-        "sweep": "manifest/DML hostile scenarios",
-        "cases": RESULTS,
-        "n_cases": len(RESULTS),
-        "n_fail": n_fail,
-    }))
-    sys.exit(1 if n_fail else 0)
-
-
 if __name__ == "__main__":
-    main()
+    _h.main(app_name="hostile-manifest-dml")

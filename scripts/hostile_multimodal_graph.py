@@ -24,10 +24,8 @@ MUST run with cwd = repo root. Prints one JSON line with per-case
 verdicts; exit code 1 when any case fails.
 """
 
-import json
 import os
 import sys
-import traceback
 
 import duckdb
 import pandas as pd
@@ -36,31 +34,12 @@ import pandas as pd
 # in scripts/ (ADVICE r11 #4: a hardcoded absolute path imports a fixed
 # checkout regardless of which repo the sweep is run from)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RESULTS = {}
+from _hostile_common import Harness  # noqa: E402
 
-
-def case(name):
-    def deco(fn):
-        def run(spark):
-            try:
-                fn(spark)
-                RESULTS[name] = "PASS"
-            except AssertionError as e:
-                RESULTS[name] = f"FAIL: {e}"
-            except Exception as e:
-                RESULTS[name] = f"ERROR: {type(e).__name__}: {e}"
-                traceback.print_exc(file=sys.stderr)
-            print(f"{name}: {RESULTS[name][:120]}", file=sys.stderr)
-
-        run.case_name = name
-        CASES.append(run)
-        return run
-
-    return deco
-
-
-CASES = []
+_h = Harness("multimodal+graph+skew hostile fixtures")
+case = _h.case
 
 # ---------------------------------------------------------------------------
 # multimodal
@@ -301,22 +280,5 @@ def _(spark):
     assert salted_join(left, right, on="k", n_salts=4).count() == 0
 
 
-def main():
-    from duckdb_mpp_spark.session import get_spark
-
-    spark = get_spark(app_name="hostile-mm-graph")
-    spark.sparkContext.setLogLevel("ERROR")
-    for fn in CASES:
-        fn(spark)
-    n_fail = sum(1 for v in RESULTS.values() if v != "PASS")
-    print(json.dumps({
-        "sweep": "multimodal+graph+skew hostile fixtures",
-        "cases": RESULTS,
-        "n_cases": len(RESULTS),
-        "n_fail": n_fail,
-    }))
-    sys.exit(1 if n_fail else 0)
-
-
 if __name__ == "__main__":
-    main()
+    _h.main(app_name="hostile-mm-graph")

@@ -27,36 +27,17 @@ Fixtures a real 100 TB corpus assembly hits:
 Prints one JSON line with per-case verdicts; exit code 1 on any fail.
 """
 
-import json
 import math
 import os
 import sys
-import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RESULTS = {}
-CASES = []
+from _hostile_common import Harness  # noqa: E402
 
-
-def case(name):
-    def deco(fn):
-        def run(spark):
-            try:
-                fn(spark)
-                RESULTS[name] = "PASS"
-            except AssertionError as e:
-                RESULTS[name] = f"FAIL: {e}"
-            except Exception as e:
-                RESULTS[name] = f"ERROR: {type(e).__name__}: {e}"
-                traceback.print_exc(file=sys.stderr)
-            print(f"{name}: {RESULTS[name][:120]}", file=sys.stderr)
-
-        run.case_name = name
-        CASES.append(run)
-        return run
-
-    return deco
+_h = Harness("sampling/split/packing hostile fixtures")
+case = _h.case
 
 
 def _docs(spark, rows):
@@ -96,6 +77,21 @@ def _(spark):
         raise AssertionError("NaN weight accepted (would keep everything)")
     except ValueError as e:
         assert "NaN" in str(e)
+
+
+@case("weighted_none_weight_raises")
+def _(spark):
+    from duckdb_mpp_spark.operators.corpus import weighted_domain_sample
+
+    docs = _docs(spark, [(i, "en", f"t {i}") for i in range(50)])
+    # review r12: lit(None) makes the keep filter NULL for every row —
+    # a None weight from a failed upstream lookup would silently DROP
+    # the whole domain; must raise like NaN
+    try:
+        weighted_domain_sample(docs, weights={"en": None})
+        raise AssertionError("None weight accepted (would drop everything)")
+    except ValueError as e:
+        assert "None" in str(e)
 
 
 @case("weighted_ge_one_weight_keeps_everything")
@@ -263,7 +259,7 @@ def _(spark):
 # --- hash split ------------------------------------------------------------------------
 
 @case("hash_split_partition_and_dup_id_colocation")
-def _(spark, _tmp={}):
+def _(spark):
     import pyspark.sql.functions as F
 
     from duckdb_mpp_spark.operators.curation import train_test_split
@@ -342,22 +338,5 @@ def _(spark):
     assert single == two, "single-task and two-phase plans disagree"
 
 
-def main():
-    from duckdb_mpp_spark.session import get_spark
-
-    spark = get_spark(app_name="hostile-sampling")
-    spark.sparkContext.setLogLevel("ERROR")
-    for fn in CASES:
-        fn(spark)
-    n_fail = sum(1 for v in RESULTS.values() if v != "PASS")
-    print(json.dumps({
-        "sweep": "sampling/split/packing hostile fixtures",
-        "cases": RESULTS,
-        "n_cases": len(RESULTS),
-        "n_fail": n_fail,
-    }))
-    sys.exit(1 if n_fail else 0)
-
-
 if __name__ == "__main__":
-    main()
+    _h.main(app_name="hostile-sampling")

@@ -27,7 +27,7 @@ import sys
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HOSTILE = "/tmp/hostile_sf"
 CLEAN = "/root/testdata/sf0.001"

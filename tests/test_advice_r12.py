@@ -142,8 +142,17 @@ def test_force_shape_twoscan_names_the_default(spark):
 
 # --- 4. hostile sweep derives repo from __file__ --------------------------------
 
-def test_hostile_mmg_derives_repo_from_file():
-    src = open(os.path.join(REPO, "scripts",
-                            "hostile_multimodal_graph.py")).read()
-    assert 'sys.path.insert(0, "/root/repo")' not in src
+def test_no_script_hardcodes_the_repo_checkout():
+    # the ADVICE item named hostile_multimodal_graph.py, but the class
+    # covered hostile_streaming.py and hostile_sweep.py too (review r12)
+    # — pin it for EVERY script so the next sweep can't reintroduce it
+    sdir = os.path.join(REPO, "scripts")
+    offenders = [
+        name for name in sorted(os.listdir(sdir))
+        if name.endswith(".py")
+        and 'sys.path.insert(0, "/root/repo")' in open(
+            os.path.join(sdir, name)).read()
+    ]
+    assert not offenders, f"scripts hardcode the checkout: {offenders}"
+    src = open(os.path.join(sdir, "hostile_multimodal_graph.py")).read()
     assert "os.path.dirname(os.path.dirname(os.path.abspath(__file__)))" in src

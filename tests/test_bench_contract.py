@@ -66,3 +66,49 @@ def test_final_line_has_headline_fields_and_no_diag():
 def test_nonnumeric_sf_passes_through():
     d = bench.build_final_line(_synthetic_timings(1), "custom", [0.1, 0.1], False)
     assert d["sf"] == "custom"
+
+
+def test_bench_pairs_merges_diag_line_back_into_run():
+    # review r12: moving sweep_diag out of the final JSON line must not
+    # starve bench_pairs' stall classifier — _run_json re-merges the
+    # labeled BENCH_DIAG line into the parsed run dict
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_pairs", os.path.join(repo, "scripts", "bench_pairs.py")
+    )
+    bp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bp)
+    child = (
+        "import json;"
+        "print('BENCH_DIAG: ' + json.dumps({'sweep_diag': [{'wall_s': 1.5,"
+        " 'steal_s': 0.2}]}));"
+        "print(json.dumps({'metric': 'm', 'queries': {},"
+        " 'sweep_totals': [1.0, 1.1], 'stall_suspected': False}))"
+    )
+    run = bp._run_json([sys.executable, "-c", child])
+    assert run["metric"] == "m"
+    assert run["sweep_diag"] == [{"wall_s": 1.5, "steal_s": 0.2}]
+    # and _leg_diag can build evidence from the merged dict again
+    diag = bp._leg_diag(run)
+    assert diag["wall_s"] == 1.5 and diag["steal_s"] == 0.2
+
+
+def test_bench_pairs_distinguishes_missing_diag_from_all_stalled():
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_pairs2", os.path.join(repo, "scripts", "bench_pairs.py")
+    )
+    bp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bp)
+    assert bp._classify_stalls([], [{}, {}, {}]) == {
+        "note": "no diag captured in any leg"
+    }
+    got = bp._classify_stalls([0, 1], [{"gc_share": 1}, {"gc_share": 1}])
+    assert got == {"note": "no clean leg to compare against"}

@@ -32,6 +32,15 @@ def test_nan_weight_raises_instead_of_keeping_domain(spark):
         weighted_domain_sample(docs, weights={"en": float("nan")})
 
 
+def test_none_weight_raises_instead_of_dropping_domain(spark):
+    # the sibling failure mode (review r12): lit(None) makes the keep
+    # filter NULL for every row — a None weight from a failed upstream
+    # lookup would silently DROP the whole domain
+    docs = _docs(spark, [(i, "en", f"t {i}") for i in range(50)])
+    with pytest.raises(ValueError, match="real numbers"):
+        weighted_domain_sample(docs, weights={"en": None})
+
+
 def test_zero_and_negative_weights_keep_nothing(spark):
     docs = _docs(spark, [(i, "en", f"t {i}") for i in range(100)])
     assert weighted_domain_sample(docs, weights={"en": 0.0}).count() == 0
