@@ -144,6 +144,109 @@ def duplicated_span_stats(
     )
 
 
+def cut_duplicated_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_WORDS
+) -> DataFrame:
+    """Exact-substring span CUTTING — the removal half of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), where
+    :func:`duplicated_span_stats` is the scoring half: every token covered
+    by a k-word gram that also occurs in ANOTHER document is removed, and
+    the document's text is rebuilt from the surviving tokens. Returns one
+    row per distinct ``id_col``: ``(doc_id, n_tokens, n_kept, n_removed,
+    text_cleaned)`` — ``text_cleaned`` is '' when every token was cut (or
+    the doc had no tokens), never NULL.
+
+    Semantics match the stats operator exactly: a gram is *duplicated*
+    iff its occurrences span ≥2 documents (all-in-one-doc repeats are NOT
+    cut — boilerplate repeated inside a single doc is that doc's own
+    content); zero-token docs emit no grams; docs shorter than ``k``
+    emit their single whole-doc gram, so two short identical docs cut
+    each other to ''. Grams are 64-bit ``xxhash64`` over the token tuple
+    (:func:`duckdb_mpp_spark.operators.dedup.shingle_hashes` shape) —
+    exact to 2^-64-scale collisions, the trade every dedup gate makes.
+
+    Scale shape (100 TB): the dup-gram set comes from the SAME
+    skew-immune gram aggregate as the stats operator (map-side combine;
+    a boilerplate gram in 10^8 docs reaches its reducer as ≤ #map-tasks
+    partial rows). Covered positions are a LEFT SEMI join of the
+    positional gram stream against that set (1 row per dup gram on the
+    build side — never a corpus-sized broadcast) followed by a k-wide
+    ``sequence`` explode: O(k × dup-gram occurrences), the output's own
+    size. The rebuild groups by doc — per-task state is bounded by one
+    document's tokens, and the reassembly
+    (``array_sort(collect_list(struct(p, tok))).tok`` + ``array_join``)
+    stays in codegen: struct-field extraction over the array is a
+    built-in, NOT a per-token interpreted lambda (the transform() trap
+    measured at ~27× in dedup.shingles' docstring)."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    nonempty = t.where(F.size("t") > 0)
+    idx = nonempty.select(
+        id_col,
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    h = F.xxhash64(*[F.try_element_at("t", F.col("i") + j) for j in range(k)])
+    grams = idx.select(id_col, "i", h.alias("sh"))
+    # duplicated = NOT unique-to-one-document — the same NULL-id-aware
+    # complement as duplicated_span_stats (an all-NULL-id gram is one
+    # document's; a gram mixing NULL and real ids is cross-document)
+    gram_stats = grams.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.count(id_col).alias("n_nonnull"),
+        F.min(id_col).alias("_owner"),
+        F.max(id_col).alias("mx"),
+    )
+    dup = gram_stats.where(
+        ~(
+            (
+                (F.col("n_nonnull") == F.col("tot"))
+                & (F.col("_owner") == F.col("mx"))
+            )
+            | (F.col("n_nonnull") == 0)
+        )
+    ).select("sh")
+    # positions covered by any duplicated gram: occurrence at i covers
+    # tokens i..i+k-1 (positions past a short doc's end match no token
+    # and fall out of the anti-join)
+    covered = (
+        grams.join(dup, "sh", "left_semi")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    toks = nonempty.select(
+        id_col, F.posexplode("t").alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("array_join(array_sort(collect_list(struct(p, tok))).tok, ' ')")
+        .alias("text_cleaned"),
+    )
+    # one output row per distinct id, zero-token docs included; duplicate
+    # input ids fold (their token streams share the position space, same
+    # convention as the stats operator's groupBy rollup)
+    totals = t.groupBy(id_col).agg(F.sum(F.size("t")).cast("long").alias("n_tokens"))
+    # null-safe join (same convention as the stats operator's uniq join):
+    # the NULL-id document group must find its rebuilt row
+    rebuilt = rebuilt.withColumnRenamed(id_col, "_rid")
+    return totals.join(
+        rebuilt, F.expr(f"{id_col} <=> _rid"), "left"
+    ).select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_cleaned"), F.lit("")).alias("text_cleaned"),
+    )
+
+
 def tfidf_keywords(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -249,6 +352,61 @@ _SPAN_ORACLE = _DUCK_SPANS + """
   GROUP BY 1
   ORDER BY doc_id
 """
+
+# Oracle for cut_duplicated_spans — the gram STRING formulation of the
+# operator's gram-hash algebra (2^-64-collision-equivalent, the standard
+# dedup-gate trade). Null-safe doc joins (IS NOT DISTINCT FROM) mirror the
+# Spark side's <=> convention. NOT yet registered as a driver gate: the
+# r12 rotation is frozen (VERDICT r11 #2) — register in r13 alongside a
+# `queries()` entry; until then tests/test_cut_spans.py runs this SQL
+# directly against crafted parquet and the sf0.001 corpus.
+_CUT_SPANS_ORACLE = f"""
+  WITH words AS (
+    SELECT doc_id, {{tokens}} AS ws FROM documents
+  ),
+  pg AS (
+    SELECT doc_id, CAST(i AS INT) AS i,
+           array_to_string(ws[i:i+{SPAN_WORDS - 1}], ' ') AS sh
+    FROM words, LATERAL (
+      SELECT unnest(range(1, greatest(len(ws) - {SPAN_WORDS - 1}, 1) + 1)) AS i
+    ) t
+    WHERE len(ws) > 0
+  ),
+  per AS (SELECT doc_id, sh FROM pg GROUP BY 1, 2),
+  dpg AS (SELECT sh, COUNT(*) AS n_docs FROM per GROUP BY 1),
+  covered AS (
+    SELECT DISTINCT g.doc_id, CAST(u.p AS INT) AS p
+    FROM pg g JOIN dpg d USING (sh),
+         LATERAL (SELECT unnest(range(g.i, g.i + {SPAN_WORDS})) AS p) u
+    WHERE d.n_docs >= 2
+  ),
+  toks AS (
+    SELECT doc_id, CAST(p AS INT) AS p, ws[p] AS tok
+    FROM words, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p) t
+    WHERE len(ws) > 0
+  ),
+  kept AS (
+    SELECT t.doc_id, t.p, t.tok
+    FROM toks t LEFT JOIN covered c
+      ON t.doc_id IS NOT DISTINCT FROM c.doc_id AND t.p = c.p
+    WHERE c.p IS NULL
+  )
+  SELECT w.doc_id,
+         CAST(len(w.ws) AS BIGINT) AS n_tokens,
+         CAST(COUNT(k.p) AS BIGINT) AS n_kept,
+         CAST(len(w.ws) - COUNT(k.p) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_cleaned
+  FROM words w LEFT JOIN kept k ON w.doc_id IS NOT DISTINCT FROM k.doc_id
+  GROUP BY w.doc_id, len(w.ws)
+  ORDER BY w.doc_id
+"""
+
+
+def cut_spans_oracle_sql() -> str:
+    """The DuckDB oracle with the shared tokenizer spliced in (one
+    definition — review r7 convention; see _duck_tokens)."""
+    return _CUT_SPANS_ORACLE.format(tokens=_duck_tokens())
+
 
 _KEYWORD_ORACLE = f"""
   WITH toks AS (
