@@ -268,6 +268,120 @@ register(
 )
 
 
+def decontaminate_train(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Split-leakage REPAIR — where :func:`split_leakage` audits, this
+    acts: a TRAIN document with an LSH near-duplicate in valid or test is
+    flagged dropped, the step every serious pipeline runs between
+    splitting and training (a test doc's near-dup left in train inflates
+    every benchmark on the split). Returns one row per document:
+    ``(doc_id, split, dropped)`` — ``dropped`` is true only for
+    contaminated TRAIN docs; eval docs are never dropped (the eval set
+    is the contract, the train set is what yields).
+
+    Composition of verified parts: the deterministic md5 hash split
+    (:func:`train_test_split`'s tag expression) + the banded LSH
+    candidate generation the dedup family uses (``minhash_bands`` →
+    ``lsh_candidate_pairs`` — md5 draw family, so the DuckDB oracle
+    reproduces candidates bit-for-bit). Scale shape: pairs are banded
+    (sparse by construction, never all-pairs); the split tags join the
+    pair table on the id key twice; the contaminated set is a sliver of
+    train by construction, and the final flag join is id-keyed. No
+    corpus-sized broadcast, no collect.
+
+    Train–train near-dups are NOT flagged here: duplicates inside train
+    are a dedup concern (dedup_* operators), not an eval-integrity one."""
+    h16 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    splits = docs.select(
+        F.col(id_col),
+        F.when(h16 < int(0.8 * 65536), "train")
+        .when(h16 < int(0.9 * 65536), "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = lsh_candidate_pairs(
+        minhash_bands(docs, id_col, text_col), id_col, materialize=False
+    )
+    sa = splits.select(F.col(id_col).alias("doc_a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col(id_col).alias("doc_b"), F.col("split").alias("sb"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    bad = (
+        joined.where((F.col("sa") == "train") & (F.col("sb") != "train"))
+        .select(F.col("doc_a").alias("_bad"))
+        .unionByName(
+            joined.where((F.col("sb") == "train") & (F.col("sa") != "train"))
+            .select(F.col("doc_b").alias("_bad"))
+        )
+        .distinct()
+    )
+    return splits.join(
+        bad, F.expr(f"{id_col} <=> _bad"), "left"
+    ).select(
+        id_col,
+        "split",
+        (F.col("_bad").isNotNull() & (F.col("split") == "train")).alias("dropped"),
+    )
+
+
+def _build_decontaminate_gate():
+    from duckdb_mpp_spark.operators.dedup import _DUCK_BANDS
+
+    def fn(spark, sf_dir):
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        return decontaminate_train(docs).orderBy("doc_id")
+
+    oracle = (
+        _DUCK_BANDS
+        + f""",
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN h < {int(0.8 * 65536)} THEN 'train'
+                      WHEN h < {int(0.9 * 65536)} THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS h
+            FROM documents
+          ) t
+        ),
+        bad AS (
+          SELECT p.doc_a AS doc_id
+          FROM pairs p
+          JOIN sp x ON x.doc_id = p.doc_a
+          JOIN sp y ON y.doc_id = p.doc_b
+          WHERE x.split = 'train' AND y.split <> 'train'
+          UNION
+          SELECT p.doc_b
+          FROM pairs p
+          JOIN sp x ON x.doc_id = p.doc_a
+          JOIN sp y ON y.doc_id = p.doc_b
+          WHERE y.split = 'train' AND x.split <> 'train'
+        )
+        SELECT s.doc_id, s.split,
+               (b.doc_id IS NOT NULL AND s.split = 'train') AS dropped
+        FROM sp s LEFT JOIN bad b USING (doc_id)
+        ORDER BY s.doc_id
+        """
+    )
+    # NOT registered as a driver gate in r12 — the rotation is frozen
+    # (VERDICT r11 #2). r13: `register("pipeline_decontaminate_train",
+    # Query(spark=fn, oracle=oracle))`. Until then tests/test_cut_spans.py's
+    # sibling (tests/test_decontaminate.py) proves oracle equality.
+    return fn, oracle
+
+
+decontaminate_gate_fn, decontaminate_oracle_sql = _build_decontaminate_gate()
+
+
 def split_leakage(spark, sf_dir: str):
     """Train/test split LEAKAGE AUDIT: count LSH near-dup candidate pairs
     per (split, split) combination — off-diagonal rows are evaluation
