@@ -36,6 +36,7 @@ from duckdb_mpp_spark.operators.text import (
     _duck_tokens,
     duck_quality_score_expr,
     lang_quality_struct,
+    quality_score_col,
     token_count,
 )
 from duckdb_mpp_spark.queries import Query, register
@@ -266,6 +267,156 @@ register(
         """,
     ),
 )
+
+
+BUDGET_NUM, BUDGET_DEN = 3, 10  # gate budget: 30% of corpus tokens
+
+
+def budget_select(
+    docs, budget_num: int = BUDGET_NUM, budget_den: int = BUDGET_DEN,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """Token-budget corpus selection — "assemble the best B tokens":
+    greedily keep documents in quality order until the token budget
+    ``B = (budget_num · total_tokens) div budget_den`` is filled (a doc
+    is selected iff the running token sum INCLUDING it stays ≤ B).
+    Returns one row per input row: ``(doc_id, n_tokens, quality_q,
+    selected)``. The selection order is total and deterministic:
+    quality (2^-20-quantized, the cross-engine-exact curate convention)
+    DESC, then ``md5(doc_id)`` ASC, then ``doc_id`` ASC — the md5
+    tiebreak is what makes the algorithm scale (below).
+
+    Scale shape — an exact global greedy WITHOUT a global sort:
+
+    1. **Quality histogram**: ``groupBy(quality_q)`` token sums — ≤ 2^20
+       metadata rows regardless of corpus size, map-side combinable.
+    2. **Metadata cumsum** over the histogram (one ordered window over
+       ≤ 2^20 tiny rows — metadata, never corpus) classifies every
+       quality bucket: fully inside the budget, fully outside, or THE
+       boundary bucket (at most one), with its remaining budget.
+    3. **Boundary-only exact prefix sum**: only the boundary bucket's
+       docs need intra-bucket ordering, and their order key is
+       ``md5(doc_id)`` — uniform by construction — so the prefix sum
+       uses the 256-way two-phase split (partition by the first two hex
+       chars, per-group window cumsum + ≤256 broadcast offsets), the
+       ``global_shuffle_positions`` pattern. A pathological corpus where
+       EVERY doc shares one quality value makes the whole corpus the
+       boundary bucket — and still spreads over the 256 uniform groups,
+       which is exactly the case a naive
+       ``Window.orderBy(quality desc)`` turns into one task.
+
+    No corpus-sized broadcast, no collect, no full-corpus ordered
+    window; the three output branches union without a join-back, so
+    duplicate input ids pass through row-for-row."""
+    base = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.floor(quality_score_col(text_col) * Q_SCALE).cast("long")
+        .alias("quality_q"),
+    )
+    # eager checkpoint (the r8/r9 multi-consumer rule, same as curate's
+    # kept1): base feeds the histogram, the total, and all three output
+    # branches — without materialization the corpus scan + tokenize +
+    # quality expression re-runs per consumer (and lazy checkpoints race
+    # AQE's concurrent stage submission). base is the NARROW projection
+    # (id, n_tokens, quality_q) — O(#docs) scalars, the frame a real
+    # deployment would write to a table between scoring and selection.
+    base = base.localCheckpoint(eager=True)
+    hist = base.groupBy("quality_q").agg(F.sum("n_tokens").alias("_btoks"))
+    total = base.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("_total")
+    )
+    wq = Window.orderBy(F.col("quality_q").desc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        hist.withColumn(
+            "_before", F.coalesce(F.sum("_btoks").over(wq), F.lit(0))
+        )
+        .join(F.broadcast(total))
+        .withColumn(
+            "_b",
+            F.expr(f"CAST(({budget_num} * _total) div {budget_den} AS BIGINT)"),
+        )
+        .select(
+            "quality_q",
+            (F.col("_before") + F.col("_btoks") <= F.col("_b")).alias("_full"),
+            (
+                (F.col("_before") < F.col("_b"))
+                & (F.col("_before") + F.col("_btoks") > F.col("_b"))
+            ).alias("_bound"),
+            (F.col("_b") - F.col("_before")).alias("_rem"),
+        )
+    )
+    # bucket verdicts back onto docs: null-safe on the quality key (NULL
+    # quality = NULL-text docs form a real bucket)
+    cum = cum.withColumnRenamed("quality_q", "_q")
+    tagged = base.join(cum, F.expr("quality_q <=> _q"), "left").drop("_q")
+    outside = tagged.where(~F.col("_full") & ~F.col("_bound")).select(
+        id_col, "n_tokens", "quality_q", F.lit(False).alias("selected")
+    )
+    inside = tagged.where("_full").select(
+        id_col, "n_tokens", "quality_q", F.lit(True).alias("selected")
+    )
+    # boundary bucket: exact two-phase prefix sum in (md5(id), id) order
+    m = F.md5(F.col(id_col).cast("string"))
+    b = tagged.where("_bound").select(
+        id_col, "n_tokens", "quality_q", "_rem",
+        m.alias("_m"), F.substring(m, 1, 2).alias("_pfx"),
+    )
+    w_in = Window.partitionBy("_pfx").orderBy(
+        F.col("_m").asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loc = b.withColumn("_cin", F.sum("n_tokens").over(w_in))
+    offs = b.groupBy("_pfx").agg(F.sum("n_tokens").alias("_s"))
+    w_off = Window.orderBy(F.col("_pfx").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cumo = offs.select(
+        "_pfx", F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off")
+    )
+    boundary = loc.join(F.broadcast(cumo), "_pfx").select(
+        id_col, "n_tokens", "quality_q",
+        (F.col("_cin") + F.col("_off") <= F.col("_rem")).alias("selected"),
+    )
+    return inside.unionByName(boundary).unionByName(outside)
+
+
+def _build_budget_select_gate():
+    def fn(spark, sf_dir):
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        return budget_select(docs).orderBy("doc_id")
+
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_duck_tokens()} AS ws FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(floor(({duck_quality_score_expr()}) * {Q_SCALE}) AS BIGINT)
+               AS quality_q
+      FROM toks
+    ),
+    tot AS (SELECT COALESCE(SUM(n_tokens), 0) AS t FROM scored),
+    sel AS (
+      SELECT s.doc_id, s.n_tokens, s.quality_q,
+             SUM(s.n_tokens) OVER (
+               ORDER BY s.quality_q DESC,
+                        md5(CAST(s.doc_id AS VARCHAR)) ASC, s.doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT ({BUDGET_NUM} * t) // {BUDGET_DEN} FROM tot) AS b
+      FROM scored s
+    )
+    SELECT doc_id, n_tokens, quality_q, (cum <= b) AS selected
+    FROM sel ORDER BY doc_id
+    """
+    # NOT registered in r12 (rotation frozen, VERDICT r11 #2) — r13:
+    # `register("pipeline_budget_select", Query(spark=fn, oracle=oracle))`.
+    # tests/test_budget_select.py proves oracle equality meanwhile.
+    return fn, oracle
+
+
+budget_select_gate_fn, budget_select_oracle_sql = _build_budget_select_gate()
 
 
 def decontaminate_train(
