@@ -45,6 +45,45 @@ from duckdb_mpp_spark.sources import load_table
 QUALITY_MIN = 0.5
 Q_SCALE = 1 << 20  # quality-mean quantization
 
+# Deterministic hash split — a document's split is a pure function of its
+# id: the first 4 hex digits of md5(id) as a 16-bit uniform draw, stable
+# across runs, engines, cluster layouts, and re-partitioning. ONE
+# definition per engine side (VERDICT r12 #2: the expression was inlined
+# six times across train_test_split / decontaminate_train / split_leakage
+# and their oracles — a fraction change touching five of six sites would
+# silently decontaminate against a different split than it trains on, the
+# exact bug class decontaminate_train exists to prevent).
+SPLIT_TRAIN_MAX = int(0.8 * 65536)  # h16 <  → 'train'
+SPLIT_VALID_MAX = int(0.9 * 65536)  # h16 <  → 'valid'; else 'test'
+
+
+def split_tag(id_col: str = "doc_id"):
+    """Spark column: the split tag ('train'/'valid'/'test') for ``id_col``."""
+    h16 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        F.when(h16 < SPLIT_TRAIN_MAX, "train")
+        .when(h16 < SPLIT_VALID_MAX, "valid")
+        .otherwise("test")
+    )
+
+
+def duck_split_tag(id_expr: str = "doc_id") -> str:
+    """DuckDB SQL expression for the same split tag (oracle side)."""
+    h = f"CAST(('0x' || substring(md5(CAST({id_expr} AS VARCHAR)), 1, 4)) AS INT)"
+    return (
+        f"CASE WHEN {h} < {SPLIT_TRAIN_MAX} THEN 'train' "
+        f"WHEN {h} < {SPLIT_VALID_MAX} THEN 'valid' ELSE 'test' END"
+    )
+
+
+def _duck_split_cte() -> str:
+    """The shared ``sp`` CTE both split-aware oracles build on."""
+    return f"""sp AS (
+          SELECT doc_id, {duck_split_tag('doc_id')} AS split FROM documents
+        )"""
+
 
 def curate(spark, sf_dir: str):
     # scan-rooted → the parallelism guard is free here and every downstream
@@ -223,16 +262,13 @@ def train_test_split(spark, sf_dir: str):
     a pure function of its id — stable across runs, engines, cluster
     layouts, and re-partitioning, which row-order-dependent `sample()` is
     not. Fraction control = threshold on the first 4 hex digits of
-    md5(id) (16-bit uniform)."""
+    md5(id) (16-bit uniform) — :func:`split_tag`, the one shared
+    definition (VERDICT r12 #2)."""
     docs = load_table(spark, sf_dir, "documents")
-    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
     tagged = docs.select(
         "doc_id",
         "source",
-        F.when(h16 < int(0.8 * 65536), "train")
-        .when(h16 < int(0.9 * 65536), "valid")
-        .otherwise("test")
-        .alias("split"),
+        split_tag().alias("split"),
         token_count("text").cast("bigint").alias("n_tokens"),
     )
     return (
@@ -250,15 +286,9 @@ register(
         oracle=f"""
         WITH tagged AS (
           SELECT doc_id, source,
-                 CASE WHEN h < {int(0.8 * 65536)} THEN 'train'
-                      WHEN h < {int(0.9 * 65536)} THEN 'valid'
-                      ELSE 'test' END AS split,
+                 {duck_split_tag('doc_id')} AS split,
                  CAST(len({_duck_tokens()}) AS BIGINT) AS n_tokens
-          FROM (
-            SELECT doc_id, source, text,
-                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS h
-            FROM documents
-          ) t
+          FROM documents
         )
         SELECT split, source, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -358,11 +388,17 @@ def budget_select(
     inside = tagged.where("_full").select(
         id_col, "n_tokens", "quality_q", F.lit(True).alias("selected")
     )
-    # boundary bucket: exact two-phase prefix sum in (md5(id), id) order
+    # boundary bucket: exact two-phase prefix sum in (md5(id), id) order.
+    # NULL ids: md5(NULL) is NULL, and a NULL _pfx would fall out of the
+    # inner equi-join below, silently dropping the row (ADVICE r12) — so
+    # the prefix coalesces to 'zz', which sorts AFTER every hex pair,
+    # exactly where ORDER BY md5 ASC NULLS LAST places the row in the
+    # oracle's global order.
     m = F.md5(F.col(id_col).cast("string"))
     b = tagged.where("_bound").select(
         id_col, "n_tokens", "quality_q", "_rem",
-        m.alias("_m"), F.substring(m, 1, 2).alias("_pfx"),
+        m.alias("_m"),
+        F.coalesce(F.substring(m, 1, 2), F.lit("zz")).alias("_pfx"),
     )
     w_in = Window.partitionBy("_pfx").orderBy(
         F.col("_m").asc_nulls_last(), F.col(id_col).asc_nulls_last()
@@ -443,16 +479,7 @@ def decontaminate_train(
 
     Train–train near-dups are NOT flagged here: duplicates inside train
     are a dedup concern (dedup_* operators), not an eval-integrity one."""
-    h16 = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    splits = docs.select(
-        F.col(id_col),
-        F.when(h16 < int(0.8 * 65536), "train")
-        .when(h16 < int(0.9 * 65536), "valid")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = docs.select(F.col(id_col), split_tag(id_col).alias("split"))
     pairs = lsh_candidate_pairs(
         minhash_bands(docs, id_col, text_col), id_col, materialize=False
     )
@@ -493,17 +520,7 @@ def _build_decontaminate_gate():
             ON a.band = b.band AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
         ),
-        sp AS (
-          SELECT doc_id,
-                 CASE WHEN h < {int(0.8 * 65536)} THEN 'train'
-                      WHEN h < {int(0.9 * 65536)} THEN 'valid'
-                      ELSE 'test' END AS split
-          FROM (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS h
-            FROM documents
-          ) t
-        ),
+        {_duck_split_cte()},
         bad AS (
           SELECT p.doc_a AS doc_id
           FROM pairs p
@@ -551,16 +568,7 @@ def split_leakage(spark, sf_dir: str):
 
     docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = lsh_candidate_pairs(minhash_bands(docs), materialize=False)
-    h16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    splits = docs.select(
-        "doc_id",
-        F.when(h16 < int(0.8 * 65536), "train")
-        .when(h16 < int(0.9 * 65536), "valid")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = docs.select("doc_id", split_tag().alias("split"))
     sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
     out = (
@@ -588,17 +596,7 @@ def _register_split_leakage():
             ON a.band = b.band AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
         ),
-        sp AS (
-          SELECT doc_id,
-                 CASE WHEN h < {int(0.8 * 65536)} THEN 'train'
-                      WHEN h < {int(0.9 * 65536)} THEN 'valid'
-                      ELSE 'test' END AS split
-          FROM (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS h
-            FROM documents
-          ) t
-        )
+        {_duck_split_cte()}
         SELECT least(x.split, y.split) AS split_lo,
                greatest(x.split, y.split) AS split_hi,
                CAST(COUNT(*) AS BIGINT) AS n_pairs

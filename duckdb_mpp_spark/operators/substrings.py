@@ -390,15 +390,26 @@ _CUT_SPANS_ORACLE = f"""
     FROM toks t LEFT JOIN covered c
       ON t.doc_id IS NOT DISTINCT FROM c.doc_id AND t.p = c.p
     WHERE c.p IS NULL
+  ),
+  -- duplicate input ids pre-fold to ONE totals row per id (ADVICE r12):
+  -- joining `words` directly multiplied COUNT(k.p)/string_agg by the
+  -- number of same-id rows and split output per len(ws) group, diverging
+  -- from the Spark operator's folded contract (one row per distinct id,
+  -- summed n_tokens, shared position space)
+  totals AS (
+    SELECT doc_id, CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+    FROM words GROUP BY doc_id
   )
-  SELECT w.doc_id,
-         CAST(len(w.ws) AS BIGINT) AS n_tokens,
+  SELECT t.doc_id,
+         t.n_tokens,
          CAST(COUNT(k.p) AS BIGINT) AS n_kept,
-         CAST(len(w.ws) - COUNT(k.p) AS BIGINT) AS n_removed,
-         COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_cleaned
-  FROM words w LEFT JOIN kept k ON w.doc_id IS NOT DISTINCT FROM k.doc_id
-  GROUP BY w.doc_id, len(w.ws)
-  ORDER BY w.doc_id
+         CAST(t.n_tokens - COUNT(k.p) AS BIGINT) AS n_removed,
+         -- tok tiebreak: duplicate-id rows can put two tokens at one p;
+         -- Spark's array_sort(struct(p, tok)) breaks the tie on tok
+         COALESCE(string_agg(k.tok, ' ' ORDER BY k.p, k.tok), '') AS text_cleaned
+  FROM totals t LEFT JOIN kept k ON t.doc_id IS NOT DISTINCT FROM k.doc_id
+  GROUP BY t.doc_id, t.n_tokens
+  ORDER BY t.doc_id
 """
 
 
