@@ -222,6 +222,11 @@ HEADLINE = [
     "text_tfidf_keywords",
     "graph_triangle_count",
     "pipeline_global_shuffle",
+    # r13: the three operators registered this round (VERDICT r12 #1) —
+    # benched from day one so their perf trend starts with their gate
+    "dedup_cut_spans",
+    "pipeline_decontaminate_train",
+    "pipeline_budget_select",
     # streaming runtime
     "streaming_hourly_agg",
 ]

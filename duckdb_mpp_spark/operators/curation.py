@@ -446,13 +446,19 @@ def _build_budget_select_gate():
     SELECT doc_id, n_tokens, quality_q, (cum <= b) AS selected
     FROM sel ORDER BY doc_id
     """
-    # NOT registered in r12 (rotation frozen, VERDICT r11 #2) — r13:
-    # `register("pipeline_budget_select", Query(spark=fn, oracle=oracle))`.
-    # tests/test_budget_select.py proves oracle equality meanwhile.
     return fn, oracle
 
 
 budget_select_gate_fn, budget_select_oracle_sql = _build_budget_select_gate()
+
+# r13 registration (VERDICT r12 #1; deferred from r12 while the rotation
+# was frozen). Oracle-proven since r12: tests/test_budget_select.py (7
+# tests incl. the all-one-quality worst case and sf0.001 equality) +
+# tests/test_advice_r13.py's NULL-id boundary-bucket regression.
+register(
+    "pipeline_budget_select",
+    Query(spark=budget_select_gate_fn, oracle=budget_select_oracle_sql),
+)
 
 
 def decontaminate_train(
@@ -540,14 +546,18 @@ def _build_decontaminate_gate():
         ORDER BY s.doc_id
         """
     )
-    # NOT registered as a driver gate in r12 — the rotation is frozen
-    # (VERDICT r11 #2). r13: `register("pipeline_decontaminate_train",
-    # Query(spark=fn, oracle=oracle))`. Until then tests/test_cut_spans.py's
-    # sibling (tests/test_decontaminate.py) proves oracle equality.
     return fn, oracle
 
 
 decontaminate_gate_fn, decontaminate_oracle_sql = _build_decontaminate_gate()
+
+# r13 registration (VERDICT r12 #1; deferred from r12 while the rotation
+# was frozen). Oracle-proven since r12: tests/test_decontaminate.py (5
+# tests incl. sf0.001 equality with real drops).
+register(
+    "pipeline_decontaminate_train",
+    Query(spark=decontaminate_gate_fn, oracle=decontaminate_oracle_sql),
+)
 
 
 def split_leakage(spark, sf_dir: str):

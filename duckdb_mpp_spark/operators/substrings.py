@@ -470,5 +470,15 @@ def _register() -> None:
 
     register("text_tfidf_keywords", Query(spark=keywords_fn, oracle=_KEYWORD_ORACLE))
 
+    # r13 registration (VERDICT r12 #1) — the span-REMOVAL half of Lee et
+    # al. 2022, oracle-proven since r12 (tests/test_cut_spans.py, incl.
+    # sf0.001 full-corpus equality + NULL-id and duplicate-id corpora).
+    def cut_spans_fn(spark, sf_dir):
+        return cut_duplicated_spans(load_table(spark, sf_dir, "documents")).orderBy(
+            "doc_id"
+        )
+
+    register("dedup_cut_spans", Query(spark=cut_spans_fn, oracle=cut_spans_oracle_sql()))
+
 
 _register()

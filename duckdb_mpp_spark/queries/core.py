@@ -866,20 +866,7 @@ register(
     ),
 )
 
-# GROUPING() markers over ROLLUP — distinguishes "NULL because grouped out"
-# from data NULLs.
-register(
-    "agg_rollup_grouping_fn",
-    Query(
-        """
-        SELECT
-          CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-          CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-          l_returnflag, l_linestatus,
-          SUM(l_quantity) AS qty
-        FROM lineitem
-        GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
-        """
-    ),
-)
+# agg_rollup_grouping_fn retired in the r13 gate merge (VERDICT r12 #1):
+# it was a pure redundancy — windows_sets.py's agg_rollup already exercises
+# GROUPING() markers over ROLLUP (g_yr/g_mo on orders), and agg_cube /
+# agg_grouping_sets cover the other grouping-ID surfaces.

@@ -193,14 +193,29 @@ register(
     ),
 )
 
+# r13 gate merge (VERDICT r12 #1): setop_except absorbs the retired
+# setop_except_all, setop_union absorbs the retired setop_union_distinct —
+# each merged gate runs BOTH the distinct- and bag/all-semantics legs of
+# its operator in one query (tagged by `leg`), so B8 coverage is unchanged
+# while the registry returns to exactly 150 after the three r13 additions.
 register(
     "setop_except",
     Query(
         """
-        SELECT c_custkey FROM customer
-        EXCEPT
-        SELECT o_custkey FROM orders
-        ORDER BY c_custkey
+        SELECT 'distinct' AS leg, CAST(k AS BIGINT) AS k, CAST(1 AS BIGINT) AS n
+        FROM (
+          SELECT c_custkey AS k FROM customer
+          EXCEPT
+          SELECT o_custkey AS k FROM orders
+        ) AS d
+        UNION ALL
+        SELECT 'all' AS leg, CAST(nk AS BIGINT) AS k, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nk FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nk FROM supplier
+        ) AS e
+        GROUP BY nk
+        ORDER BY leg, k
         """
     ),
 )
@@ -209,26 +224,19 @@ register(
     "setop_union",
     Query(
         """
-        SELECT src, COUNT(*) AS n FROM (
+        SELECT 'all' AS leg, src AS k, COUNT(*) AS n FROM (
           SELECT 'cust' AS src, c_nationkey AS nk FROM customer
           UNION ALL
           SELECT 'supp' AS src, s_nationkey AS nk FROM supplier
         ) AS u
         GROUP BY src
-        ORDER BY src
-        """
-    ),
-)
-
-register(
-    "setop_union_distinct",
-    Query(
-        """
-        SELECT COUNT(*) AS distinct_nation_keys FROM (
+        UNION ALL
+        SELECT 'distinct' AS leg, 'nk' AS k, COUNT(*) AS n FROM (
           SELECT c_nationkey AS nk FROM customer
           UNION
           SELECT s_nationkey AS nk FROM supplier
-        ) AS u
+        ) AS d
+        ORDER BY leg, k
         """
     ),
 )
@@ -406,21 +414,8 @@ register(
 
 
 # Bag-semantics set ops (ALL variants keep duplicates — Spark exceptAll /
-# intersectAll, same SQL in DuckDB).
-register(
-    "setop_except_all",
-    Query(
-        """
-        SELECT nk, COUNT(*) AS n FROM (
-          SELECT c_nationkey AS nk FROM customer
-          EXCEPT ALL
-          SELECT s_nationkey AS nk FROM supplier
-        ) AS d
-        GROUP BY nk ORDER BY nk
-        """
-    ),
-)
-
+# intersectAll, same SQL in DuckDB). EXCEPT ALL now lives inside the merged
+# setop_except gate above (r13 gate merge).
 register(
     "setop_intersect_all",
     Query(
