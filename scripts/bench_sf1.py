@@ -43,9 +43,11 @@ Replica construction (reusing scale_probe's validated recipes):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -72,6 +74,14 @@ GATES = [
     "graph_triangle_count",
     "dedup_incremental",
 ]
+
+# 100x docs replica for dedup_substring_spans (VERDICT r12 #5): its 30x
+# tail is the one corpus trajectory that reads FLAT (1.49-1.92x across
+# estimators, decomposed in SCALING.md r12 to the high-cardinality
+# hash-aggregate engine constant) — the 100x point settles whether the
+# plateau amortizes the way contamination's did
+GATES_100X = ["dedup_substring_spans"]
+BIG100_DIR = "/tmp/mpp_sf10_big100"
 
 # the two gates whose 10x ratio had not crossed 1.5 by r8 — measured again
 # at 30x (VERDICT r8 #1b: "one 30x point for just those two gates").
@@ -436,22 +446,199 @@ def section_fixed(spark, oracles) -> dict:
     return result
 
 
+def section_x100_spans(spark, oracles) -> dict:
+    """100x docs replica for dedup_substring_spans (VERDICT r12 #5). Both
+    engines run the identical gate/oracle over the same 100x word-tag-
+    disjoint parquet — the same recipe as r10's x100_incremental row."""
+    build_docs(spark, [(BIG100_DIR, 100, False)])
+    try:
+        s = time_spark(spark, BIG100_DIR, GATES_100X)
+        k = time_duck(BIG100_DIR, oracles, GATES_100X, tables=("documents",))
+        return {
+            "replicas": 100,
+            "spark": s,
+            "duckdb": k,
+            "ratio": {n: round(s[n] / max(k[n], 1e-4), 2) for n in GATES_100X},
+        }
+    finally:
+        shutil.rmtree(BIG100_DIR, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-round trajectory corroboration (VERDICT r12 #3). The r12 lesson:
+# BENCH_SF1_r11's DuckDB 30x legs were hypervisor-steal-inflated 3-14x and
+# the contamination sat in the record for a round because the only check was
+# a human remembering to compare against r10. This turns the SCALING.md rule
+# ("a trajectory row is only evidence when both legs are corroborated across
+# rounds or instrumented for steal") into code: every timing LEG of the new
+# result is compared against the cross-round median of the same leg in the
+# BENCH_SF1_r*.json history, rows diverging >2x are loudly annotated in the
+# output (and on stderr), and rows with no history carry the section's
+# steal-share instrumentation instead.
+
+# Sub-floor legs are scheduling noise, not trajectory evidence: a 0.09 s
+# DuckDB 1x leg legitimately varies >2x run-to-run. Divergence is only
+# flagged when the larger side of the comparison does real work.
+CORROBORATION_FLOOR_S = 0.2
+DIVERGENCE_FACTOR = 2.0
+
+
+def _leg_leaves(doc, path=()):
+    """Yield (path, seconds) for every timing LEG in a bench_sf1 result:
+    entries of a 'spark'/'duckdb' per-gate dict, scalar index-probe
+    columns, and r10-style '*_sec' scalars. 'ratio*' keys are derived from
+    legs, never legs themselves; counters (replicas, leakage counts) don't
+    match any leg shape."""
+    if isinstance(doc, dict):
+        for k, v in doc.items():
+            if isinstance(k, str) and k.startswith("ratio"):
+                continue
+            yield from _leg_leaves(v, path + (k,))
+    elif isinstance(doc, (int, float)) and not isinstance(doc, bool):
+        if len(path) >= 2 and path[-2] in ("spark", "duckdb"):
+            yield path, float(doc)
+        elif "duckdb_index_probe" in path[-1] or path[-1].endswith("_sec"):
+            yield path, float(doc)
+
+
+def _leg_key(path: tuple) -> str:
+    """Round-stable identity of a leg: (scale label, engine, gate) for the
+    per-gate dicts, (section, scalar name) for probe scalars — a SUFFIX of
+    the path, so r10's extra 'docs_1x_10x' nesting level still matches
+    r12+'s top-level labels."""
+    tail = path[-3:] if len(path) >= 3 and path[-2] in ("spark", "duckdb") else path[-2:]
+    return "/".join(tail)
+
+
+def load_history(repo: str = REPO) -> dict[int, dict]:
+    """round number -> parsed BENCH_SF1_r{N}.json for every round on disk."""
+    out: dict[int, dict] = {}
+    for p in glob.glob(os.path.join(repo, "BENCH_SF1_r*.json")):
+        name = os.path.basename(p)
+        try:
+            rnd = int(name[len("BENCH_SF1_r"):-len(".json")])
+            with open(p) as f:
+                out[rnd] = json.load(f)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def corroborate(result: dict, history: dict[int, dict]) -> dict:
+    """Compare every timing leg of ``result`` against the cross-round
+    median of the same leg across ``history``. Returns the corroboration
+    report to embed in the output:
+    - ``divergent``: legs >2x off the prior median where the larger side
+      clears the 0.2 s floor — each with value/median/n_prior, the loud
+      annotation VERDICT r12 #3 requires;
+    - ``uncorroborated``: legs with no prior rounds to check against
+      (first measurement — evidence only with the section steal probes);
+    - ``ok``: no divergent legs."""
+    hist_legs: dict[str, list[float]] = {}
+    for doc in history.values():
+        for path, v in _leg_leaves(doc):
+            hist_legs.setdefault(_leg_key(path), []).append(v)
+    report: dict = {
+        "rule": (
+            f"each new leg vs cross-round median of the same leg; divergent "
+            f"if >{DIVERGENCE_FACTOR}x off and max(leg, median) >= "
+            f"{CORROBORATION_FLOOR_S}s; legs with no history are "
+            "uncorroborated and rely on the per-section steal probes"
+        ),
+        "history_rounds": sorted(history),
+        "checked": 0,
+        "divergent": {},
+        "uncorroborated": [],
+    }
+    for path, v in _leg_leaves(result):
+        key = _leg_key(path)
+        report["checked"] += 1
+        prior = hist_legs.get(key)
+        if not prior:
+            report["uncorroborated"].append(key)
+            continue
+        med = statistics.median(prior)
+        off = med > 0 and (
+            v > DIVERGENCE_FACTOR * med or v < med / DIVERGENCE_FACTOR
+        )
+        if off and max(v, med) >= CORROBORATION_FLOOR_S:
+            report["divergent"][key] = {
+                "value": v,
+                "median_prior": round(med, 3),
+                "n_prior": len(prior),
+            }
+    report["ok"] = not report["divergent"]
+    return report
+
+
+class StealProbe:
+    """Per-section steal-share instrumentation (/proc/stat field 8): the
+    one counter that distinguishes 'the hypervisor descheduled our vCPUs'
+    from in-guest causes on this Firecracker guest (root-caused r11).
+    share = Δsteal_ticks / (Δwall x ncpu) — same formula as bench.py's
+    diag probe."""
+
+    def __init__(self) -> None:
+        self._tick = os.sysconf("SC_CLK_TCK")
+        self._ncpu = os.cpu_count() or 1
+        self._t0 = time.monotonic()
+        self._s0 = self._steal_s()
+
+    def _steal_s(self) -> float | None:
+        try:
+            with open("/proc/stat") as f:
+                for line in f:
+                    if line.startswith("cpu "):
+                        fields = line.split()[1:]
+                        if len(fields) > 7:
+                            return int(fields[7]) / self._tick
+        except OSError:
+            pass
+        return None
+
+    def share(self) -> float | None:
+        wall = time.monotonic() - self._t0
+        s1 = self._steal_s()
+        if s1 is None or self._s0 is None or wall <= 0:
+            return None
+        return round((s1 - self._s0) / (wall * self._ncpu), 4)
+
+
 def main() -> None:
     from duckdb_mpp_spark.queries import oracle_sqls
     from duckdb_mpp_spark.session import get_spark
 
-    sections = sys.argv[1:] or ["docs", "x30", "fixed"]
+    sections = sys.argv[1:] or ["docs", "x30", "fixed", "x100spans"]
     spark = get_spark(app_name="mpp-bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     oracles = oracle_sqls()
 
     result: dict = {}
+    steal: dict[str, float | None] = {}
     if "docs" in sections:
+        p = StealProbe()
         result.update(section_docs(spark, oracles))
+        steal["docs"] = p.share()
     if "x30" in sections:
+        p = StealProbe()
         result["x30_jaccard_incremental"] = section_x30(spark, oracles)
+        steal["x30"] = p.share()
     if "fixed" in sections:
+        p = StealProbe()
         result["fixed_overhead_1x_10x_30x"] = section_fixed(spark, oracles)
+        steal["fixed"] = p.share()
+    if "x100spans" in sections:
+        p = StealProbe()
+        result["x100_substring_spans"] = section_x100_spans(spark, oracles)
+        steal["x100spans"] = p.share()
+    result["steal_share_by_section"] = steal
+    result["corroboration"] = corroborate(result, load_history())
+    if not result["corroboration"]["ok"]:
+        print(
+            "CORROBORATION FAILURE — legs >2x off the cross-round median "
+            f"(steal-contamination suspect): {result['corroboration']['divergent']}",
+            file=sys.stderr,
+        )
     print(json.dumps(result))
 
 
