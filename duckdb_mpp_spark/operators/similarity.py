@@ -1132,3 +1132,129 @@ def _register_hard_negatives():
 
 
 _register_hard_negatives()
+
+
+# ---------------------------------------------------------------------------
+# ANN recall certificate (r13; registration deferred to r14)
+# ---------------------------------------------------------------------------
+
+def ann_recall_at_k(
+    emb: DataFrame, k: int = 10, query_filter: str = "vec_id % 50 = 0"
+) -> DataFrame:
+    """Recall@k certificate for the IVF (label-cell) ANN path: per query,
+    how many of the EXACT top-k cosine neighbors the cell-restricted
+    search recovered — ``(qid, n_exact, n_hit, recall_pct)`` with
+    ``recall_pct = (100 * n_hit) div n_exact`` in exact integer
+    arithmetic. This is the evaluation step a deployment runs before
+    trusting an ANN index: approximate search without a measured recall
+    number is a silent-quality dial.
+
+    Composes two verified shapes: :func:`brute_force_topk` (the exact
+    side — query slice broadcast under the shared size switch, corpus
+    scanned once) and the ``ann_ivf_by_label`` cell join (the approximate
+    side). Scale: both sides are query-slice × corpus joins bounded the
+    same way the existing ANN gates are; the recall join itself is
+    (qid, cid)-keyed on two top-k-sized frames — output-sized, never
+    corpus-sized. Ranking ties break on cid in both engines, so the
+    exact/approx member sets — and therefore the integer recall — are
+    engine-deterministic (the property every ANN gate's hash-equality
+    already pins)."""
+    queries = emb.where(query_filter).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("cell"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cell"),
+    )
+    exact = brute_force_topk(
+        queries.select("qid", "qv"), corpus.select("cid", "cv"), k
+    )
+    pairs = _maybe_broadcast(queries).join(corpus, "cell").where(
+        F.col("qid") != F.col("cid")
+    )
+    scored = pairs.select(
+        "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid")
+    )
+    n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        approx.join(exact.select("qid", "cid"), ["qid", "cid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "CAST((100 * coalesce(n_hit, 0)) div n_exact AS BIGINT)"
+            ).alias("recall_pct"),
+        )
+    )
+
+
+def _build_ann_recall_gate():
+    def fn(spark, sf_dir):
+        return ann_recall_at_k(load_embeddings(spark, sf_dir), k=10).orderBy("qid")
+
+    oracle = _emb_oracle(f"""
+    WITH {_DUCK_NORMS},
+    q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0),
+    dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, c.label = q.label AS same_cell,
+             SUM(CAST(q.embedding[t.i] * c.embedding[t.i] AS DOUBLE)) AS dp
+      FROM q, embeddings c, generate_series(1, {DIM}) t(i)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT qid, cid, same_cell,
+             CASE WHEN nq.nrm * nc.nrm > 0 THEN dp / (nq.nrm * nc.nrm) END AS cos_raw
+      FROM dots JOIN norms nq ON nq.vec_id = qid
+                JOIN norms nc ON nc.vec_id = cid
+    ),
+    exact AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    approx AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+        FROM scored WHERE same_cell
+      ) WHERE rank <= 10
+    ),
+    ne AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+    nh AS (
+      SELECT a.qid, COUNT(*) AS n_hit
+      FROM approx a JOIN exact e ON e.qid = a.qid AND e.cid = a.cid
+      GROUP BY 1
+    )
+    SELECT ne.qid,
+           CAST(ne.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((100 * COALESCE(nh.n_hit, 0)) // ne.n_exact AS BIGINT) AS recall_pct
+    FROM ne LEFT JOIN nh ON nh.qid = ne.qid
+    ORDER BY ne.qid
+    """)
+    # NOT registered as a driver gate in r13 (the rotation window is
+    # exactly full — see lm.py's deferral note). r14:
+    # `register("ann_recall_at_k", Query(spark=fn, oracle=oracle))`.
+    # tests/test_ann_recall.py proves oracle equality meanwhile.
+    return fn, oracle
+
+
+ann_recall_gate_fn, ann_recall_oracle_sql = _build_ann_recall_gate()
