@@ -400,8 +400,16 @@ def budget_select(
         m.alias("_m"),
         F.coalesce(F.substring(m, 1, 2), F.lit("zz")).alias("_pfx"),
     )
+    # n_tokens is the FINAL tiebreak (review r13): two NULL-id rows tie on
+    # both _m and id, and an unordered tie hands the partial sums to rows
+    # nondeterministically — with the tiebreak, rows still tied are
+    # identical in every output column, so any order yields the same
+    # multiset. Unique-id corpora never reach it (md5 distinct), so the
+    # gate's recorded greens stay valid (value-identical in that regime).
     w_in = Window.partitionBy("_pfx").orderBy(
-        F.col("_m").asc_nulls_last(), F.col(id_col).asc_nulls_last()
+        F.col("_m").asc_nulls_last(),
+        F.col(id_col).asc_nulls_last(),
+        F.col("n_tokens").asc_nulls_last(),
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     loc = b.withColumn("_cin", F.sum("n_tokens").over(w_in))
     offs = b.groupBy("_pfx").agg(F.sum("n_tokens").alias("_s"))
@@ -438,7 +446,8 @@ def _build_budget_select_gate():
       SELECT s.doc_id, s.n_tokens, s.quality_q,
              SUM(s.n_tokens) OVER (
                ORDER BY s.quality_q DESC,
-                        md5(CAST(s.doc_id AS VARCHAR)) ASC, s.doc_id ASC
+                        md5(CAST(s.doc_id AS VARCHAR)) ASC, s.doc_id ASC,
+                        s.n_tokens ASC
                ROWS UNBOUNDED PRECEDING) AS cum,
              (SELECT ({BUDGET_NUM} * t) // {BUDGET_DEN} FROM tot) AS b
       FROM scored s

@@ -90,7 +90,15 @@ def lm_fluency_scores(
     if ref_filter is None:
         ref_filter = split_tag(id_col) == "valid"
     t = docs.select(F.col(id_col), tokens(text_col).alias("t"))
-    ref = t.where(ref_filter)
+    # the reference slice is multi-consumed (bigram counts + unigram
+    # counts) — eager-checkpoint it so the corpus scan + split filter +
+    # tokenize runs ONCE, not once per model table (the r8/r9
+    # multi-consumer rule, budget_select's `base` move); the slice is
+    # ~10% of the corpus under the default split filter, the frame a
+    # deployment would persist as its reference corpus anyway. The scored
+    # stream and the id list stay scan-rooted single passes (the id list
+    # prunes to the id column at the parquet scan).
+    ref = t.where(ref_filter).localCheckpoint(eager=True)
 
     big = _bigrams(ref).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uni = (
@@ -98,8 +106,10 @@ def lm_fluency_scores(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    total = ref.agg(
-        F.coalesce(F.sum(F.size("t")), F.lit(0)).cast("long").alias("_tot")
+    # total reference tokens = sum of the unigram counts — derived from
+    # uni rather than a third pass over ref
+    total = uni.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("_tot")
     )
 
     # vocabulary-sized model tables: broadcast under the shared small-

@@ -534,10 +534,26 @@ def corroborate(result: dict, history: dict[int, dict]) -> dict:
     - ``uncorroborated``: legs with no prior rounds to check against
       (first measurement — evidence only with the section steal probes);
     - ``ok``: no divergent legs."""
+    # A leg key must identify ONE fixture: if the same (label, engine,
+    # gate) suffix appears twice within a single document (e.g. a gate
+    # someday added to both the docs and fixed sections), pooling the two
+    # fixtures' timings would corrupt the median — exclude such keys
+    # loudly instead of checking them silently (review r13).
+    ambiguous: set[str] = set()
+
+    def _doc_legs(doc):
+        seen: dict[str, float] = {}
+        for path, v in _leg_leaves(doc):
+            key = _leg_key(path)
+            if key in seen:
+                ambiguous.add(key)
+            seen[key] = v
+        return seen
+
     hist_legs: dict[str, list[float]] = {}
     for doc in history.values():
-        for path, v in _leg_leaves(doc):
-            hist_legs.setdefault(_leg_key(path), []).append(v)
+        for key, v in _doc_legs(doc).items():
+            hist_legs.setdefault(key, []).append(v)
     report: dict = {
         "rule": (
             f"each new leg vs cross-round median of the same leg; divergent "
@@ -549,9 +565,12 @@ def corroborate(result: dict, history: dict[int, dict]) -> dict:
         "checked": 0,
         "divergent": {},
         "uncorroborated": [],
+        "ambiguous": [],
     }
-    for path, v in _leg_leaves(result):
-        key = _leg_key(path)
+    new_legs = _doc_legs(result)
+    for key, v in new_legs.items():
+        if key in ambiguous:
+            continue
         report["checked"] += 1
         prior = hist_legs.get(key)
         if not prior:
@@ -567,6 +586,7 @@ def corroborate(result: dict, history: dict[int, dict]) -> dict:
                 "median_prior": round(med, 3),
                 "n_prior": len(prior),
             }
+    report["ambiguous"] = sorted(ambiguous)
     report["ok"] = not report["divergent"]
     return report
 

@@ -66,16 +66,19 @@ def _(spark):
     # batch COW UPDATE lands between the stream's commit and its replay
     n = update(tbl, {"v": "'upd'"}, "k < 5")
     assert n == 5
-    # at-least-once replay of batch 0: the protocol check must SKIP it —
-    # the UPDATE's commit inherited the lineage map
+    # at-least-once replay of batch 0 through the SINK'S OWN guard (the
+    # exact foreachBatch recipe, streaming/__init__.py ingest_batch): if
+    # the interleaved UPDATE erased the lineage map, this re-inserts and
+    # the row-count assertion below observes the doubling — the guard is
+    # exercised for real, not asserted around (review r13)
     applied = tbl.applied_stream_batch("ckpt-A")
-    assert applied is not None and 0 <= applied, (
-        f"interleaved UPDATE erased replay protection (applied={applied})"
-    )
-    if not (applied is not None and 0 <= applied):  # the sink's guard
+    if applied is None or 0 > applied:
         tbl.insert(_rows(spark, 0, 10), stream_batch=("ckpt-A", 0))
     got = tbl.scan().collect()
-    assert len(got) == 10, f"replayed batch double-applied: {len(got)} rows"
+    assert len(got) == 10, (
+        f"interleaved UPDATE erased replay protection (applied={applied}): "
+        f"replayed batch double-applied, {len(got)} rows"
+    )
     assert sum(1 for r in got if r.v == "upd") == 5, "UPDATE effects lost"
     # the NEXT batch still applies normally
     tbl.insert(_rows(spark, 10, 15), stream_batch=("ckpt-A", 1))

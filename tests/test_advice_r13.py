@@ -166,3 +166,31 @@ def test_cut_spans_oracle_unchanged_on_unique_ids(spark, tmp_path):
     assert _cut_oracle_rows(path) == _cut_rows(
         cut_duplicated_spans(spark.read.parquet(path))
     )
+
+
+def test_budget_select_multiple_null_ids_deterministic_multiset(spark):
+    # review r13: with >=2 NULL-id rows in the boundary bucket, _m and
+    # doc_id both tie at NULL — without the n_tokens tiebreak the partial
+    # sums land on rows nondeterministically. The construction forces a
+    # REAL tie: identical word composition (equal ratios) at saturated
+    # length (the quality length term caps at 100 tokens) gives the two
+    # NULL rows the SAME quality_q with DIFFERENT n_tokens, and the
+    # budget boundary falls between them — so the n_tokens-asc tiebreak
+    # is the only thing deciding which gets selected.
+    pat = "the cat runs fast"
+    t100, t120 = " ".join([pat] * 25), " ".join([pat] * 30)
+    rows = [(i, t100) for i in range(10)] + [(None, t100), (None, t120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # total = 1220 tokens; B = (19*1220) div 20 = 1159: the ten id'd docs
+    # (cum 1000) and the 100-token NULL row (cum 1100) fit, the 120-token
+    # NULL row (cum 1220) does not.
+    for _ in range(3):  # nondeterminism hunts need repeats
+        out = budget_select(docs, budget_num=19, budget_den=20).collect()
+        assert len(out) == 12
+        assert all(r.selected for r in out if r.doc_id is not None)
+        nulls = sorted(
+            ((r.n_tokens, r.selected) for r in out if r.doc_id is None)
+        )
+        assert nulls == [(100, True), (120, False)], (
+            f"NULL-id tie resolved against the n_tokens tiebreak: {nulls}"
+        )

@@ -142,8 +142,29 @@ def test_repo_history_loads_and_covers_known_rounds():
 
 
 def test_steal_probe_share_bounded():
+    import time
+
     p = bench_sf1.StealProbe()
-    for _ in range(200000):
-        pass
+    # window must dwarf the 10 ms /proc/stat tick quantum, or a single
+    # steal tick landing inside a few-ms window computes share > 1 and
+    # the test flakes on exactly the steal-prone hosts it matters on
+    time.sleep(0.3)
     share = p.share()
     assert share is None or 0.0 <= share <= 1.0
+
+
+def test_fixture_ambiguous_keys_excluded_not_pooled():
+    # review r13: the same (label, engine, gate) suffix in TWO sections of
+    # one document means two different fixtures share a key — the checker
+    # must exclude it loudly, not pool the medians
+    hist = {
+        8: {
+            "sf0.1": {"duckdb": {"g1": 0.1}},
+            "fixed_overhead_1x_10x_30x": {"sf0.1": {"duckdb": {"g1": 5.0}}},
+        }
+    }
+    new = {"sf0.1": {"duckdb": {"g1": 0.3}}}
+    rep = bench_sf1.corroborate(new, hist)
+    assert rep["ambiguous"] == ["sf0.1/duckdb/g1"]
+    assert rep["checked"] == 0 and rep["ok"]
+    assert "sf0.1/duckdb/g1" not in rep["divergent"]
