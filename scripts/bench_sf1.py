@@ -534,25 +534,31 @@ def corroborate(result: dict, history: dict[int, dict]) -> dict:
     - ``uncorroborated``: legs with no prior rounds to check against
       (first measurement — evidence only with the section steal probes);
     - ``ok``: no divergent legs."""
-    # A leg key must identify ONE fixture: if the same (label, engine,
-    # gate) suffix appears twice within a single document (e.g. a gate
-    # someday added to both the docs and fixed sections), pooling the two
-    # fixtures' timings would corrupt the median — exclude such keys
-    # loudly instead of checking them silently (review r13).
-    ambiguous: set[str] = set()
-
+    # A leg key must identify ONE fixture: the same (label, engine, gate)
+    # suffix appearing twice within a single document (r8/r10 carried
+    # duplicate section variants) means that DOCUMENT cannot say which
+    # fixture the key names — its values are dropped from the harvest,
+    # per document (review r13, refined: a r10-local duplicate must not
+    # globally disqualify a key that r11/r12 corroborate cleanly). Only a
+    # duplicate within the NEW result makes the key uncheckable outright.
     def _doc_legs(doc):
         seen: dict[str, float] = {}
+        dups: set[str] = set()
         for path, v in _leg_leaves(doc):
             key = _leg_key(path)
             if key in seen:
-                ambiguous.add(key)
+                dups.add(key)
             seen[key] = v
-        return seen
+        return seen, dups
 
     hist_legs: dict[str, list[float]] = {}
-    for doc in history.values():
-        for key, v in _doc_legs(doc).items():
+    history_dropped: dict[str, list[int]] = {}
+    for rnd, doc in history.items():
+        legs, dups = _doc_legs(doc)
+        for key, v in legs.items():
+            if key in dups:
+                history_dropped.setdefault(key, []).append(rnd)
+                continue
             hist_legs.setdefault(key, []).append(v)
     report: dict = {
         "rule": (
@@ -567,7 +573,7 @@ def corroborate(result: dict, history: dict[int, dict]) -> dict:
         "uncorroborated": [],
         "ambiguous": [],
     }
-    new_legs = _doc_legs(result)
+    new_legs, ambiguous = _doc_legs(result)
     for key, v in new_legs.items():
         if key in ambiguous:
             continue
@@ -587,6 +593,9 @@ def corroborate(result: dict, history: dict[int, dict]) -> dict:
                 "n_prior": len(prior),
             }
     report["ambiguous"] = sorted(ambiguous)
+    report["history_dropped"] = {
+        k: sorted(v) for k, v in sorted(history_dropped.items())
+    }
     report["ok"] = not report["divergent"]
     return report
 

@@ -153,18 +153,34 @@ def test_steal_probe_share_bounded():
     assert share is None or 0.0 <= share <= 1.0
 
 
-def test_fixture_ambiguous_keys_excluded_not_pooled():
-    # review r13: the same (label, engine, gate) suffix in TWO sections of
-    # one document means two different fixtures share a key — the checker
-    # must exclude it loudly, not pool the medians
+def test_fixture_ambiguous_history_doc_dropped_per_document():
+    # review r13 (refined): a key duplicated across two sections of ONE
+    # history document (the r8/r10 duplicate-section shape) cannot name a
+    # fixture IN THAT DOCUMENT — its values drop from the harvest, but
+    # other rounds' unambiguous values still corroborate
     hist = {
         8: {
             "sf0.1": {"duckdb": {"g1": 0.1}},
             "fixed_overhead_1x_10x_30x": {"sf0.1": {"duckdb": {"g1": 5.0}}},
-        }
+        },
+        11: {"sf0.1": {"duckdb": {"g1": 0.30}}},
+        12: {"sf0.1": {"duckdb": {"g1": 0.32}}},
     }
-    new = {"sf0.1": {"duckdb": {"g1": 0.3}}}
+    new = {"sf0.1": {"duckdb": {"g1": 0.31}}}
+    rep = bench_sf1.corroborate(new, hist)
+    assert rep["history_dropped"] == {"sf0.1/duckdb/g1": [8]}
+    assert rep["checked"] == 1 and rep["ok"]
+    # neither of r8's conflicting values polluted the median: 5.0 in the
+    # pool would flag 0.31 divergent against median 0.66
+    assert "sf0.1/duckdb/g1" not in rep["divergent"]
+
+
+def test_duplicate_key_in_new_result_is_uncheckable():
+    hist = {11: {"sf0.1": {"duckdb": {"g1": 0.30}}}}
+    new = {
+        "sf0.1": {"duckdb": {"g1": 0.31}},
+        "other_section": {"sf0.1": {"duckdb": {"g1": 9.9}}},
+    }
     rep = bench_sf1.corroborate(new, hist)
     assert rep["ambiguous"] == ["sf0.1/duckdb/g1"]
     assert rep["checked"] == 0 and rep["ok"]
-    assert "sf0.1/duckdb/g1" not in rep["divergent"]
