@@ -1258,3 +1258,109 @@ def _build_ann_recall_gate():
 
 
 ann_recall_gate_fn, ann_recall_oracle_sql = _build_ann_recall_gate()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r13; registration deferred to r14)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.95
+# Gate threshold, calibrated to the synthetic corpus: its engineered
+# near-duplicate embeddings sit at cosine ~0.35-0.51 (the same structure
+# embedding_neardup_pairs' 0.35 threshold targets), while real text
+# embeddings cluster far tighter — hence the 0.95 production default
+# above and the corpus-calibrated gate value here.
+SEMDEDUP_GATE_THRESHOLD = 0.35
+
+
+def semdedup(
+    emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """Semantic deduplication — SemDeDup ("SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", Abbas et al.
+    2023): embeddings are clustered, and within each cluster, vectors
+    whose cosine similarity exceeds a high threshold are semantic
+    duplicates of which one representative is kept. Returns one row per
+    vector: ``(vec_id, cell, kept)``.
+
+    Keep rule (deterministic, join-expressible): a vector is DROPPED iff
+    some lower-id vector in the same cell sits within the threshold —
+    the min-id member of every duplicate neighborhood survives. This is
+    the greedy canonical-representative variant of the paper's
+    keep-one-per-group (the paper keeps a random/low-centroid-distance
+    member; min-id is the engine-deterministic choice, the same
+    canonicalization the exact-dedup family uses). Cells are the
+    embeddings' k-means ``label`` column — the same cell structure the
+    IVF gates search, and exactly the paper's precomputed clustering.
+
+    Scale shape (100 TB): candidate pairs are an equi-join on the cell
+    id — never all-pairs; per-cell work is O(cell²) in the worst case,
+    which is the SemDeDup design point (clusters are sized so
+    within-cluster pairwise is tractable; the paper runs 50k clusters
+    over 5B embeddings). The drop verdict is a LEFT SEMI join (one probe
+    per vector), the output is corpus-sized, and nothing collects to the
+    driver. Cosine determinism across engines is the property every ANN
+    gate's hash-equality already pins; the threshold comparison uses the
+    raw (unrounded) cosine on both sides."""
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("cell"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("cell"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("va") > F.col("vb"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return emb.select("vec_id", F.col("label").alias("cell")).join(
+        dropped.withColumn("_d", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cell", F.coalesce(~F.col("_d"), F.lit(True)).alias("kept")
+    )
+
+
+def _build_semdedup_gate():
+    def fn(spark, sf_dir):
+        return semdedup(
+            load_embeddings(spark, sf_dir), threshold=SEMDEDUP_GATE_THRESHOLD
+        ).orderBy("vec_id")
+
+    oracle = _emb_oracle(f"""
+    WITH {_DUCK_NORMS},
+    pairs AS (
+      SELECT a.vec_id AS va,
+             SUM(CAST(a.embedding[t.i] * b.embedding[t.i] AS DOUBLE)) AS dp,
+             a.vec_id AS _a, b.vec_id AS _b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id > b.vec_id,
+        generate_series(1, {DIM}) t(i)
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT p.va AS vec_id
+      FROM pairs p
+      JOIN norms na ON na.vec_id = p._a
+      JOIN norms nb ON nb.vec_id = p._b
+      WHERE na.nrm * nb.nrm > 0
+        AND p.dp / (na.nrm * nb.nrm) >= {SEMDEDUP_GATE_THRESHOLD}
+    )
+    SELECT e.vec_id, e.label AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM embeddings e LEFT JOIN dropped d USING (vec_id)
+    ORDER BY e.vec_id
+    """)
+    # NOT registered as a driver gate in r13 (rotation window exactly
+    # full — see lm.py's deferral note). r14:
+    # `register("dedup_semantic_cells", Query(spark=fn, oracle=oracle))`.
+    # tests/test_semdedup.py proves oracle equality meanwhile.
+    return fn, oracle
+
+
+semdedup_gate_fn, semdedup_oracle_sql = _build_semdedup_gate()
