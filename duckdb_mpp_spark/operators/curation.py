@@ -428,8 +428,14 @@ def budget_select(
 
 def _build_budget_select_gate():
     def fn(spark, sf_dir):
+        # ordered_result (r13): same rationale as the decontaminate gate —
+        # per-doc result, no range-bound sampling job at bench scale
+        from duckdb_mpp_spark.queries import ordered_result
+
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-        return budget_select(docs).orderBy("doc_id")
+        return ordered_result(
+            budget_select(docs), docs, "doc_id", exchange=True
+        )
 
     oracle = f"""
     WITH toks AS (
@@ -501,13 +507,26 @@ def decontaminate_train(
     sa = splits.select(F.col(id_col).alias("doc_a"), F.col("split").alias("sa"))
     sb = splits.select(F.col(id_col).alias("doc_b"), F.col("split").alias("sb"))
     joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # ONE pass over the pair join (r13 optimization): the old
+    # two-filters-UNION shape consumed `joined` twice, so the whole banded
+    # minhash subtree executed once per branch (profiled as two full
+    # 32-task minhash stages per run at sf0.1). The two conditions are
+    # mutually exclusive (one needs sa='train' & sb≠'train', the other the
+    # reverse), so a when-chain over a single projection emits exactly the
+    # same multiset of contaminated train ids; `distinct` is unchanged.
     bad = (
-        joined.where((F.col("sa") == "train") & (F.col("sb") != "train"))
-        .select(F.col("doc_a").alias("_bad"))
-        .unionByName(
-            joined.where((F.col("sb") == "train") & (F.col("sa") != "train"))
-            .select(F.col("doc_b").alias("_bad"))
+        joined.select(
+            F.when(
+                (F.col("sa") == "train") & (F.col("sb") != "train"),
+                F.col("doc_a"),
+            )
+            .when(
+                (F.col("sb") == "train") & (F.col("sa") != "train"),
+                F.col("doc_b"),
+            )
+            .alias("_bad")
         )
+        .where(F.col("_bad").isNotNull())
         .distinct()
     )
     return splits.join(
@@ -523,8 +542,15 @@ def _build_decontaminate_gate():
     from duckdb_mpp_spark.operators.dedup import _DUCK_BANDS
 
     def fn(spark, sf_dir):
+        # ordered_result (r13): per-doc result frame — single-task sort
+        # under the 256 MiB source switch instead of a range sort whose
+        # bound-sampling job re-runs the final join subtree
+        from duckdb_mpp_spark.queries import ordered_result
+
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-        return decontaminate_train(docs).orderBy("doc_id")
+        return ordered_result(
+            decontaminate_train(docs), docs, "doc_id", exchange=True
+        )
 
     oracle = (
         _DUCK_BANDS

@@ -1095,7 +1095,13 @@ _SIMHASH_DIVS = ", ".join(str(d) for d, _ in _simhash_blocks(_SIMHASH_N_BLOCKS))
 _SIMHASH_MODS = ", ".join(str(m) for _, m in _simhash_blocks(_SIMHASH_N_BLOCKS))
 
 
-def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
+def simhash_neighbor_pairs(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    *,
+    materialize: bool = True,
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded on
     ``max_hamming + 1`` disjoint bit blocks (pigeonhole: a pair within
     ``max_hamming`` flipped bits must agree on at least one block, so the
@@ -1113,8 +1119,14 @@ def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: 
 
     Fingerprints are materialized before the self-join (same reasoning as
     ``lsh_candidate_pairs``: one 8-byte row per doc vs recomputing the
-    token-bit pipeline for both join sides)."""
-    sim = sim.localCheckpoint(eager=True)
+    token-bit pipeline for both join sides). ``materialize=False`` (r13,
+    the lsh_candidate_pairs recipe): for single-action consumers (the
+    gates sort/collect once) an explicit ``repartition(blk, bval)`` makes
+    both self-join sides the same canonical exchange subtree, so Catalyst
+    plans one Exchange + ReusedExchange — the token-bit pipeline runs
+    exactly once per action with no checkpoint job and no RDD-scan stats
+    blackout, and the join's distribution requirement is already
+    satisfied (AQE's skew split still applies to a hot block value)."""
     blocks = _simhash_blocks(max_hamming + 1)
     block_structs = F.array(
         *[
@@ -1125,9 +1137,13 @@ def simhash_neighbor_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: 
             for i, (d, m) in enumerate(blocks)
         ]
     )
+    if materialize:
+        sim = sim.localCheckpoint(eager=True)
     banded = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("x")
     ).select(id_col, "simhash", "x.blk", "x.bval")
+    if not materialize:
+        banded = banded.repartition("blk", "bval")
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "bval"
     )
@@ -1169,7 +1185,11 @@ def _simhash64_bounds(n_blocks: int) -> list[tuple[int, int]]:
 
 
 def simhash64_neighbor_pairs(
-    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    *,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming distance, banded on
     ``max_hamming + 1`` disjoint bit blocks (pigeonhole-complete recall,
@@ -1179,8 +1199,9 @@ def simhash64_neighbor_pairs(
     32-bit bound (ADVICE r4) does not apply until n approaches 2^12 docs
     PER DISTINCT BLOCK VALUE. Hamming distance is the sum of the two
     halves' ``bit_count(xor)`` terms; fingerprints (two 8-byte columns per
-    doc) are materialized before the self-join."""
-    sim = sim.localCheckpoint(eager=True)
+    doc) are materialized before the self-join. ``materialize=False``:
+    the single-action ReusedExchange shape — see
+    :func:`simhash_neighbor_pairs`."""
     bounds = _simhash64_bounds(max_hamming + 1)
     block_structs = F.array(
         *[
@@ -1191,9 +1212,13 @@ def simhash64_neighbor_pairs(
             for i, (s, e) in enumerate(bounds)
         ]
     )
+    if materialize:
+        sim = sim.localCheckpoint(eager=True)
     banded = sim.select(
         F.col(id_col), "sim_hi", "sim_lo", F.explode(block_structs).alias("x")
     ).select(id_col, "sim_hi", "sim_lo", "x.blk", "x.bval")
+    if not materialize:
+        banded = banded.repartition("blk", "bval")
     a = banded.select(
         F.col(id_col).alias("doc_a"),
         F.col("sim_hi").alias("hi_a"),
@@ -1379,9 +1404,14 @@ def _register():
 
     def pairs_fn(spark, sf_dir):
         bands = minhash_bands(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
-        # single-action consumer: the ReusedExchange shape, no checkpoint
-        return lsh_candidate_pairs(bands, materialize=False).orderBy(
-            "doc_a", "doc_b"
+        # single-action consumer: the ReusedExchange shape, no checkpoint;
+        # ordered_small (r13) drops the range sort's bound-sampling job —
+        # the candidate pair list is result-sized post-distinct
+        return ordered_small(
+            lsh_candidate_pairs(bands, materialize=False),
+            "doc_a",
+            "doc_b",
+            exchange=True,
         )
 
     register(
@@ -1614,7 +1644,12 @@ def _register():
     )
 
     def simhash_fn(spark, sf_dir):
-        return simhash32(_spread(load_table(spark, sf_dir, "documents"), "doc_id")).orderBy("doc_id")
+        # ordered_result (r13): per-doc fingerprint frame — no range-bound
+        # sampling job at bench scale, parallel orderBy past the switch
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        return ordered_result(simhash32(docs), docs, "doc_id", exchange=True)
 
     register(
         "dedup_simhash",
@@ -1642,8 +1677,16 @@ def _register():
     )
 
     def simhash_pairs_fn(spark, sf_dir):
+        # single-action consumer: ReusedExchange shape (no checkpoint job)
+        # + single-task sort of the thresholded pair list (no range-bound
+        # sampling job) — r13, the pairs_fn/jaccard_fn recipe
         sim = simhash32(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
-        return simhash_neighbor_pairs(sim).orderBy("doc_a", "doc_b")
+        return ordered_small(
+            simhash_neighbor_pairs(sim, materialize=False),
+            "doc_a",
+            "doc_b",
+            exchange=True,
+        )
 
     register(
         "dedup_simhash_pairs",
@@ -1683,8 +1726,14 @@ def _register():
     )
 
     def simhash64_pairs_fn(spark, sf_dir):
+        # same single-action shape as simhash_pairs_fn above (r13)
         sim = simhash64(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
-        return simhash64_neighbor_pairs(sim).orderBy("doc_a", "doc_b")
+        return ordered_small(
+            simhash64_neighbor_pairs(sim, materialize=False),
+            "doc_a",
+            "doc_b",
+            exchange=True,
+        )
 
     _b64_cases = " ".join(
         f"WHEN {i} THEN {_simhash64_block_sql(s, e, '//')}"

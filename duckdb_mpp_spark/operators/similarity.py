@@ -579,14 +579,26 @@ def _register():
     )
 
     def neardup_fn(spark, sf_dir):
+        from duckdb_mpp_spark.queries import ordered_small
+
         emb = load_embeddings(spark, sf_dir)
         # threshold INSIDE the kernel (>=) so the pair buffer is
         # O(survivors); the strict > filter below is unchanged semantics
         scored = blocked_pair_scores(emb, min_score=0.35)
-        return (
+        # ordered_small, NOT orderBy (r13 optimization): the sort's child
+        # here is the un-materialized applyInPandas subtree, and a range
+        # sort first runs a SEPARATE sampling job over that child to pick
+        # partition bounds — profiled at sf0.1 as the GEMM kernel executing
+        # TWICE (two 72-task ArrowEvalPython stages per run). The
+        # thresholded pair list is result-sized; exchange=True keeps the
+        # kernel stage parallel (coalesce(1) would propagate back to the
+        # block-pair exchange and serialize the GEMM itself).
+        return ordered_small(
             scored.where(F.col("cos_raw") > 0.35)
-            .select("va", "vb", F.round("cos_raw", 4).alias("score"))
-            .orderBy("va", "vb")
+            .select("va", "vb", F.round("cos_raw", 4).alias("score")),
+            "va",
+            "vb",
+            exchange=True,
         )
 
     register(

@@ -451,8 +451,17 @@ _KEYWORD_ORACLE = f"""
 
 def _register() -> None:
     def spans_fn(spark, sf_dir):
-        return duplicated_span_stats(load_table(spark, sf_dir, "documents")).orderBy(
-            "doc_id"
+        # ordered_result, NOT orderBy (r13 optimization): a range sort runs
+        # a separate bound-sampling job over the un-materialized stats
+        # subtree; the per-doc stats frame is source-tracked, so the
+        # single-task sort applies under the 256 MiB switch and the
+        # parallel orderBy remains the at-scale plan. exchange=True keeps
+        # the final broadcast-join stage parallel.
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ordered_result(
+            duplicated_span_stats(docs), docs, "doc_id", exchange=True
         )
 
     register("dedup_substring_spans", Query(spark=spans_fn, oracle=_SPAN_ORACLE))
@@ -474,8 +483,15 @@ def _register() -> None:
     # al. 2022, oracle-proven since r12 (tests/test_cut_spans.py, incl.
     # sf0.001 full-corpus equality + NULL-id and duplicate-id corpora).
     def cut_spans_fn(spark, sf_dir):
-        return cut_duplicated_spans(load_table(spark, sf_dir, "documents")).orderBy(
-            "doc_id"
+        # same ordered_result rationale as spans_fn above (r13): the output
+        # is one row per doc (text_cleaned tracks corpus bytes), so the
+        # sort switches on source size; exchange=True keeps the rebuild
+        # join stage parallel.
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ordered_result(
+            cut_duplicated_spans(docs), docs, "doc_id", exchange=True
         )
 
     register("dedup_cut_spans", Query(spark=cut_spans_fn, oracle=cut_spans_oracle_sql()))
