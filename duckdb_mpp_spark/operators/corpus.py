@@ -649,14 +649,25 @@ def _register() -> None:
     )
 
     def pii_fn(spark, sf_dir):
+        # ordered_result (r13): the range sort's bound-sampling job ran the
+        # regex redaction projection twice; map-only, so the default
+        # coalesce form is safe under the source-size switch
+        from duckdb_mpp_spark.queries import ordered_result
+
         docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
-        return pii_redact(docs).orderBy("doc_id")
+        return ordered_result(pii_redact(docs), docs, "doc_id")
 
     register("text_pii_redaction", Query(spark=pii_fn, oracle=_PII_ORACLE))
 
     def packing_fn(spark, sf_dir):
-        return sequence_packing(load_table(spark, sf_dir, "documents")).orderBy(
-            "worker", "seq_id"
+        # ordered_result exchange=True (r13): the packing windows produce
+        # the result with no shuffle boundary above them — barrier form
+        # required (see ordered_small); drops the range-sampling pass
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ordered_result(
+            sequence_packing(docs), docs, "worker", "seq_id", exchange=True
         )
 
     register(
@@ -678,8 +689,14 @@ def _register() -> None:
     )
 
     def stratified_fn(spark, sf_dir):
-        return stratified_sample_exact(load_table(spark, sf_dir, "documents")).orderBy(
-            F.col("lang").asc_nulls_last(), "rank"  # DuckDB default (review r6)
+        # ordered_result exchange=True (r13): result rides the rank
+        # window's partitioning (no boundary above the corpus stage);
+        # ordered_* pins asc_nulls_last, the r6 convention kept here
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ordered_result(
+            stratified_sample_exact(docs), docs, "lang", "rank", exchange=True
         )
 
     register(
@@ -909,10 +926,18 @@ def _register_chunking():
         # chunk_hash is engine-local (xxhash64 seed differs from DuckDB's),
         # so the gate compares the exact chunk geometry + boundary tokens;
         # the hash column is exercised by tests/test_corpus.py instead.
-        return (
-            chunk_documents(docs)
-            .select("doc_id", "chunk_id", "n_tokens", "first_token", "last_token")
-            .orderBy("doc_id", "chunk_id")
+        # ordered_result exchange=True (r13): chunk rows are emitted by
+        # the per-doc explode stage directly — barrier form, no sampling
+        from duckdb_mpp_spark.queries import ordered_result
+
+        return ordered_result(
+            chunk_documents(docs).select(
+                "doc_id", "chunk_id", "n_tokens", "first_token", "last_token"
+            ),
+            docs,
+            "doc_id",
+            "chunk_id",
+            exchange=True,
         )
 
     register("pipeline_chunk_documents", Query(spark=chunk_fn, oracle=_CHUNK_ORACLE))
@@ -989,8 +1014,12 @@ _SQRT_SAMPLE_ORACLE = f"""
 
 def _register_sqrt_sample():
     def fn(spark, sf_dir):
-        return sqrt_flatten_sample(load_table(spark, sf_dir, "documents")).orderBy(
-            F.col("lang").asc_nulls_last(), "rank"  # DuckDB default (review r6)
+        # ordered_result exchange=True (r13): same shape as stratified_fn
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ordered_result(
+            sqrt_flatten_sample(docs), docs, "lang", "rank", exchange=True
         )
 
     register("sampling_sqrt_temperature", Query(spark=fn, oracle=_SQRT_SAMPLE_ORACLE))

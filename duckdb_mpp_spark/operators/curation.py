@@ -136,7 +136,7 @@ def curate(spark, sf_dir: str):
         labels.where(F.col("node") == F.col("label")).select(F.col("node").alias("doc_id")),
         "doc_id",
     )
-    return (
+    out = (
         canon.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -147,10 +147,12 @@ def curate(spark, sf_dir: str):
                 / F.count("*")
             ).alias("mean_quality_q"),
         )
-        # NULLS LAST: the r6 shared-order convention (review r9 — a NULL
-        # source surviving curation would sort FIRST here, LAST in DuckDB)
-        .orderBy(F.col("source").asc_nulls_last())
     )
+    # ordered_small (r13): per-source summary is result-sized; the helper
+    # pins asc_nulls_last (r6 convention, review r9)
+    from duckdb_mpp_spark.queries import ordered_small
+
+    return ordered_small(out, "source", exchange=True)
 
 
 def _lang_case() -> str:
@@ -271,11 +273,17 @@ def train_test_split(spark, sf_dir: str):
         split_tag().alias("split"),
         token_count("text").cast("bigint").alias("n_tokens"),
     )
-    return (
-        tagged.groupBy("split", "source")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
-        # NULLS LAST on the nullable source key (r6 convention, review r9)
-        .orderBy(F.col("split").asc_nulls_last(), F.col("source").asc_nulls_last())
+    # ordered_small (r13): per-(split, source) summary is result-sized;
+    # the helper pins asc_nulls_last (r6 convention, review r9)
+    from duckdb_mpp_spark.queries import ordered_small
+
+    return ordered_small(
+        tagged.groupBy("split", "source").agg(
+            F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+        ),
+        "split",
+        "source",
+        exchange=True,
     )
 
 
@@ -501,9 +509,9 @@ def decontaminate_train(
     Train–train near-dups are NOT flagged here: duplicates inside train
     are a dedup concern (dedup_* operators), not an eval-integrity one."""
     splits = docs.select(F.col(id_col), split_tag(id_col).alias("split"))
-    pairs = lsh_candidate_pairs(
-        minhash_bands(docs, id_col, text_col), id_col, materialize=False
-    )
+    # checkpoint shape (r13 A/B): reuse 2.51 s vs ckpt 1.79 s at sf0.1 on
+    # this subtree — see dedup.pairs_fn for the mechanism
+    pairs = lsh_candidate_pairs(minhash_bands(docs, id_col, text_col), id_col)
     sa = splits.select(F.col(id_col).alias("doc_a"), F.col("split").alias("sa"))
     sb = splits.select(F.col(id_col).alias("doc_b"), F.col("split").alias("sb"))
     joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -612,7 +620,8 @@ def split_leakage(spark, sf_dir: str):
     from duckdb_mpp_spark.queries import ordered_small
 
     docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    pairs = lsh_candidate_pairs(minhash_bands(docs), materialize=False)
+    # checkpoint shape (r13 A/B) — see decontaminate_train above
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
     splits = docs.select("doc_id", split_tag().alias("split"))
     sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))

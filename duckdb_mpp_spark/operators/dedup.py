@@ -1392,7 +1392,14 @@ def _register():
     )
 
     def bands_fn(spark, sf_dir):
-        return minhash_bands(_spread(load_table(spark, sf_dir, "documents"), "doc_id")).orderBy("doc_id", "band")
+        # ordered_result exchange=True (r13): per-(doc, band) rows track
+        # the corpus; no range-sampling pass under the source-size switch
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        return ordered_result(
+            minhash_bands(docs), docs, "doc_id", "band", exchange=True
+        )
 
     register(
         "dedup_minhash_signatures",
@@ -1404,11 +1411,13 @@ def _register():
 
     def pairs_fn(spark, sf_dir):
         bands = minhash_bands(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
-        # single-action consumer: the ReusedExchange shape, no checkpoint;
-        # ordered_small (r13) drops the range sort's bound-sampling job —
-        # the candidate pair list is result-sized post-distinct
+        # checkpoint shape (r13 A/B): reuse 1.32 s vs ckpt 0.97 s at sf0.1
+        # — the ReusedExchange form pays two SMJ sorts of the exploded
+        # band stream, dearer than one eager materialization of the tiny
+        # signature rows; ordered_small (r13) drops the range sort's
+        # bound-sampling job — the candidate pair list is result-sized
         return ordered_small(
-            lsh_candidate_pairs(bands, materialize=False),
+            lsh_candidate_pairs(bands),
             "doc_a",
             "doc_b",
             exchange=True,
@@ -1677,12 +1686,13 @@ def _register():
     )
 
     def simhash_pairs_fn(spark, sf_dir):
-        # single-action consumer: ReusedExchange shape (no checkpoint job)
-        # + single-task sort of the thresholded pair list (no range-bound
-        # sampling job) — r13, the pairs_fn/jaccard_fn recipe
+        # checkpoint shape (r13 A/B): reuse 2.42 s vs ckpt 1.51 s at
+        # sf0.1 — materializing the 8-byte fingerprints once beats the
+        # ReusedExchange form's two SMJ sorts of the 5×-exploded block
+        # stream; ordered_small keeps the no-sampling single-task sort
         sim = simhash32(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
         return ordered_small(
-            simhash_neighbor_pairs(sim, materialize=False),
+            simhash_neighbor_pairs(sim),
             "doc_a",
             "doc_b",
             exchange=True,
@@ -1726,10 +1736,11 @@ def _register():
     )
 
     def simhash64_pairs_fn(spark, sf_dir):
-        # same single-action shape as simhash_pairs_fn above (r13)
+        # checkpoint shape — same r13 A/B verdict as simhash_pairs_fn
+        # (reuse 3.30 s vs ckpt 2.89 s at sf0.1)
         sim = simhash64(_spread(load_table(spark, sf_dir, "documents"), "doc_id"))
         return ordered_small(
-            simhash64_neighbor_pairs(sim, materialize=False),
+            simhash64_neighbor_pairs(sim),
             "doc_a",
             "doc_b",
             exchange=True,
@@ -1863,7 +1874,7 @@ def cluster_assign(spark, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(minhash_bands(docs))
     labels = connected_components(pairs, docs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
+    out = (
         labels.join(sizes, "label")
         .select(
             F.col("node").alias("doc_id"),
@@ -1871,8 +1882,11 @@ def cluster_assign(spark, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("node") == F.col("label")).alias("is_canonical"),
         )
-        .orderBy("doc_id")
     )
+    # ordered_result exchange=True (r13): one row per doc, no sampling pass
+    from duckdb_mpp_spark.queries import ordered_result
+
+    return ordered_result(out, docs, "doc_id", exchange=True)
 
 
 register(
@@ -1927,7 +1941,7 @@ def cluster_keep_best(spark, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
         .join(q, "doc_id")
         .withColumn("rank_in_cluster", F.row_number().over(w))
@@ -1937,8 +1951,11 @@ def cluster_keep_best(spark, sf_dir: str) -> DataFrame:
             F.round("quality_score", 6).alias("quality_score"),
             (F.col("rank_in_cluster") == 1).alias("kept"),
         )
-        .orderBy("doc_id")
     )
+    # ordered_result exchange=True (r13): one row per doc, no sampling pass
+    from duckdb_mpp_spark.queries import ordered_result
+
+    return ordered_result(out, docs, "doc_id", exchange=True)
 
 
 def _register_keep_best():
@@ -2057,7 +2074,10 @@ def _bands_from_wide(mh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _register_minhash_estimate():
     def fn(spark, sf_dir):
         docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
-        return minhash_similarity_estimate(docs).orderBy("doc_a", "doc_b")
+        # ordered_small (r13): estimated-pair list is result-sized
+        return ordered_small(
+            minhash_similarity_estimate(docs), "doc_a", "doc_b", exchange=True
+        )
 
     register(
         "dedup_minhash_estimate",

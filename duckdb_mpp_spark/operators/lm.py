@@ -167,8 +167,14 @@ def lm_fluency_scores(
 
 def _build_lm_fluency_gate():
     def fn(spark, sf_dir):
-        return lm_fluency_scores(load_table(spark, sf_dir, "documents")).orderBy(
-            "doc_id"
+        # ordered_result exchange=True (r13): per-doc scores ride the
+        # scoring join with no boundary above — barrier form, no
+        # range-sampling double pass
+        from duckdb_mpp_spark.queries import ordered_result
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ordered_result(
+            lm_fluency_scores(docs), docs, "doc_id", exchange=True
         )
 
     oracle = f"""

@@ -278,8 +278,19 @@ def decode_sgm_features(df: DataFrame) -> DataFrame:
 
 def _register():
     def features_fn(spark, sf_dir):
+        # ordered_result exchange=True (r13): the range sort's bound
+        # sampling re-executed the whole mapInPandas decode (the Python
+        # kernel ran twice per query — the embedding_neardup finding);
+        # barrier form keeps the kernel stage parallel
+        from duckdb_mpp_spark.queries import ordered_result
+
         docs = load_table(spark, sf_dir, "documents")
-        return extract_features(with_binary_payload(docs)).orderBy("doc_id")
+        return ordered_result(
+            extract_features(with_binary_payload(docs)),
+            docs,
+            "doc_id",
+            exchange=True,
+        )
 
     # the oracle recomputes the byte-level features from the text column
     # (the corpus is ASCII, so char codes == utf-8 bytes — asserted by the
@@ -314,8 +325,17 @@ def _register():
     )
 
     def decode_fn(spark, sf_dir):
+        # ordered_result exchange=True (r13): see features_fn — the
+        # encode+decode Python kernels ran twice under the sampling sort
+        from duckdb_mpp_spark.queries import ordered_result
+
         docs = load_table(spark, sf_dir, "documents")
-        return decode_sgm_features(encode_sgm_images(docs)).orderBy("doc_id")
+        return ordered_result(
+            decode_sgm_features(encode_sgm_images(docs)),
+            docs,
+            "doc_id",
+            exchange=True,
+        )
 
     # encode→decode happens only Spark-side (binary header round-trip); the
     # oracle recomputes the expected features straight from the text column —
@@ -355,8 +375,17 @@ def _register():
     )
 
     def frames_fn(spark, sf_dir):
+        # ordered_result exchange=True (r13): see features_fn
+        from duckdb_mpp_spark.queries import ordered_result
+
         docs = load_table(spark, sf_dir, "documents")
-        return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_idx")
+        return ordered_result(
+            sample_frames(with_binary_payload(docs)),
+            docs,
+            "doc_id",
+            "frame_idx",
+            exchange=True,
+        )
 
     register(
         "multimodal_frame_sample",

@@ -425,7 +425,13 @@ def _register():
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
         corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-        return brute_force_topk(queries, corpus, k=10).orderBy("qid", "rank")
+        # ordered_small (r13): top-k lists are result-sized; the range
+        # sort's bound-sampling job re-ran the scoring subtree
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(
+            brute_force_topk(queries, corpus, k=10), "qid", "rank", exchange=True
+        )
 
     register(
         "ann_topk_bruteforce",
@@ -472,11 +478,16 @@ def _register():
         pairs = _maybe_broadcast(queries).join(corpus, "cell").where(F.col("qid") != F.col("cid"))
         scored = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
         w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
-        return (
+        # ordered_small (r13): see ann_topk_bruteforce
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5)
-            .select("qid", "cid", "rank", F.round("cos_raw", 4).alias("score"))
-            .orderBy("qid", "rank")
+            .select("qid", "cid", "rank", F.round("cos_raw", 4).alias("score")),
+            "qid",
+            "rank",
+            exchange=True,
         )
 
     register(
@@ -532,11 +543,16 @@ def _register():
         pairs = _maybe_broadcast(queries).join(corpus, "bucket").where(F.col("qid") != F.col("cid"))
         scored = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
         w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
-        return (
+        # ordered_small (r13): see ann_topk_bruteforce
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5)
-            .select("qid", "cid", "rank", F.round("cos_raw", 4).alias("score"))
-            .orderBy("qid", "rank")
+            .select("qid", "cid", "rank", F.round("cos_raw", 4).alias("score")),
+            "qid",
+            "rank",
+            exchange=True,
         )
 
     register(
@@ -634,7 +650,10 @@ def _register():
         qz = quantize_embeddings(emb).withColumn(
             "is_query", F.col("vec_id") % 97 == F.lit(0)
         )
-        return quantized_topk(qz, k=10).orderBy("qid", "rank")
+        # ordered_small (r13): see ann_topk_bruteforce
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(quantized_topk(qz, k=10), "qid", "rank", exchange=True)
 
     register(
         "ann_quantized_topk",
@@ -906,8 +925,15 @@ def _register_centroids():
         # explicit NULLS LAST: Spark asc defaults NULLS FIRST, DuckDB 1.0
         # NULLS LAST — a NULL label would flip row order vs the oracle
         # (the corpus.py r6 convention, applied here in r8)
-        return class_centroids(load_embeddings(spark, sf_dir)).orderBy(
-            F.col("label").asc_nulls_last(), "dim"
+        # ordered_small (r13): labels x dims rows — result-sized; the
+        # helper pins asc_nulls_last, keeping the r6/r8 NULLS LAST rule
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(
+            class_centroids(load_embeddings(spark, sf_dir)),
+            "label",
+            "dim",
+            exchange=True,
         )
 
     register(
@@ -985,13 +1011,15 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "label", F.col("c_label").alias("assigned"))
     )
-    return (
-        assigned.groupBy("label", "assigned")
-        .agg(F.count("*").alias("n"))
-        # NULLS LAST: cross-dialect default divergence (r6 convention, r8)
-        .orderBy(
-            F.col("label").asc_nulls_last(), F.col("assigned").asc_nulls_last()
-        )
+    # ordered_small (r13): confusion-matrix rows are result-sized; the
+    # helper pins asc_nulls_last (r6 convention, r8)
+    from duckdb_mpp_spark.queries import ordered_small
+
+    return ordered_small(
+        assigned.groupBy("label", "assigned").agg(F.count("*").alias("n")),
+        "label",
+        "assigned",
+        exchange=True,
     )
 
 
@@ -1110,7 +1138,12 @@ def _register_hard_negatives():
             F.col("embedding").alias("cv"),
             F.col("label").alias("clabel"),
         )
-        return hard_negative_topk(q, c, k=5).orderBy("qid", "rank")
+        # ordered_small (r13): see ann_topk_bruteforce
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(
+            hard_negative_topk(q, c, k=5), "qid", "rank", exchange=True
+        )
 
     register(
         "ann_hard_negatives",
@@ -1217,7 +1250,14 @@ def ann_recall_at_k(
 
 def _build_ann_recall_gate():
     def fn(spark, sf_dir):
-        return ann_recall_at_k(load_embeddings(spark, sf_dir), k=10).orderBy("qid")
+        # ordered_small (r13): per-query recall rows — result-sized
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(
+            ann_recall_at_k(load_embeddings(spark, sf_dir), k=10),
+            "qid",
+            exchange=True,
+        )
 
     oracle = _emb_oracle(f"""
     WITH {_DUCK_NORMS},
@@ -1340,9 +1380,17 @@ def semdedup(
 
 def _build_semdedup_gate():
     def fn(spark, sf_dir):
-        return semdedup(
-            load_embeddings(spark, sf_dir), threshold=SEMDEDUP_GATE_THRESHOLD
-        ).orderBy("vec_id")
+        # ordered_result (r13): one row per vector — tracks the embedding
+        # source; no range-sampling pass under the switch
+        from duckdb_mpp_spark.queries import ordered_result
+
+        emb = load_embeddings(spark, sf_dir)
+        return ordered_result(
+            semdedup(emb, threshold=SEMDEDUP_GATE_THRESHOLD),
+            emb,
+            "vec_id",
+            exchange=True,
+        )
 
     oracle = _emb_oracle(f"""
     WITH {_DUCK_NORMS},

@@ -173,7 +173,11 @@ def _register() -> None:
                 (F.sum("s").cast("double") / 256).alias("total_value_q"),
             ],
             n_salts=8,
-        ).orderBy("event_type")
+        )
+        # ordered_small (r13): per-event-type summary is result-sized
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(out, "event_type", exchange=True)
 
     register(
         "skew_salted_agg_join",

@@ -313,7 +313,7 @@ def _register_gopher():
             & (5 * n_alpha >= 4 * n_words)
             & (stop_hits >= 2)
         )
-        return docs.select(
+        out = docs.select(
             "doc_id",
             n_words.alias("n_words"),
             n_chars.alias("n_chars"),
@@ -322,7 +322,13 @@ def _register_gopher():
             n_alpha.alias("n_alpha_words"),
             stop_hits.alias("stop_hits"),
             keep.alias("keep"),
-        ).orderBy("doc_id")
+        )
+        # ordered_result (r13): the range sort's bound-sampling job ran
+        # this map-only projection twice; single-task sort under the
+        # 256 MiB source switch, parallel orderBy past it
+        from duckdb_mpp_spark.queries import ordered_result
+
+        return ordered_result(out, docs, "doc_id")
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     oracle = f"""
@@ -353,12 +359,19 @@ def _register_gopher():
 def _register_token_stats():
     def spark_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
-        return docs.select(
+        # ordered_result (r13): see gopher_rules — no sampling double-pass
+        from duckdb_mpp_spark.queries import ordered_result
+
+        return ordered_result(
+            docs.select(
+                "doc_id",
+                token_count("text").alias("n_tokens"),
+                bpe_token_estimate("text").cast("bigint").alias("bpe_tokens"),
+                F.length("text").cast("int").alias("len_chars"),
+            ),
+            docs,
             "doc_id",
-            token_count("text").alias("n_tokens"),
-            bpe_token_estimate("text").cast("bigint").alias("bpe_tokens"),
-            F.length("text").cast("int").alias("len_chars"),
-        ).orderBy("doc_id")
+        )
 
     oracle = f"""
         SELECT doc_id,
@@ -398,7 +411,10 @@ def duck_quality_cte(name: str = "quality") -> str:
 def _register_quality():
     def spark_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
-        return quality_features(docs).orderBy("doc_id")
+        # ordered_result (r13): see gopher_rules — no sampling double-pass
+        from duckdb_mpp_spark.queries import ordered_result
+
+        return ordered_result(quality_features(docs), docs, "doc_id")
 
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     oracle = f"""
@@ -426,9 +442,16 @@ def _register_langid():
     def spark_fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         per_doc = docs.select("doc_id", language_id("text").alias("predicted_lang"))
-        return per_doc.groupBy("predicted_lang").agg(
-            F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
-        ).orderBy("predicted_lang")
+        # ordered_small (r13): the language histogram is result-sized
+        from duckdb_mpp_spark.queries import ordered_small
+
+        return ordered_small(
+            per_doc.groupBy("predicted_lang").agg(
+                F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+            ),
+            "predicted_lang",
+            exchange=True,
+        )
 
     ratio_exprs = ",\n               ".join(
         f"CAST({_duck_stop_hits(lang)} AS DOUBLE) / greatest(len(ws), 1) AS r_{lang}"
@@ -472,10 +495,15 @@ def _register_fingerprint():
         groups = fp.groupBy("fingerprint").agg(
             F.count("*").alias("group_size"), F.min("doc_id").alias("keeper")
         )
-        return (
-            fp.join(groups, "fingerprint")
-            .select("doc_id", "fingerprint", "group_size", "keeper")
-            .orderBy("doc_id")
+        # ordered_result (r13): see gopher_rules — no sampling double-pass
+        from duckdb_mpp_spark.queries import ordered_result
+
+        return ordered_result(
+            fp.join(groups, "fingerprint").select(
+                "doc_id", "fingerprint", "group_size", "keeper"
+            ),
+            docs,
+            "doc_id",
         )
 
     oracle = """
