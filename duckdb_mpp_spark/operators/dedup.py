@@ -1031,13 +1031,34 @@ def _simhash_bit_sums(
     (map-side combine; see simhash32's shape note). md5 has 32 hex digits =
     128 usable bits, so any ``bits <= 128`` reads real hash entropy."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    hexed = toks.select(id_col, F.md5("tok").alias("hx"))
+    # r13 per-task rework (guide §1.2 step 2): one integer word per 8 hex
+    # digits via conv(…,16,10), bits extracted by shift+mask — replaces
+    # 32 instr+substring+floor expressions per token (each allocating a
+    # 1-char string) with 2 convs + 64 int ops. Bit definition unchanged:
+    # digit d is the d-th hex char (most significant nibble first), so
+    # bit j = (word(j div 32) >> (4·(7 − (j mod 32) div 4) + j mod 4)) & 1
+    # — exactly bit (j mod 4) of hex digit (j div 4 + 1). A/B sf0.1:
+    # value-identical on every simhash gate, ~−25% on the compute stage.
+    hx = F.md5("tok")
+    n_words = (bits + 31) // 32
+    hexed = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring(hx, 1 + 8 * w, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"w{w}")
+            for w in range(n_words)
+        ],
+    )
 
     def contrib(j: int):
-        hexdigit = F.expr(
-            f"instr('0123456789abcdef', substring(hx, {j // 4 + 1}, 1)) - 1"
+        jj = j % 32
+        shift = 4 * (7 - jj // 4) + (jj % 4)
+        bit = (
+            F.shiftright(F.col(f"w{j // 32}"), shift)
+            .bitwiseAND(F.lit(1))
+            .cast("int")
         )
-        bit = (F.floor(hexdigit / F.lit(1 << (j % 4))) % 2).cast("int")
         return bit * 2 - 1
 
     return hexed.groupBy(id_col).agg(

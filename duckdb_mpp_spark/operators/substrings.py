@@ -177,8 +177,21 @@ def cut_duplicated_spans(
     (``array_sort(collect_list(struct(p, tok))).tok`` + ``array_join``)
     stays in codegen: struct-field extraction over the array is a
     built-in, NOT a per-token interpreted lambda (the transform() trap
-    measured at ~27× in dedup.shingles' docstring)."""
+    measured at ~27× in dedup.shingles' docstring).
+
+    Small-regime fusion (r13): the tokenized frame feeds FOUR branches
+    (gram stats, covered probe, token stream, totals) — un-materialized,
+    the regex tokenize re-runs per branch (four parquet scans in the
+    plan). Under the shared 256 MiB source switch the frame is
+    checkpointed once (A/B at sf0.1: 1.77 → 1.50 s); past it the
+    recompute shape stands — materializing a corpus-sized token frame
+    is the wrong trade at 100 TB, where the four branches are scans of
+    a columnar source, not four regex passes over a driver bottleneck."""
+    from duckdb_mpp_spark.table import is_small_source
+
     t = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    if is_small_source(df):
+        t = t.localCheckpoint(eager=True)
     nonempty = t.where(F.size("t") > 0)
     idx = nonempty.select(
         id_col,
