@@ -140,11 +140,8 @@ def shingles(
             F.sequence(F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(1)))
         ).alias("i"),
     )
-    gram = F.concat_ws(
-        " ",
-        *[F.try_element_at("t", F.col("i") + j) for j in range(k)],
-    )
-    return idx.select(id_col, gram.alias("sh"))
+    parts = ", ".join(f"try_element_at(t, i + {j})" for j in range(k))
+    return idx.selectExpr(id_col, f"concat_ws(' ', {parts}) AS sh")
 
 
 def _draws_md5(gram_str):
@@ -181,9 +178,10 @@ def _minhash_aggs(h: DataFrame, id_col: str, *extra):
     hash evaluation happens map-side and the shuffle carries only per-doc
     partial minima. Shared by all three signature variants so the
     signature semantics cannot drift between them."""
-    mins = [
-        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(K_MINHASH)
-    ]
+    # F.expr strings: one py4j round trip per aggregate instead of the
+    # ~8 of a chained Column build (r13 construction-floor rework — see
+    # _simhash_bit_sums' note; same expression tree either way)
+    mins = [F.expr(f"min(h1 + {s} * h2) AS mh{s}") for s in range(K_MINHASH)]
     return h.groupBy(id_col).agg(*mins, *extra)
 
 
@@ -1015,12 +1013,17 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     aggregating — pure compute/materialization tax at corpus scale.
     """
     sums = _simhash_bit_sums(df, id_col, text_col, bits=32)
-    fp = F.lit(0).cast("bigint")
-    for j in range(32):
-        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return sums.select(id_col, fp.alias("simhash"))
+    # One parsed SQL string instead of 32 chained when/otherwise Column
+    # builds: the py4j round trips of per-bit Column construction were
+    # ~0.5 s of driver wall per query (measured r13; the job itself is
+    # ~0.3 s). CASE WHEN chain is the same expression tree the Column
+    # API built.
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+        for j in range(32)
+    )
+    return sums.selectExpr(id_col, f"CAST(0 AS BIGINT) + {fp} AS simhash")
 
 
 def _simhash_bit_sums(
@@ -1039,30 +1042,27 @@ def _simhash_bit_sums(
     # bit j = (word(j div 32) >> (4·(7 − (j mod 32) div 4) + j mod 4)) & 1
     # — exactly bit (j mod 4) of hex digit (j div 4 + 1). A/B sf0.1:
     # value-identical on every simhash gate, ~−25% on the compute stage.
-    hx = F.md5("tok")
     n_words = (bits + 31) // 32
-    hexed = toks.select(
+    # SQL strings, not chained Column builds: every F.xxx()/operator call
+    # is a py4j round trip, and bits×~7 of them cost ~0.7–1.2 s of driver
+    # wall per query construction (measured r13) — comparable to the
+    # whole compute job. selectExpr/expr parse in the JVM in one trip.
+    hexed = toks.selectExpr(
         id_col,
         *[
-            F.conv(F.substring(hx, 1 + 8 * w, 8), 16, 10)
-            .cast("bigint")
-            .alias(f"w{w}")
+            f"CAST(conv(substring(md5(tok), {1 + 8 * w}, 8), 16, 10)"
+            f" AS BIGINT) AS w{w}"
             for w in range(n_words)
         ],
     )
 
-    def contrib(j: int):
+    def contrib(j: int) -> str:
         jj = j % 32
         shift = 4 * (7 - jj // 4) + (jj % 4)
-        bit = (
-            F.shiftright(F.col(f"w{j // 32}"), shift)
-            .bitwiseAND(F.lit(1))
-            .cast("int")
-        )
-        return bit * 2 - 1
+        return f"CAST(shiftright(w{j // 32}, {shift}) & 1 AS INT) * 2 - 1"
 
     return hexed.groupBy(id_col).agg(
-        *[F.sum(contrib(j)).alias(f"s{j}") for j in range(bits)]
+        *[F.expr(f"sum({contrib(j)}) AS s{j}") for j in range(bits)]
     )
 
 
@@ -1085,17 +1085,20 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     ANY corpus. At 64 bits the same 5-block construction yields 2^12..2^13
     keys per block, pushing the quadratic term down by ~2^6."""
     sums = _simhash_bit_sums(df, id_col, text_col, bits=64)
-    lo = F.lit(0).cast("bigint")
-    hi = F.lit(0).cast("bigint")
-    for j in range(32):
-        lo = lo + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    # single parsed SQL string per half (see simhash32's construction note)
+    def pack(js: range, base: int) -> str:
+        body = " + ".join(
+            f"CASE WHEN s{j} > 0 THEN CAST({1 << (j - base)} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+            for j in js
         )
-    for j in range(32, 64):
-        hi = hi + F.when(
-            F.col(f"s{j}") > 0, F.lit(1 << (j - 32)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return sums.select(id_col, hi.alias("sim_hi"), lo.alias("sim_lo"))
+        return f"CAST(0 AS BIGINT) + {body}"
+
+    return sums.selectExpr(
+        id_col,
+        f"{pack(range(32, 64), 32)} AS sim_hi",
+        f"{pack(range(0, 32), 0)} AS sim_lo",
+    )
 
 
 def _simhash_blocks(n_blocks: int, bits: int = 32) -> list[tuple[int, int]]:
@@ -2075,21 +2078,18 @@ def minhash_similarity_estimate(
 def _bands_from_wide(mh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band signatures from an already-computed wide minhash table (shares
     one signature evaluation between banding and other consumers)."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws(',', {cols}) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
     )
-    return mh.select(id_col, F.explode(band_structs).alias("x")).select(
-        id_col, F.col("x.band").alias("band"), F.col("x.band_key").alias("band_key")
-    )
+    return mh.selectExpr(
+        id_col, f"explode(array({structs})) AS x"
+    ).selectExpr(id_col, "x.band AS band", "x.band_key AS band_key")
 
 
 def _register_minhash_estimate():
