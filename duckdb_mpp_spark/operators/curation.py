@@ -360,41 +360,45 @@ def budget_select(
     # (id, n_tokens, quality_q) — O(#docs) scalars, the frame a real
     # deployment would write to a table between scoring and selection.
     base = base.localCheckpoint(eager=True)
-    hist = base.groupBy("quality_q").agg(F.sum("n_tokens").alias("_btoks"))
+    # selectExpr/expr strings incl. the OVER clauses (r13 construction-
+    # floor rework, see text._tokens_sql): the Window-API build of this
+    # body cost ~0.6 s of driver wall per query construction; the SQL
+    # text parses JVM-side in one trip per projection. Same trees.
+    hist = base.groupBy("quality_q").agg(F.expr("sum(n_tokens) AS _btoks"))
     total = base.agg(
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("_total")
-    )
-    wq = Window.orderBy(F.col("quality_q").desc_nulls_last()).rowsBetween(
-        Window.unboundedPreceding, -1
+        F.expr("CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS _total")
     )
     cum = (
-        hist.withColumn(
-            "_before", F.coalesce(F.sum("_btoks").over(wq), F.lit(0))
+        hist.selectExpr(
+            "quality_q",
+            "_btoks",
+            "coalesce(sum(_btoks) OVER (ORDER BY quality_q DESC NULLS LAST"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            " AS _before",
         )
         .join(F.broadcast(total))
-        .withColumn(
-            "_b",
-            F.expr(f"CAST(({budget_num} * _total) div {budget_den} AS BIGINT)"),
-        )
-        .select(
+        .selectExpr(
             "quality_q",
-            (F.col("_before") + F.col("_btoks") <= F.col("_b")).alias("_full"),
-            (
-                (F.col("_before") < F.col("_b"))
-                & (F.col("_before") + F.col("_btoks") > F.col("_b"))
-            ).alias("_bound"),
-            (F.col("_b") - F.col("_before")).alias("_rem"),
+            f"CAST(({budget_num} * _total) div {budget_den} AS BIGINT) AS _b",
+            "_btoks",
+            "_before",
+        )
+        .selectExpr(
+            "quality_q",
+            "_before + _btoks <= _b AS _full",
+            "_before < _b AND _before + _btoks > _b AS _bound",
+            "_b - _before AS _rem",
         )
     )
     # bucket verdicts back onto docs: null-safe on the quality key (NULL
     # quality = NULL-text docs form a real bucket)
     cum = cum.withColumnRenamed("quality_q", "_q")
     tagged = base.join(cum, F.expr("quality_q <=> _q"), "left").drop("_q")
-    outside = tagged.where(~F.col("_full") & ~F.col("_bound")).select(
-        id_col, "n_tokens", "quality_q", F.lit(False).alias("selected")
+    outside = tagged.where("NOT _full AND NOT _bound").selectExpr(
+        id_col, "n_tokens", "quality_q", "false AS selected"
     )
-    inside = tagged.where("_full").select(
-        id_col, "n_tokens", "quality_q", F.lit(True).alias("selected")
+    inside = tagged.where("_full").selectExpr(
+        id_col, "n_tokens", "quality_q", "true AS selected"
     )
     # boundary bucket: exact two-phase prefix sum in (md5(id), id) order.
     # NULL ids: md5(NULL) is NULL, and a NULL _pfx would fall out of the
@@ -402,11 +406,11 @@ def budget_select(
     # the prefix coalesces to 'zz', which sorts AFTER every hex pair,
     # exactly where ORDER BY md5 ASC NULLS LAST places the row in the
     # oracle's global order.
-    m = F.md5(F.col(id_col).cast("string"))
-    b = tagged.where("_bound").select(
+    m = f"md5(CAST({id_col} AS STRING))"
+    b = tagged.where("_bound").selectExpr(
         id_col, "n_tokens", "quality_q", "_rem",
-        m.alias("_m"),
-        F.coalesce(F.substring(m, 1, 2), F.lit("zz")).alias("_pfx"),
+        f"{m} AS _m",
+        f"coalesce(substring({m}, 1, 2), 'zz') AS _pfx",
     )
     # n_tokens is the FINAL tiebreak (review r13): two NULL-id rows tie on
     # both _m and id, and an unordered tie hands the partial sums to rows
@@ -414,22 +418,22 @@ def budget_select(
     # identical in every output column, so any order yields the same
     # multiset. Unique-id corpora never reach it (md5 distinct), so the
     # gate's recorded greens stay valid (value-identical in that regime).
-    w_in = Window.partitionBy("_pfx").orderBy(
-        F.col("_m").asc_nulls_last(),
-        F.col(id_col).asc_nulls_last(),
-        F.col("n_tokens").asc_nulls_last(),
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    loc = b.withColumn("_cin", F.sum("n_tokens").over(w_in))
-    offs = b.groupBy("_pfx").agg(F.sum("n_tokens").alias("_s"))
-    w_off = Window.orderBy(F.col("_pfx").asc_nulls_last()).rowsBetween(
-        Window.unboundedPreceding, -1
+    loc = b.selectExpr(
+        "*",
+        "sum(n_tokens) OVER (PARTITION BY _pfx ORDER BY"
+        f" _m ASC NULLS LAST, {id_col} ASC NULLS LAST,"
+        " n_tokens ASC NULLS LAST"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cin",
     )
-    cumo = offs.select(
-        "_pfx", F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off")
+    offs = b.groupBy("_pfx").agg(F.expr("sum(n_tokens) AS _s"))
+    cumo = offs.selectExpr(
+        "_pfx",
+        "coalesce(sum(_s) OVER (ORDER BY _pfx ASC NULLS LAST"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _off",
     )
-    boundary = loc.join(F.broadcast(cumo), "_pfx").select(
+    boundary = loc.join(F.broadcast(cumo), "_pfx").selectExpr(
         id_col, "n_tokens", "quality_q",
-        (F.col("_cin") + F.col("_off") <= F.col("_rem")).alias("selected"),
+        "_cin + _off <= _rem AS selected",
     )
     return inside.unionByName(boundary).unionByName(outside)
 
@@ -523,26 +527,19 @@ def decontaminate_train(
     # reverse), so a when-chain over a single projection emits exactly the
     # same multiset of contaminated train ids; `distinct` is unchanged.
     bad = (
-        joined.select(
-            F.when(
-                (F.col("sa") == "train") & (F.col("sb") != "train"),
-                F.col("doc_a"),
-            )
-            .when(
-                (F.col("sb") == "train") & (F.col("sa") != "train"),
-                F.col("doc_b"),
-            )
-            .alias("_bad")
+        joined.selectExpr(
+            "CASE WHEN sa = 'train' AND sb != 'train' THEN doc_a"
+            " WHEN sb = 'train' AND sa != 'train' THEN doc_b END AS _bad"
         )
-        .where(F.col("_bad").isNotNull())
+        .where("_bad IS NOT NULL")
         .distinct()
     )
     return splits.join(
         bad, F.expr(f"{id_col} <=> _bad"), "left"
-    ).select(
+    ).selectExpr(
         id_col,
         "split",
-        (F.col("_bad").isNotNull() & (F.col("split") == "train")).alias("dropped"),
+        "_bad IS NOT NULL AND split = 'train' AS dropped",
     )
 
 

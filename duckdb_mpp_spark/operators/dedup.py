@@ -103,7 +103,13 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     ``spark.sql.shuffle.partitions`` and don't need spreading."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # queryExecution().toRdd() — the JVM-internal-row RDD, NOT df.rdd:
+    # the Python-facing .rdd wraps the plan in an InternalRow→Row
+    # conversion (javaToPython) whose construction alone cost ~65 ms of
+    # driver wall per call (measured r13, 8 calls per bench sweep);
+    # toRdd() finalizes the same physical partitioning in ~2 ms. Same
+    # caveat as before: scan-rooted inputs only.
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target, F.col(id_col))
     return df
 

@@ -41,6 +41,18 @@ PUNCT_CLASS = "[.,!?;:]"
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def _tokens_sql(col_sql: str) -> str:
+    """SQL-string form of :func:`tokens` — same expression tree, parsed
+    JVM-side in ONE py4j round trip. The Column build (filter + lambda +
+    coalesce + cast) cost ~28 ms of driver wall per call and the family
+    is constructed ~19× per bench sweep (r13 construction-floor rework;
+    see dedup._simhash_bit_sums for the measurement)."""
+    return (
+        f"coalesce(filter(split(lower(trim({col_sql})), ' '), x -> x != ''),"
+        " CAST(array() AS array<string>))"
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, lowercased, empties dropped (split on the literal
     space — the corpus is single-spaced; regex-free keeps both engines
@@ -49,18 +61,100 @@ def tokens(col: Column | str) -> Column:
     which poisoned sequence-packing's cumulative offsets and produced
     out-of-range repetition fractions for fetch-failure docs — every
     consumer counts a missing doc as zero tokens instead)."""
-    c = F.col(col) if isinstance(col, str) else col
-    split = F.filter(F.split(F.lower(F.trim(c)), " "), lambda x: x != F.lit(""))
+    if isinstance(col, str):
+        return F.expr(_tokens_sql(f"`{col}`"))
+    split = F.filter(F.split(F.lower(F.trim(col)), " "), lambda x: x != F.lit(""))
     return F.coalesce(split, F.array().cast("array<string>"))
 
 
 def token_count(col: Column | str) -> Column:
+    if isinstance(col, str):
+        return F.expr(f"size({_tokens_sql(f'`{col}`')})")
     return F.size(tokens(col))
 
 
 def _lang_ratio(ws: Column, lang: str) -> Column:
     hits = F.size(F.filter(ws, lambda x: x.isin(STOPWORDS[lang])))
     return hits.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+# --- SQL-string twins (r13 construction-floor rework) -----------------------
+# Same expression trees as the Column builders below, emitted as SQL text so
+# a consumer pays ONE py4j round trip per projection instead of one per
+# F.xxx()/operator call (~0.5 ms each; the lambda-bound quality/language
+# trees cost 0.15-0.45 s of driver wall per query construction at r13's
+# measurement). The Column forms stay for Column-typed arguments; every
+# string-typed call routes through these.
+
+
+def _lang_ratio_sql(ws: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(size(filter({ws}, x -> x IN ({lst}))) AS DOUBLE)"
+        f" / CAST(greatest(size({ws}), 1) AS DOUBLE)"
+    )
+
+
+def _lang_decide_sql(rs: str) -> str:
+    langs = sorted(STOPWORDS)
+    out = "'und'"
+    for lang in reversed(langs):
+        r = f"{rs}.{lang}"
+        conds = [f"{r} > 0"] + [
+            f"{r} >= {rs}.{other}" for other in langs if other != lang
+        ]
+        out = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {out} END"
+    return out
+
+
+def _lang_ratios_arr_sql(col_sql: str) -> str:
+    langs = sorted(STOPWORDS)
+    fields = ", ".join(f"{_lang_ratio_sql('ws', lang)} AS {lang}" for lang in langs)
+    return f"transform(array({_tokens_sql(col_sql)}), ws -> struct({fields}))"
+
+
+def _language_id_sql(col_sql: str) -> str:
+    return (
+        f"element_at(transform({_lang_ratios_arr_sql(col_sql)},"
+        f" rs -> {_lang_decide_sql('rs')}), 1)"
+    )
+
+
+def _token_stats_sql(col_sql: str) -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        f"element_at(transform(array({_tokens_sql(col_sql)}), ws -> struct("
+        "size(ws) AS n, "
+        "aggregate(ws, 0, (acc, x) -> acc + length(x)) AS sum_len, "
+        f"size(filter(ws, x -> x IN ({en}))) AS stop_en)), 1)"
+    )
+
+
+def _punct_ratio_sql(t: str) -> str:
+    return (
+        f"CAST(length({t}) - length(regexp_replace({t}, '{PUNCT_CLASS}', ''))"
+        f" AS DOUBLE) / CAST(greatest(length({t}), 1) AS DOUBLE)"
+    )
+
+
+def _upper_ratio_sql(t: str) -> str:
+    return (
+        f"CAST(length({t}) - length(regexp_replace({t}, '[A-Z]', ''))"
+        f" AS DOUBLE) / CAST(greatest(length({t}), 1) AS DOUBLE)"
+    )
+
+
+def _score_from_stats_sql(st: str, t: str) -> str:
+    # double literals carry the D suffix: a bare 0.4 parses as DECIMAL in
+    # SQL, which would change the arithmetic tree the Column form built
+    # from Python floats
+    stop = f"CAST({st}.stop_en AS DOUBLE) / CAST(greatest({st}.n, 1) AS DOUBLE)"
+    return (
+        f"0.4D * least(CAST({st}.n AS DOUBLE) / 100.0D, 1.0D)"
+        f" + 0.3D * least({stop} * 5.0D, 1.0D)"
+        f" + 0.2D * (1.0D - least({_punct_ratio_sql(t)} * 10.0D, 1.0D))"
+        f" + 0.1D * (1.0D - least({_upper_ratio_sql(t)} * 10.0D, 1.0D))"
+    )
 
 
 def _lang_decide(rs: Column) -> Column:
@@ -91,6 +185,8 @@ def language_id(col: Column | str) -> Column:
     tokenization to ONE evaluation, the first transform computes the four
     ratios into a struct (one array scan each), and the CASE runs over the
     struct's scalar fields. Same value, same tie order."""
+    if isinstance(col, str):
+        return F.expr(_language_id_sql(f"`{col}`"))
     langs = sorted(STOPWORDS)
     ratios_arr = F.transform(
         F.array(tokens(col)),
@@ -110,28 +206,18 @@ def lang_quality_struct(text_col: str) -> Column:
     quality_features r8 note: CollapseProject keeps non-cheap multi-
     referenced expressions un-inlined)."""
     langs = sorted(STOPWORDS)
-    t = F.col(text_col)
-    bound = F.element_at(
-        F.transform(
-            F.array(tokens(text_col)),
-            lambda ws: F.struct(
-                F.struct(
-                    *[_lang_ratio(ws, lang).alias(lang) for lang in langs]
-                ).alias("r"),
-                F.size(ws).alias("n"),
-                F.aggregate(
-                    ws, F.lit(0), lambda acc, x: acc + F.length(x)
-                ).alias("sum_len"),
-                F.size(
-                    F.filter(ws, lambda x: x.isin(STOPWORDS["en"]))
-                ).alias("stop_en"),
-            ),
-        ),
-        1,
+    rf = ", ".join(f"{_lang_ratio_sql('ws', lang)} AS {lang}" for lang in langs)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    t = f"`{text_col}`"
+    bound = (
+        f"element_at(transform(array({_tokens_sql(t)}), ws -> struct("
+        f"struct({rf}) AS r, size(ws) AS n, "
+        "aggregate(ws, 0, (acc, x) -> acc + length(x)) AS sum_len, "
+        f"size(filter(ws, x -> x IN ({en}))) AS stop_en)), 1)"
     )
-    return F.struct(
-        _lang_decide(bound["r"]).alias("plang"),
-        _score_from_stats(bound, t).alias("quality_score"),
+    return F.expr(
+        f"struct({_lang_decide_sql(bound + '.r')} AS plang, "
+        f"{_score_from_stats_sql(bound, t)} AS quality_score)"
     )
 
 
@@ -154,19 +240,7 @@ def _token_stats(text_col: str) -> Column:
     r8 applied it to the quality family, which evaluated the interpreted
     ``split``/``filter`` higher-order trees up to six times per row
     across its output columns)."""
-    stats = F.transform(
-        F.array(tokens(text_col)),
-        lambda ws: F.struct(
-            F.size(ws).alias("n"),
-            F.aggregate(
-                ws, F.lit(0), lambda acc, x: acc + F.length(x)
-            ).alias("sum_len"),
-            F.size(
-                F.filter(ws, lambda x: x.isin(STOPWORDS["en"]))
-            ).alias("stop_en"),
-        ),
-    )
-    return F.element_at(stats, 1)
+    return F.expr(_token_stats_sql(f"`{text_col}`"))
 
 
 def _score_from_stats(st: Column, t: Column) -> Column:
@@ -190,7 +264,9 @@ def quality_score_col(text_col: str = "text") -> Column:
     projection instead of joining quality_features back onto the corpus
     (review r4: that join was a second corpus scan + corpus-wide shuffle).
     Tokenizes once via :func:`_token_stats`."""
-    return _score_from_stats(_token_stats(text_col), F.col(text_col))
+    return F.expr(
+        _score_from_stats_sql(_token_stats_sql(f"`{text_col}`"), f"`{text_col}`")
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

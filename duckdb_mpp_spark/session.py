@@ -81,7 +81,18 @@ def get_spark(
 
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally provided session
-    (the driver hands us its own SparkSession in ``__spark_entry__``)."""
+    (the driver hands us its own SparkSession in ``__spark_entry__``).
+
+    Applied once per (session, overrides) — every ``spark.conf.set`` is a
+    py4j round trip, and ``run_spark_query`` calls this per query, so the
+    re-application burned ~33 ms × #queries of driver wall per bench sweep
+    (measured r13) setting identical values. The settings are fixed for a
+    given session except the ``SPARK_GRAFT_CONF`` env overrides, which key
+    the memo so an A/B harness that mutates the env between calls still
+    re-applies."""
+    memo_key = tuple(sorted(_graft_conf_overrides().items()))
+    if getattr(spark, "_graft_tuned", None) == memo_key:
+        return spark
     # Volume-sized shuffle partitions — LOCAL masters only (review r5,
     # twice): the cores/4 heuristic is measured on sub-GB local runs; on a
     # real cluster it would cap reduce parallelism at a quarter of core
@@ -122,4 +133,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable in this session; fine
+    try:
+        spark._graft_tuned = memo_key
+    except Exception:
+        pass
     return spark
