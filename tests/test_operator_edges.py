@@ -72,11 +72,15 @@ def test_connected_components_raises_on_diameter_overflow(spark):
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     nodes = spark.range(n).select(F.col("id").alias("doc_id"))
-    # enough rounds: converges to one component labeled 0
-    labels = connected_components(chain, nodes, max_iter=n + 1)
+    # converges to one component labeled 0 — and in O(log^2 n) rounds now
+    # (r13: alternating large-star/small-star replaced O(diameter)
+    # min-label propagation), so a diameter-11 chain fits easily in 6
+    labels = connected_components(chain, nodes, max_iter=6)
     assert {r["label"] for r in labels.collect()} == {0}
+    # max_iter=1 can never observe a stationary edge signature (the check
+    # compares round N to round N-1), so exhaustion must raise loudly
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, nodes, max_iter=3)
+        connected_components(chain, nodes, max_iter=1)
 
 
 def test_tokens_null_text_is_empty_array(spark):
