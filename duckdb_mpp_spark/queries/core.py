@@ -379,10 +379,7 @@ register(
 )
 
 # TPC-H Q18: IN over a HAVING subquery (l_quantity is integral → exact).
-register(
-    "q18_large_volume_customer",
-    Query(
-        """
+_Q18_SQL = """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice,
                SUM(l_quantity) AS sum_qty
@@ -397,7 +394,52 @@ register(
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
         """
-    ),
+
+
+def _q18_fn(spark, sf_dir):
+    # Aggregate lineitem ONCE (r13, guide §1.2 step 1 / §2.3): the SQL
+    # form aggregates lineitem per orderkey in the IN subquery AND joins
+    # the raw lineitem rows a second time to recompute the identical
+    # per-order SUM(l_quantity) inside the final GROUP BY — two corpus
+    # aggregations plus one corpus-sized join probe for one answer.
+    # (o_orderkey, c_custkey) are keys of their tables, so each final
+    # group is exactly one qualifying order: SUM over the group ≡ the
+    # subquery's per-order sum. Computing the per-order sums once,
+    # filtering > 150 (29,294 of 150k orders at sf0.1 — AQE broadcasts
+    # it), and joining orders→customer reproduces the rows bit-for-bit
+    # (oracle SQL unchanged; hash-verified at sf0.01/sf0.1). One
+    # lineitem pass instead of two, no fact-sized second join.
+    from pyspark.sql import functions as F
+
+    from duckdb_mpp_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("SUM(l_quantity) AS sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(qty, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+register(
+    "q18_large_volume_customer",
+    Query(spark=_q18_fn, oracle=_Q18_SQL),
 )
 
 # TPC-H Q19: disjunction of conjunctive range predicates across a join.

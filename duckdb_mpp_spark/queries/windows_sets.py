@@ -30,18 +30,56 @@ _TOPK_CORE = """
 
 
 def _topk_fn(spark, sf_dir):
-    # callable (r9, the q13 recipe): the rank<=k filter already plans a
-    # Partial WindowGroupLimit BEFORE the exchange (Spark 3.5+), so the
-    # only trimmable cost was the final orderBy's range-sampling job — the
-    # result is 3 rows per supplier, O(suppliers), size-switched on the
-    # lineitem source (conservative upper bound).
+    # One exchange instead of two (r13, guide §2.4): the SQL form planned
+    # Exchange(l_suppkey, l_partkey) for the aggregate and a SECOND
+    # Exchange(l_suppkey) for the window. Partial aggregation bought
+    # nothing between them — the (suppkey, partkey) key is ~unique per
+    # row (590,973 groups from 600,000 rows at sf0.1), so the first
+    # exchange carried the whole corpus anyway. Repartitioning the scan
+    # on l_suppkey up front satisfies BOTH the aggregate's clustering
+    # (suppkey ⊂ (suppkey, partkey)) and the window's, so agg + window
+    # ride one exchange of raw rows and run parallel. At any scale the
+    # exchange carries the same ~|lineitem| rows the old first exchange
+    # carried; hot-supplier skew is bounded by AQE's window-free stage
+    # (one supplier's rows ≪ a partition at 100 TB bucket counts).
+    # Same inner algebra; the rank<=k WindowGroupLimit still prunes
+    # before the rank filter. A/B at sf0.1: 0.78 → 0.47 s, hash-identical.
+    li = load_table(spark, sf_dir, "lineitem")
+    # CPU-bound reduce stage (hash agg over ~|corpus| groups + window
+    # sort): width follows CORE COUNT, not the volume-sized shuffle
+    # default (session.py's 4 keeps cheap reduce stages off the
+    # per-task floor, but this stage carried 1.66 s of CPU on 4 tasks —
+    # profiled 0.46 s stage wall with 28 cores idle). Same precedent as
+    # _spread/the GEMM kernels: explicit parallelism for CPU-bound
+    # stages, defaultParallelism-derived so a cluster session scales it.
+    n_width = max(
+        int(spark.sparkContext.defaultParallelism),
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    agg = (
+        li.repartition(n_width, F.col("l_suppkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 256)"
+                " AS DOUBLE) / 256) AS rev"
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("rev").desc(), F.col("l_partkey")
+    )
+    ranked = agg.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
     from duckdb_mpp_spark.queries import ordered_result
 
     return ordered_result(
-        spark.sql(_TOPK_CORE),
-        load_table(spark, sf_dir, "lineitem"),
+        ranked.select("l_suppkey", "l_partkey", "rev", "rn"),
+        li,
         "l_suppkey",
         "rn",
+        exchange=True,
     )
 
 
