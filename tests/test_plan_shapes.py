@@ -232,3 +232,34 @@ def test_single_pipeline_no_duplicate_subtree(
         if "documents.parquet" in ln and "Scan" in ln
     }
     assert len(live) <= scan_limit, p
+
+
+def test_q18_aggregates_lineitem_once(spark):
+    """q18's per-order quantity sum must be computed ONCE (r13): the SQL
+    form aggregated lineitem in the IN/HAVING subquery AND re-joined the
+    raw fact to recompute the same sum in the final GROUP BY — two corpus
+    aggregations and a fact-sized probe. The callable form reads lineitem
+    exactly once; a second live lineitem scan in the plan means the
+    double-aggregation crept back."""
+    p = plan_text(run_spark_query("q18_large_volume_customer", spark, SF_DIR))
+    scans = {
+        ln.strip().lstrip("+-: ")
+        for ln in p.splitlines()
+        if "lineitem.parquet" in ln
+    }
+    assert len(scans) == 1, p
+
+
+def test_window_topk_agg_and_window_share_one_exchange(spark):
+    """window_topk's aggregate and window must ride ONE exchange keyed on
+    l_suppkey (r13): hash-partitioning on the window key satisfies the
+    (l_suppkey, l_partkey) aggregate's clustering too, so a second
+    exchange keyed on the composite aggregate key is the regression this
+    pins (it would re-shuffle ~|corpus| rows — the key is ~unique)."""
+    p = plan_text(run_spark_query("window_topk_per_group", spark, SF_DIR))
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert parts, p
+    for keys in parts:
+        assert "l_partkey" not in keys, p
