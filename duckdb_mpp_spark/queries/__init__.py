@@ -210,7 +210,19 @@ def _freshest_green_round() -> dict[str, int]:
 # gates whose recorded rows predate the reformulation (clear once the
 # next CORRECTNESS file shows them green; the derived tiers then take
 # over automatically).
-_FORCE_FIRST: frozenset[str] = frozenset()
+_FORCE_FIRST: frozenset[str] = frozenset({
+    # r14 (VERDICT r13 #2): every gate whose PLAN was rewritten in r13
+    # rotated out of the driver's 50-slot correctness sample (green rows
+    # predate the rewrite). Force a driver oracle row on the NEW code;
+    # clear once CORRECTNESS_r14 shows them green.
+    "q18_large_volume_customer",
+    "sketch_approx_stats",
+    "dedup_cluster_assign",
+    "dedup_cluster_keep_best",
+    "pipeline_corpus_curation",
+    "text_fingerprint",
+    "window_topk_per_group",
+})
 # (r11: events_top_transitions cleared — CORRECTNESS_r10 shows it green
 # post-reformulation, and leaving it would burn a rotation slot every
 # round; streaming_incremental_dedup, driver-stale since r7, now takes

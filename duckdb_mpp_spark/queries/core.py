@@ -405,8 +405,11 @@ def _q18_fn(spark, sf_dir):
     # (o_orderkey, c_custkey) are keys of their tables, so each final
     # group is exactly one qualifying order: SUM over the group ≡ the
     # subquery's per-order sum. Computing the per-order sums once,
-    # filtering > 150 (29,294 of 150k orders at sf0.1 — AQE broadcasts
-    # it), and joining orders→customer reproduces the rows bit-for-bit
+    # filtering > 150 (29,294 of 150k orders at sf0.1 — the static plan
+    # broadcasts the orders side BuildLeft; at scale the broadcast falls
+    # back to SMJ, and runtime AQE stats may instead flip the build to
+    # the filtered aggregate), and joining orders→customer reproduces
+    # the rows bit-for-bit
     # (oracle SQL unchanged; hash-verified at sf0.01/sf0.1). One
     # lineitem pass instead of two, no fact-sized second join.
     from pyspark.sql import functions as F

@@ -200,11 +200,10 @@ def _colocated_contract(spark, sf_dir):
     ups = rejected(lambda: mpp.upsert("orders_cc", orders.limit(1), ["o_custkey"]))
 
     # plan assert under no-broadcast (broadcast would trivially avoid the
-    # exchange); save/restore the previous threshold — unset() resets to
-    # the GLOBAL default, not the session's builder-time value
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # exchange); conf_guard saves/restores the previous threshold
+    from duckdb_mpp_spark.session import conf_guard
+
+    with conf_guard(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
         j = t_o.scan().join(
             t_c.scan(), F.col("o_custkey") == F.col("c_custkey")
         )
@@ -223,8 +222,6 @@ def _colocated_contract(spark, sf_dir):
             and "Exchange hashpartitioning(c_custkey" not in p
         )
         n_rows, total_price = agg.collect()[0]  # 1-row aggregate
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return spark.createDataFrame(
         [(upd, dele, ups, zero_exchange, n_rows, float(total_price))],
         "update_rejected boolean, delete_rejected boolean, "

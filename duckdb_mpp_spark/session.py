@@ -9,8 +9,40 @@ knob is driver memory.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def conf_guard(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for a block and RESTORE the prior values on exit.
+
+    The one sanctioned way for an operator to mutate session conf (VERDICT
+    r13 #4): ``tune_session`` memoizes per session, so a mutation that
+    escapes its block is no longer masked by per-query re-application — it
+    would leak into every later query in the session. Restore uses the
+    saved value, never ``unset()``: unset resets to the GLOBAL default,
+    not the session's builder/tune-time value."""
+    saved: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None  # key unset with no default
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield spark
+    finally:
+        for k, v in saved.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:
+                pass
 
 
 def _graft_conf_overrides() -> dict[str, str]:

@@ -40,7 +40,7 @@ def main() -> None:
     _ensure_loaded()
     names = sys.argv[2:] or [n for n in HEADLINE if n in REGISTRY]
     spark = get_spark(app_name="capture-plans")
-    outdir = os.path.join(REPO, "plans", "r13")
+    outdir = os.path.join(REPO, "plans", os.environ.get("PLANS_TAG", "r14"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
