@@ -1508,9 +1508,17 @@ def _register():
         # gram keys are 64-bit hashes — ~5× fewer shuffle bytes than raw
         # gram strings, set semantics preserved to 2^-64 collisions (oracle
         # parity is on the resulting Jaccard scores, which are identical).
+        # exchange=True (r14, guide §2.4/§1.1): without the barrier,
+        # coalesce(1) reached back through the broadcast joins to the
+        # pairs-distinct exchange, so candidate dedup + both gram-set
+        # probes + every array_intersect ran as ONE task — profiled 0.45 s
+        # of single-threaded CPU in the final stage at sf0.1. The
+        # repartition(1) barrier keeps the scoring stage parallel and
+        # collapses only the thresholded result rows.
         _, scored = _scored_pairs(spark, sf_dir, fast=False)
         return ordered_small(
-            scored.where(F.col("jaccard") >= 0.5), "doc_a", "doc_b"
+            scored.where(F.col("jaccard") >= 0.5), "doc_a", "doc_b",
+            exchange=True,
         )
 
     register(
@@ -1561,10 +1569,44 @@ def _register():
         # — it is covered by the md5 twin gate (`dedup_ngram_jaccard`),
         # which shares every pipeline line except the two hash columns.
         docs, scored = _scored_pairs(spark, sf_dir, fast=True)
-        found = scored.where(F.col("jaccard") >= 0.5)
-        toks = docs.select("doc_id", tokens("text").alias("ws")).where(
-            F.size("ws") > 0
-        )
+        # Certificate shape is SIZE-SWITCHED (r14, guide §1.2/§2.3; same
+        # small/large branching as _scored_pairs itself):
+        #
+        # large: the token-array frame feeds TWO joins (wa / wb sides)
+        # with no exchange to reuse, so the old direct-join certificate
+        # tokenized the FULL corpus once per side — two extra corpus
+        # passes a 100 TB run must not pay. The pair list is result-sized
+        # post-threshold: checkpoint it, restrict docs to pair MEMBERS
+        # (the jaccard_verify_from_docs pattern), tokenize only those,
+        # checkpoint the candidate-sized token frame once for both sides.
+        # Value-identical: the certificate joins are inner on
+        # doc_a/doc_b, so rows outside the pair list never contributed.
+        #
+        # small: the direct joins stand — the A/B at sf0.1 measured the
+        # candidate-restricted shape ~0.25 s SLOWER there (the two
+        # synchronous checkpoint jobs cost more than two parallel
+        # tokenize passes over a broadcast-sized corpus; broadcast hints
+        # on the checkpointed frames did not recover it).
+        from duckdb_mpp_spark.table import is_small_source
+
+        if is_small_source(load_table(spark, sf_dir, "documents")):
+            found = scored.where(F.col("jaccard") >= 0.5)
+            toks = docs.select("doc_id", tokens("text").alias("ws")).where(
+                F.size("ws") > 0
+            )
+        else:
+            found = scored.where(F.col("jaccard") >= 0.5).localCheckpoint(
+                eager=True
+            )
+            cand = found.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+            ).distinct()
+            toks = (
+                docs.join(cand, "doc_id", "left_semi")
+                .select("doc_id", tokens("text").alias("ws"))
+                .where(F.size("ws") > 0)
+                .localCheckpoint(eager=True)
+            )
         ident_found = (
             found.join(
                 toks.select(

@@ -33,7 +33,7 @@ style of ``operators/corpus.py``.
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_mpp_spark.operators.dedup import shingle_hashes
+from duckdb_mpp_spark.operators.dedup import _spread, shingle_hashes
 from duckdb_mpp_spark.operators.text import _duck_tokens, tokens
 from duckdb_mpp_spark.queries import Query, register
 from duckdb_mpp_spark.sources import load_table
@@ -288,9 +288,24 @@ def tfidf_keywords(
     from duckdb_mpp_spark.table import is_small_source
 
     small = is_small_source(df)
-    base = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    df0 = df  # pre-repartition frame: n_total counts the SCAN, not a shuffle
     if small:
-        base = base.repartition(F.col(id_col))
+        # repartition the RAW docs, then tokenize (r14, guide §2.5 input
+        # skew): the r10 shape repartitioned the (id, tokens) projection,
+        # which placed the tokenize+explode BELOW the exchange — on a
+        # single-file corpus that is ONE scan partition, so the regex
+        # pass ran single-task with every core idle. Shuffling text
+        # instead of token arrays moves slightly FEWER bytes, and the
+        # exchange still satisfies the tf aggregate's and the top-k
+        # window's clustering. Width = cores (the window_topk/_spread
+        # precedent): the tokenize/explode map stage is CPU-bound, and
+        # the volume-sized shuffle default (4) would cap it at 4 tasks.
+        n_width = max(
+            int(df.sparkSession.sparkContext.defaultParallelism),
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+        df = df.repartition(n_width, F.col(id_col))
+    base = df.select(F.col(id_col), tokens(text_col).alias("t"))
     toks = base.select(
         F.col(id_col), F.explode("t").alias("tok")
     ).where(F.length("tok") >= MIN_KEYWORD_LEN)
@@ -310,7 +325,7 @@ def tfidf_keywords(
         F.count(F.nullif("tf", F.lit(-1))).alias("df")
     )
     tf = tf.join(F.broadcast(doc_freq) if small else doc_freq, "tok")
-    n_total = df.agg(F.count("*").alias("n_total"))  # 1 row — broadcast join
+    n_total = df0.agg(F.count("*").alias("n_total"))  # 1 row — broadcast join
     # tf is widened to DECIMAL(38,0) before the product (review r4): under
     # Spark's default non-ANSI arithmetic, tf·idf_scaled wraps silently
     # past 2^63 (df=1 on a 10^10-doc corpus gives idf_scaled=10^16; a term
@@ -472,6 +487,12 @@ def _register() -> None:
         # the final broadcast-join stage parallel.
         from duckdb_mpp_spark.queries import ordered_result
 
+        # NO _spread here (r14 A/B): the complement-identity shape has
+        # only ~0.3 s of serial map CPU at sf0.1, and the id-keyed
+        # repartition's extra exchange measured +27% (0.81 → 1.03 s);
+        # since _spread is a no-op at scale the cost is never repaid.
+        # (Contrast cut_spans_fn below, where four branches re-read the
+        # single-partition checkpoint and _spread wins.)
         docs = load_table(spark, sf_dir, "documents")
         return ordered_result(
             duplicated_span_stats(docs), docs, "doc_id", exchange=True
@@ -502,9 +523,15 @@ def _register() -> None:
         # join stage parallel.
         from duckdb_mpp_spark.queries import ordered_result
 
-        docs = load_table(spark, sf_dir, "documents")
+        # _spread (r14): same single-scan-partition serialization as
+        # spans_fn above — the tokenized checkpoint inherited the scan's
+        # ONE partition, so all four branches (gram stats, covered probe,
+        # token stream, totals) ran single-task. Profiled 1.35 s with
+        # every map stage at 1 task; id-keyed repartition, no-op at scale.
+        docs0 = load_table(spark, sf_dir, "documents")
+        docs = _spread(docs0, "doc_id")
         return ordered_result(
-            cut_duplicated_spans(docs), docs, "doc_id", exchange=True
+            cut_duplicated_spans(docs), docs0, "doc_id", exchange=True
         )
 
     register("dedup_cut_spans", Query(spark=cut_spans_fn, oracle=cut_spans_oracle_sql()))
