@@ -144,8 +144,26 @@ def duplicated_span_stats(
     )
 
 
+# cut_duplicated_spans mid-regime budget (r14, VERDICT r13 #3): past the
+# 256 MiB small-source switch the tokenized frame used to be RECOMPUTED
+# per branch (4 regex passes). The measured crossover: recompute wins at
+# 10× sf0.1 (4.9 vs 5.4 s), a disk-backed token frame wins at 200×/~1 GB
+# (239 → 190 s, −21%). Between the small switch and this budget the
+# token frame is therefore written once to session-scratch parquet and
+# read by all four branches; past the budget the recompute shape stands
+# (a ~1.3× corpus temp write is the wrong trade against scratch-disk
+# budgets at 100 TB, where the branches are parallel columnar scans).
+# Runtime-settable for deployments with big scratch (SPARK_GRAFT_CONF).
+CUT_SPANS_DISK_FRAME_KEY = "duckdb_mpp_spark.cutSpans.diskFrameMaxBytes"
+CUT_SPANS_DISK_FRAME_BYTES = 64 << 30
+
+
 def cut_duplicated_spans(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_WORDS
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_WORDS,
+    _force_frame: str | None = None,
 ) -> DataFrame:
     """Exact-substring span CUTTING — the removal half of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"), where
@@ -179,19 +197,57 @@ def cut_duplicated_spans(
     built-in, NOT a per-token interpreted lambda (the transform() trap
     measured at ~27× in dedup.shingles' docstring).
 
-    Small-regime fusion (r13): the tokenized frame feeds FOUR branches
-    (gram stats, covered probe, token stream, totals) — un-materialized,
-    the regex tokenize re-runs per branch (four parquet scans in the
-    plan). Under the shared 256 MiB source switch the frame is
-    checkpointed once (A/B at sf0.1: 1.77 → 1.50 s); past it the
-    recompute shape stands — materializing a corpus-sized token frame
-    is the wrong trade at 100 TB, where the four branches are scans of
-    a columnar source, not four regex passes over a driver bottleneck."""
-    from duckdb_mpp_spark.table import is_small_source
+    Three materialization regimes for the tokenized frame, which feeds
+    FOUR branches (gram stats, covered probe, token stream, totals):
+    under the shared 256 MiB source switch it is localCheckpointed once
+    (r13 A/B at sf0.1: 1.77 → 1.50 s); between the switch and the
+    CUT_SPANS_DISK_FRAME budget it is written once to session-scratch
+    parquet and read per branch (r14 A/B at ~1 GB: recompute 239 s vs
+    disk frame 190 s — the four regex passes outgrow one write); past
+    the budget the recompute shape stands — a ~1.3× corpus temp write is
+    the wrong trade against scratch budgets at 100 TB, where the four
+    branches are parallel columnar scans (r14 A/B at 10×: recompute
+    4.9 s vs disk frame 5.4 s — the crossover is real, not monotone).
+    ``_force_frame`` pins a regime for tests/A-B ('ckpt', 'disk',
+    'recompute'); the closed set fails loudly on typos (the ADVICE r11
+    convention)."""
+    from duckdb_mpp_spark.table import is_small_source, plan_size_bytes
 
+    if _force_frame not in (None, "ckpt", "disk", "recompute"):
+        raise ValueError(
+            f"_force_frame={_force_frame!r}: expected None, 'ckpt', "
+            "'disk' or 'recompute'"
+        )
     t = df.select(F.col(id_col), tokens(text_col).alias("t"))
-    if is_small_source(df):
+    frame = _force_frame
+    if frame is None:
+        if is_small_source(df):
+            frame = "ckpt"
+        else:
+            size = plan_size_bytes(df)
+            try:
+                budget = int(
+                    df.sparkSession.conf.get(
+                        CUT_SPANS_DISK_FRAME_KEY,
+                        str(CUT_SPANS_DISK_FRAME_BYTES),
+                    )
+                )
+            except Exception:
+                budget = CUT_SPANS_DISK_FRAME_BYTES
+            frame = "disk" if size is not None and size <= budget else "recompute"
+    if frame == "ckpt":
         t = t.localCheckpoint(eager=True)
+    elif frame == "disk":
+        # one write, four reads — a FRESH scratch dir per invocation
+        # (atexit-reclaimed): every run rewrites from the parquet inputs,
+        # nothing persists across invocations
+        import os as _os
+
+        from duckdb_mpp_spark.tmputil import session_tmpdir
+
+        path = _os.path.join(session_tmpdir("cut_spans_tok_"), "t")
+        t.write.parquet(path)
+        t = df.sparkSession.read.parquet(path)
     nonempty = t.where(F.size("t") > 0)
     idx = nonempty.select(
         id_col,
